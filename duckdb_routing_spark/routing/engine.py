@@ -1,0 +1,476 @@
+"""RoutingEngine: the session-scoped engine object.
+
+Maps the reference's SQL surface (SURVEY §2.1/§2.2) onto Spark:
+
+  reference operator                     -> here
+  ------------------------------------------------------------------
+  travel_time_load_config(path)          -> engine.load_config(path) + SQL fn
+  SET valhalla_tiles = 'path'            -> spark.conf 'spark.routing.tiles'
+  travel_time_is_loaded()                -> engine.is_loaded / SQL fn
+  travel_time(lat1,lon1,lat2,lon2,mode)  -> vectorized pandas UDF
+  travel_time_route_wkb(from,to,mode)    -> pandas UDF -> struct(distance_km,
+                                            duration_minutes, geometry WKB)
+  travel_time_route(from,to,mode)        -> alias of the above (the reference
+                                            macro only converts WKB->GEOMETRY)
+  travel_time_locate(lat,lon,mode)       -> pandas UDF -> struct(lat,lon)
+  travel_time_snap(lat,lon,mode)         -> pandas UDF -> struct(lat,lon,
+                                            distance_m)      [native gen]
+  travel_time_matrix(lists...)           -> engine.matrix(...) -> DataFrame
+  travel_time_isochrone(lat,lon,s,mode)  -> engine.isochrone(...) -> DataFrame
+  travel_time_node_count(mode)           -> engine.node_count / SQL fn
+  travel_time_request(action, json)      -> engine.request(...) JSON in/out
+  routing_free(mode)                     -> engine.free(mode)
+
+State model: one broadcast per loaded mode (auto/bicycle/pedestrian), scoped
+to this engine/SparkSession — deliberately correcting the reference's
+process-global singleton (src/travel_time_extension.cpp:28-30; SURVEY §3.3).
+Error model parity: NULL in -> NULL out; unroutable -> NULL (not an error);
+calling a routing function with no graph loaded raises, like the C++
+EnsureRouterLoaded (src/travel_time_extension.cpp:38-42).
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from duckdb_routing_spark.routing import kernels
+from duckdb_routing_spark.routing.geometry import (
+    any_geometry_to_lonlat,
+    build_wkb_linestring,
+    haversine_m_scalar,
+)
+from duckdb_routing_spark.routing.graph import RoutingGraph
+
+TILES_CONF_KEY = "spark.routing.tiles"
+
+# Executor-process cache: payload uuid -> RoutingGraph (rebuilt once per
+# worker process, shared across Arrow batches).
+_GRAPH_CACHE: dict[str, RoutingGraph] = {}
+
+
+def _graph_from_bc(bc) -> RoutingGraph:
+    payload = bc.value
+    key = payload["_uuid"]
+    g = _GRAPH_CACHE.get(key)
+    if g is None:
+        g = RoutingGraph.from_payload({k: v for k, v in payload.items() if k != "_uuid"})
+        _GRAPH_CACHE[key] = g
+    return g
+
+
+def _resolve(broadcasts: dict, mode: str) -> RoutingGraph:
+    # unknown modes fall back to 'auto', like get_router_for_mode
+    # (rust/src/lib.rs:290-296)
+    mode = mode if mode in broadcasts else "auto"
+    bc = broadcasts.get(mode)
+    if bc is None:
+        raise RuntimeError(
+            "Travel time extension not loaded. Load routing tiles first "
+            "(engine.load_config(path) or SET spark.routing.tiles)"
+        )
+    return _graph_from_bc(bc)
+
+
+ROUTE_STRUCT = T.StructType(
+    [
+        T.StructField("distance_km", T.DoubleType()),
+        T.StructField("duration_minutes", T.DoubleType()),
+        T.StructField("geometry", T.BinaryType()),
+    ]
+)
+LOCATE_STRUCT = T.StructType([T.StructField("lat", T.DoubleType()), T.StructField("lon", T.DoubleType())])
+SNAP_STRUCT = T.StructType(
+    [
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("distance_m", T.DoubleType()),
+    ]
+)
+MATRIX_SCHEMA = T.StructType(
+    [
+        T.StructField("from_idx", T.IntegerType()),
+        T.StructField("to_idx", T.IntegerType()),
+        T.StructField("distance_m", T.DoubleType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+ISOCHRONE_SCHEMA = T.StructType(
+    [
+        T.StructField("lat", T.DoubleType()),
+        T.StructField("lon", T.DoubleType()),
+        T.StructField("seconds", T.DoubleType()),
+    ]
+)
+
+# Service limits kept for behavioral parity with the generated valhalla.json
+# (src/valhalla_build_tiles_simple.cpp:104-129; SURVEY §4.2).
+SERVICE_LIMITS = {
+    "max_matrix_location_pairs": 2500,
+    "isochrone_max_contours": 4,
+    "isochrone_max_time_min": 120,
+    "max_route_distance_km": {"auto": 5000.0, "bicycle": 500.0, "pedestrian": 250.0},
+}
+
+
+class RoutingEngine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._broadcasts: dict = {}  # mode -> Broadcast[payload]
+        self._local: dict[str, RoutingGraph] = {}  # driver-side copies
+        self._tiles_path: str | None = None
+
+    # ------------------------------------------------------------------
+    # loading / state  (#1, #2, #10, #11, #18, routing_free)
+    # ------------------------------------------------------------------
+
+    def load_graph(self, graph: RoutingGraph, mode: str = "auto") -> bool:
+        old = self._broadcasts.pop(mode, None)
+        payload = graph.to_payload()
+        payload["_uuid"] = str(uuid.uuid4())
+        self._broadcasts[mode] = self.spark.sparkContext.broadcast(payload)
+        self._local[mode] = graph
+        if old is not None:
+            old.unpersist()
+        return True
+
+    def load_config(self, dir_path: str, modes=("auto", "bicycle", "pedestrian")) -> bool:
+        """Load a graph artifact directory (the analog of
+        travel_time_load_config; idempotent for the same path)."""
+        if dir_path == self._tiles_path and self._broadcasts:
+            return True
+        loaded = False
+        for mode in modes:
+            try:
+                g = RoutingGraph.load(dir_path, mode)
+            except (FileNotFoundError, OSError):
+                continue
+            self.load_graph(g, mode)
+            loaded = True
+        if loaded:
+            self._tiles_path = dir_path
+        return loaded
+
+    def ensure_conf(self) -> None:
+        """Bridge for `SET spark.routing.tiles = path` — hot-swaps the
+        broadcasts when the conf changed (SURVEY §3.3 Spark rebuild)."""
+        path = self.spark.conf.get(TILES_CONF_KEY, None)
+        if path and path != self._tiles_path:
+            self.load_config(path)
+
+    @property
+    def tiles_path(self) -> str | None:
+        """current_setting('valhalla_tiles') analog."""
+        return self._tiles_path
+
+    def is_loaded(self, mode: str = "auto") -> bool:
+        return mode in self._broadcasts
+
+    def node_count(self, mode: str = "auto") -> int:
+        g = self._local.get(mode)
+        return g.num_nodes if g is not None else -2
+
+    def free(self, mode: str = "auto") -> None:
+        bc = self._broadcasts.pop(mode, None)
+        self._local.pop(mode, None)
+        if bc is not None:
+            bc.unpersist()
+
+    # ------------------------------------------------------------------
+    # scalar function surface (pandas UDFs)  (#3, #4, #5, #6, #16)
+    # ------------------------------------------------------------------
+
+    def register(self) -> None:
+        """Install the SQL function surface on this SparkSession.
+
+        UDFs stay deterministic so Catalyst can common-subexpression-eliminate
+        repeated calls (SURVEY §4.1)."""
+        broadcasts = self._broadcasts  # captured; re-pickled per action
+
+        @F.pandas_udf(T.DoubleType())
+        def travel_time(lat1: pd.Series, lon1: pd.Series, lat2: pd.Series, lon2: pd.Series, costing: pd.Series) -> pd.Series:
+            out = np.full(len(lat1), np.nan)
+            for mode in costing.fillna("auto").unique():
+                g = _resolve(broadcasts, mode)
+                m = (costing.fillna("auto") == mode).to_numpy()
+                out[m] = kernels.batch_travel_time_s(
+                    g, lat1[m].to_numpy(np.float64), lon1[m].to_numpy(np.float64),
+                    lat2[m].to_numpy(np.float64), lon2[m].to_numpy(np.float64),
+                )
+            return pd.Series(out)
+
+        def _route_rows(frm: pd.Series, to: pd.Series, costing: pd.Series) -> pd.DataFrame:
+            rows = []
+            for f, t, c in zip(frm, to, costing):
+                g = _resolve(broadcasts, c if isinstance(c, str) else "auto")
+                p1 = any_geometry_to_lonlat(f)
+                p2 = any_geometry_to_lonlat(t)
+                if p1 is None or p2 is None:
+                    rows.append((None, None, None))
+                    continue
+                s = g.nearest_main_node(p1[0], p1[1])
+                d = g.nearest_main_node(p2[0], p2[1])
+                if s < 0 or d < 0:
+                    rows.append((None, None, None))
+                    continue
+                w, path = kernels.dijkstra_p2p_path(g, s, d)
+                if w < 0 or path is None:
+                    rows.append((None, None, None))
+                    continue
+                dist_m = kernels.path_distance_m(g, path)
+                nodes = np.asarray(path, dtype=np.int64)
+                wkb = build_wkb_linestring(g.node_lon[nodes], g.node_lat[nodes])
+                rows.append((dist_m / 1000.0, (w / 1000.0) / 60.0, wkb))
+            return pd.DataFrame(rows, columns=["distance_km", "duration_minutes", "geometry"])
+
+        @F.pandas_udf(ROUTE_STRUCT)
+        def travel_time_route_wkb(frm: pd.Series, to: pd.Series, costing: pd.Series) -> pd.DataFrame:
+            return _route_rows(frm, to, costing)
+
+        @F.pandas_udf(LOCATE_STRUCT)
+        def travel_time_locate(lat: pd.Series, lon: pd.Series, costing: pd.Series) -> pd.DataFrame:
+            rows = []
+            for la, lo, c in zip(lat, lon, costing):
+                g = _resolve(broadcasts, c if isinstance(c, str) else "auto")
+                if la is None or lo is None or pd.isna(la) or pd.isna(lo):
+                    rows.append((None, None))
+                    continue
+                idx = g.nearest_main_node(float(lo), float(la))
+                if idx < 0:
+                    rows.append((None, None))
+                else:
+                    rows.append((float(g.node_lat[idx]), float(g.node_lon[idx])))
+            return pd.DataFrame(rows, columns=["lat", "lon"])
+
+        @F.pandas_udf(SNAP_STRUCT)
+        def travel_time_snap(lat: pd.Series, lon: pd.Series, costing: pd.Series) -> pd.DataFrame:
+            rows = []
+            for la, lo, c in zip(lat, lon, costing):
+                g = _resolve(broadcasts, c if isinstance(c, str) else "auto")
+                if la is None or lo is None or pd.isna(la) or pd.isna(lo):
+                    rows.append((None, None, None))
+                    continue
+                idx = g.nearest_main_node(float(lo), float(la))
+                if idx < 0:
+                    rows.append((None, None, None))
+                    continue
+                nlat, nlon = float(g.node_lat[idx]), float(g.node_lon[idx])
+                rows.append((nlat, nlon, haversine_m_scalar(float(lo), float(la), nlon, nlat)))
+            return pd.DataFrame(rows, columns=["lat", "lon", "distance_m"])
+
+        @F.udf(T.BooleanType())
+        def travel_time_is_loaded(costing):
+            return (costing or "auto") in broadcasts
+
+        @F.udf(T.IntegerType())
+        def travel_time_node_count(costing):
+            bc = broadcasts.get(costing or "auto")
+            if bc is None:
+                return -2
+            return len(bc.value["node_lon"])
+
+        self.spark.udf.register("travel_time", travel_time)
+        self.spark.udf.register("travel_time_route_wkb", travel_time_route_wkb)
+        # The reference's travel_time_route is a macro over the WKB variant
+        # that only converts the geometry type (examples/geometry_macro.sql:
+        # 31-37); without a spatial type system the result is identical.
+        self.spark.udf.register("travel_time_route", travel_time_route_wkb)
+        self.spark.udf.register("travel_time_locate", travel_time_locate)
+        self.spark.udf.register("travel_time_snap", travel_time_snap)
+        self.spark.udf.register("travel_time_is_loaded", travel_time_is_loaded)
+        self.spark.udf.register("travel_time_node_count", travel_time_node_count)
+
+    # ------------------------------------------------------------------
+    # table operators  (#8 matrix, #17 isochrone)
+    # ------------------------------------------------------------------
+
+    def matrix(self, src_lats, src_lons, dst_lats, dst_lons, costing: str = "auto") -> DataFrame:
+        """N x M travel-time matrix as a DataFrame(from_idx, to_idx,
+        distance_m, duration_s), row order (from, to) like MatrixFunction
+        (src/travel_time_extension.cpp:849-877).
+
+        Scale shape: origins are distributed via mapInPandas; each origin runs
+        ONE multi-target Dijkstra serving all destinations (amortized), with
+        the graph coming from the executor-cached broadcast."""
+        if len(src_lats) != len(src_lons) or len(dst_lats) != len(dst_lons):
+            raise ValueError("source/target lat and lon lists must have equal lengths")
+        if len(src_lats) * len(dst_lats) > SERVICE_LIMITS["max_matrix_location_pairs"] * 100:
+            raise ValueError("matrix too large; raise SERVICE_LIMITS deliberately for cluster runs")
+        broadcasts = self._broadcasts
+        dst = [(float(la), float(lo)) for la, lo in zip(dst_lats, dst_lons)]
+
+        origins = self.spark.createDataFrame(
+            [(i, float(la), float(lo)) for i, (la, lo) in enumerate(zip(src_lats, src_lons))],
+            "from_idx int, lat double, lon double",
+        ).repartition(min(len(src_lats), 32))
+
+        def run(batches):
+            for pdf in batches:
+                g = _resolve(broadcasts, costing)
+                tgt_nodes = np.asarray([g.nearest_main_node(lo, la) for la, lo in dst], dtype=np.int64)
+                out = []
+                for _, r in pdf.iterrows():
+                    s = g.nearest_main_node(r.lon, r.lat)
+                    if s < 0:
+                        for j in range(len(dst)):
+                            out.append((int(r.from_idx), j, None, None))
+                        continue
+                    w_ms, prev = kernels.dijkstra_multi_target(g, s, tgt_nodes)
+                    for j, t in enumerate(tgt_nodes):
+                        if t < 0 or w_ms[j] < 0:
+                            out.append((int(r.from_idx), j, None, None))
+                            continue
+                        # reconstruct path for the native distance semantics
+                        path = [int(t)]
+                        while path[-1] != s:
+                            path.append(prev[path[-1]])
+                        d_m = kernels.path_distance_m(g, path[::-1])
+                        out.append((int(r.from_idx), j, d_m, w_ms[j] / 1000.0))
+                yield pd.DataFrame(out, columns=["from_idx", "to_idx", "distance_m", "duration_s"])
+
+        return origins.mapInPandas(run, MATRIX_SCHEMA).orderBy("from_idx", "to_idx")
+
+    def isochrone(self, lat: float, lon: float, max_seconds: float, costing: str = "auto") -> DataFrame:
+        """Single-source isochrone point cloud (#17): every reachable node
+        with its cost in seconds, costs <= max_seconds."""
+        df = self.isochrones(
+            self.spark.createDataFrame([(0, float(lat), float(lon))], "origin_id long, lat double, lon double"),
+            max_seconds,
+            costing,
+        )
+        return df.select("lat", "lon", "seconds")
+
+    def isochrones(self, origins: DataFrame, max_seconds: float, costing: str = "auto") -> DataFrame:
+        """Batch isochrones: origins(origin_id, lat, lon) -> (origin_id, lat,
+        lon, seconds). The scale path — one Dijkstra per origin, origins
+        spread across executors."""
+        broadcasts = self._broadcasts
+        max_ms = int(max_seconds * 1000.0)
+        schema = T.StructType([T.StructField("origin_id", T.LongType())] + list(ISOCHRONE_SCHEMA))
+
+        def run(batches):
+            for pdf in batches:
+                out_frames = []
+                g = _resolve(broadcasts, costing)
+                for _, r in pdf.iterrows():
+                    s = g.nearest_main_node(r.lon, r.lat)
+                    if s < 0:
+                        continue
+                    nodes, costs = kernels.dijkstra_isochrone(g, s, max_ms)
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "origin_id": np.full(len(nodes), int(r.origin_id), dtype=np.int64),
+                                "lat": g.node_lat[nodes],
+                                "lon": g.node_lon[nodes],
+                                "seconds": costs / 1000.0,
+                            }
+                        )
+                    )
+                if out_frames:
+                    yield pd.concat(out_frames)
+
+        return origins.mapInPandas(run, schema)
+
+    # ------------------------------------------------------------------
+    # JSON escape hatch  (#7)
+    # ------------------------------------------------------------------
+
+    def request(self, action: str, request_json: str) -> str:
+        """Raw JSON request dispatcher, mirroring travel_time_request's nine
+        actions (valhalla-wrapper/src/wrapper.cpp:432-453). Implemented:
+        route, sources_to_targets/matrix, isochrone, locate, status; the
+        others return a structured error exactly like the reference does for
+        unknown actions (wrapper.cpp:450-452)."""
+        try:
+            req = json.loads(request_json) if request_json else {}
+        except json.JSONDecodeError as e:
+            return json.dumps({"error": f"Invalid JSON: {e}"})
+        costing = req.get("costing", "auto")
+        g = self._local.get(costing if costing in self._local else "auto")
+        if g is None:
+            return json.dumps({"error": "Travel time extension not loaded"})
+        locs = req.get("locations", [])
+
+        if action == "status":
+            return json.dumps(
+                {"loaded": True, "modes": sorted(self._local), "nodes": {m: x.num_nodes for m, x in self._local.items()}}
+            )
+        if action == "locate":
+            out = []
+            for p in locs:
+                idx = g.nearest_main_node(float(p["lon"]), float(p["lat"]))
+                out.append(None if idx < 0 else {"lat": float(g.node_lat[idx]), "lon": float(g.node_lon[idx])})
+            return json.dumps({"locations": out})
+        if action == "route":
+            if len(locs) < 2:
+                return json.dumps({"error": "route requires 2 locations"})
+            s = g.nearest_main_node(float(locs[0]["lon"]), float(locs[0]["lat"]))
+            d = g.nearest_main_node(float(locs[1]["lon"]), float(locs[1]["lat"]))
+            if s < 0 or d < 0:
+                return json.dumps({"error": "no road near location"})
+            w, path = kernels.dijkstra_p2p_path(g, s, d)
+            if w < 0:
+                return json.dumps({"error": "no route found"})
+            dist_m = kernels.path_distance_m(g, path)
+            return json.dumps(
+                {
+                    "trip": {
+                        "summary": {"length": dist_m / 1000.0, "time": w / 1000.0},
+                        "shape_points": len(path),
+                    }
+                }
+            )
+        if action in ("matrix", "sources_to_targets"):
+            sources = req.get("sources", locs)
+            targets = req.get("targets", locs)
+            rows = (
+                self.matrix(
+                    [p["lat"] for p in sources],
+                    [p["lon"] for p in sources],
+                    [p["lat"] for p in targets],
+                    [p["lon"] for p in targets],
+                    costing,
+                )
+                .collect()
+            )
+            return json.dumps(
+                {
+                    "sources_to_targets": [
+                        {"from_index": r.from_idx, "to_index": r.to_idx, "distance": r.distance_m, "time": r.duration_s}
+                        for r in rows
+                    ]
+                }
+            )
+        if action == "isochrone":
+            if not locs:
+                return json.dumps({"error": "isochrone requires a location"})
+            contours = req.get("contours", [{"time": 15}])
+            if len(contours) > SERVICE_LIMITS["isochrone_max_contours"]:
+                return json.dumps({"error": "too many contours"})
+            max_min = max(float(c.get("time", 15)) for c in contours)
+            if max_min > SERVICE_LIMITS["isochrone_max_time_min"]:
+                return json.dumps({"error": "contour beyond max time"})
+            pts = self.isochrone(float(locs[0]["lat"]), float(locs[0]["lon"]), max_min * 60.0, costing).collect()
+            return json.dumps(
+                {
+                    "contours": [
+                        {
+                            "time": float(c.get("time", 15)),
+                            "points": [
+                                {"lat": p.lat, "lon": p.lon, "seconds": p.seconds}
+                                for p in pts
+                                if p.seconds <= float(c.get("time", 15)) * 60.0
+                            ],
+                        }
+                        for c in contours
+                    ]
+                }
+            )
+        return json.dumps({"error": f"Unknown action: {action}"})

@@ -1,0 +1,271 @@
+"""The broadcastable road-network graph.
+
+The reference's `RoutingData { node_positions, fast_graph, spatial_index,
+adj_list }` (rust/src/lib.rs:147-153) becomes a set of flat numpy arrays:
+
+  - ``node_lon`` / ``node_lat``  (float64[N])      node coordinates
+  - ``indptr`` / ``indices`` / ``weights_ms`` / ``lengths_m``
+        CSR adjacency sorted by source node (int64/int32/int64/float64)
+  - ``main_nodes`` (int64[M])                       snap-index candidates
+  - a uniform-grid spatial hash over the main nodes (cell ids + offsets)
+
+Flat arrays pickle compactly, broadcast once per executor, and are shared
+read-only by every Arrow batch — the Spark analog of the Rust engine's
+thread-local `PathCalculator` over one shared graph (lib.rs:504-533), minus
+the locking. Nearest-neighbor semantics match the reference's R-tree: squared
+Euclidean distance in (lon, lat) degree space over main-road nodes only
+(lib.rs:121-142, 234-242).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+ARTIFACT_MANIFEST = "_manifest.json"
+
+
+@dataclass
+class RoutingGraph:
+    node_lon: np.ndarray
+    node_lat: np.ndarray
+    indptr: np.ndarray
+    indices: np.ndarray
+    weights_ms: np.ndarray
+    lengths_m: np.ndarray
+    main_nodes: np.ndarray
+    # spatial hash over main nodes
+    cell_size: float = 0.0
+    grid_min_lon: float = 0.0
+    grid_min_lat: float = 0.0
+    grid_ncols: int = 0
+    grid_nrows: int = 0
+    cell_starts: np.ndarray = field(default=None)  # int64[nrows*ncols+1]
+    cell_points: np.ndarray = field(default=None)  # indices into main_nodes order
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.node_lon)
+
+    @property
+    def num_edges(self) -> int:
+        return len(self.indices)
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_arrays(
+        cls,
+        node_lon: np.ndarray,
+        node_lat: np.ndarray,
+        src: np.ndarray,
+        dst: np.ndarray,
+        weight_ms: np.ndarray,
+        length_m: np.ndarray,
+        main_nodes: np.ndarray,
+    ) -> "RoutingGraph":
+        n = len(node_lon)
+        order = np.argsort(src, kind="stable")
+        src = np.asarray(src, dtype=np.int64)[order]
+        dst = np.asarray(dst, dtype=np.int64)[order]
+        weight_ms = np.asarray(weight_ms, dtype=np.int64)[order]
+        length_m = np.asarray(length_m, dtype=np.float64)[order]
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, src + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        g = cls(
+            node_lon=np.asarray(node_lon, dtype=np.float64),
+            node_lat=np.asarray(node_lat, dtype=np.float64),
+            indptr=indptr,
+            indices=dst,
+            weights_ms=weight_ms,
+            lengths_m=length_m,
+            main_nodes=np.asarray(main_nodes, dtype=np.int64),
+        )
+        g._build_spatial_hash()
+        return g
+
+    @classmethod
+    def from_pandas(cls, nodes: pd.DataFrame, edges: pd.DataFrame) -> "RoutingGraph":
+        """nodes: node_id, lon, lat, main_road; edges: src, dst, weight_ms,
+        length_m — node_id must be a dense 0..N-1 index (the builder remaps
+        raw OSM ids, like rust/src/lib.rs:225-243)."""
+        nodes = nodes.sort_values("node_id")
+        if not (nodes["node_id"].to_numpy() == np.arange(len(nodes))).all():
+            raise ValueError("node_id must be dense 0..N-1; run the builder's remap first")
+        main = nodes.loc[nodes["main_road"].astype(bool), "node_id"].to_numpy(np.int64)
+        return cls.from_arrays(
+            nodes["lon"].to_numpy(np.float64),
+            nodes["lat"].to_numpy(np.float64),
+            edges["src"].to_numpy(np.int64),
+            edges["dst"].to_numpy(np.int64),
+            edges["weight_ms"].to_numpy(np.int64),
+            edges["length_m"].to_numpy(np.float64),
+            main,
+        )
+
+    def _build_spatial_hash(self) -> None:
+        m = len(self.main_nodes)
+        if m == 0:
+            self.cell_starts = np.zeros(1, dtype=np.int64)
+            self.cell_points = np.zeros(0, dtype=np.int64)
+            return
+        lons = self.node_lon[self.main_nodes]
+        lats = self.node_lat[self.main_nodes]
+        min_lon, max_lon = float(lons.min()), float(lons.max())
+        min_lat, max_lat = float(lats.min()), float(lats.max())
+        span_lon = max(max_lon - min_lon, 1e-9)
+        span_lat = max(max_lat - min_lat, 1e-9)
+        # target ~2 points per cell, clamp the grid to <= 4M cells
+        target_cells = max(1, min(m // 2 + 1, 4_000_000))
+        cell = max((span_lon * span_lat / target_cells) ** 0.5, 1e-9)
+        ncols = int(span_lon / cell) + 1
+        nrows = int(span_lat / cell) + 1
+        col = np.minimum(((lons - min_lon) / cell).astype(np.int64), ncols - 1)
+        row = np.minimum(((lats - min_lat) / cell).astype(np.int64), nrows - 1)
+        cell_id = row * ncols + col
+        order = np.argsort(cell_id, kind="stable")
+        sorted_cells = cell_id[order]
+        starts = np.zeros(nrows * ncols + 1, dtype=np.int64)
+        np.add.at(starts, sorted_cells + 1, 1)
+        np.cumsum(starts, out=starts)
+        self.cell_size = cell
+        self.grid_min_lon = min_lon
+        self.grid_min_lat = min_lat
+        self.grid_ncols = ncols
+        self.grid_nrows = nrows
+        self.cell_starts = starts
+        self.cell_points = order  # positions into main_nodes
+
+    # ------------------------------------------------------------------
+    # nearest-neighbor snap (squared Euclidean in degree space, main roads
+    # only — matching the reference R-tree, rust/src/lib.rs:121-142)
+    # ------------------------------------------------------------------
+
+    def _cell_candidates(self, crow: int, ccol: int, ring: int) -> np.ndarray:
+        """Positions (into main_nodes) of all points in the square ring at
+        Chebyshev distance `ring` around (crow, ccol)."""
+        out = []
+        r0, r1 = crow - ring, crow + ring
+        c0, c1 = ccol - ring, ccol + ring
+        for r in range(max(r0, 0), min(r1, self.grid_nrows - 1) + 1):
+            if ring and r not in (r0, r1):
+                for c in (c0, c1):
+                    if 0 <= c < self.grid_ncols:
+                        cid = r * self.grid_ncols + c
+                        out.append(self.cell_points[self.cell_starts[cid] : self.cell_starts[cid + 1]])
+            else:
+                cs = max(c0, 0)
+                ce = min(c1, self.grid_ncols - 1)
+                if cs <= ce:
+                    cid0 = r * self.grid_ncols + cs
+                    cid1 = r * self.grid_ncols + ce
+                    # cells in one row are contiguous in cell-id space
+                    out.append(self.cell_points[self.cell_starts[cid0] : self.cell_starts[cid1 + 1]])
+        if not out:
+            return np.zeros(0, dtype=np.int64)
+        return np.concatenate(out)
+
+    def nearest_main_node(self, lon: float, lat: float) -> int:
+        """Index of the nearest main-road node, or -1 if none exist."""
+        if len(self.main_nodes) == 0:
+            return -1
+        ccol = int((lon - self.grid_min_lon) / self.cell_size)
+        crow = int((lat - self.grid_min_lat) / self.cell_size)
+        ccol = min(max(ccol, 0), self.grid_ncols - 1)
+        crow = min(max(crow, 0), self.grid_nrows - 1)
+        max_ring = max(self.grid_nrows, self.grid_ncols)
+        best_pos = -1
+        best_d2 = np.inf
+        found_ring = -1
+        ring = 0
+        while ring <= max_ring:
+            cand = self._cell_candidates(crow, ccol, ring)
+            if len(cand):
+                nodes = self.main_nodes[cand]
+                d2 = (self.node_lon[nodes] - lon) ** 2 + (self.node_lat[nodes] - lat) ** 2
+                i = int(np.argmin(d2))
+                if d2[i] < best_d2:
+                    best_d2 = float(d2[i])
+                    best_pos = int(nodes[i])
+                if found_ring < 0:
+                    found_ring = ring
+            # after the first hit, one extra ring guarantees correctness for a
+            # square grid when the query point lies inside the grid; points far
+            # outside need rings until the true nearest cell band is covered.
+            if found_ring >= 0 and ring >= found_ring + 1 + int(np.sqrt(best_d2) / self.cell_size):
+                break
+            ring += 1
+        return best_pos
+
+    def nearest_main_nodes(self, lons: np.ndarray, lats: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (self.nearest_main_node(float(lo), float(la)) for lo, la in zip(lons, lats)),
+            dtype=np.int64,
+            count=len(lons),
+        )
+
+    # ------------------------------------------------------------------
+    # artifact persistence (the Parquet analog of the reference's bincode
+    # cache `<pbf>.<mode>.routing`, rust/src/lib.rs:164-166, 271-283)
+    # ------------------------------------------------------------------
+
+    def save(self, dir_path: str, mode: str) -> None:
+        os.makedirs(dir_path, exist_ok=True)
+        nodes = pd.DataFrame(
+            {
+                "node_id": np.arange(self.num_nodes, dtype=np.int64),
+                "lon": self.node_lon,
+                "lat": self.node_lat,
+                "main_road": np.isin(np.arange(self.num_nodes), self.main_nodes),
+            }
+        )
+        src = np.repeat(np.arange(self.num_nodes, dtype=np.int64), np.diff(self.indptr))
+        edges = pd.DataFrame(
+            {"src": src, "dst": self.indices, "weight_ms": self.weights_ms, "length_m": self.lengths_m}
+        )
+        nodes.to_parquet(os.path.join(dir_path, f"nodes_{mode}.parquet"), index=False)
+        edges.to_parquet(os.path.join(dir_path, f"edges_{mode}.parquet"), index=False)
+        manifest_path = os.path.join(dir_path, ARTIFACT_MANIFEST)
+        manifest = {}
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                manifest = json.load(f)
+        manifest[mode] = {"nodes": self.num_nodes, "edges": self.num_edges}
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f)
+
+    @classmethod
+    def load(cls, dir_path: str, mode: str) -> "RoutingGraph":
+        nodes = pd.read_parquet(os.path.join(dir_path, f"nodes_{mode}.parquet"))
+        edges = pd.read_parquet(os.path.join(dir_path, f"edges_{mode}.parquet"))
+        return cls.from_pandas(nodes, edges)
+
+    # picklable payload for sc.broadcast (exclude nothing — all arrays useful)
+    def to_payload(self) -> dict:
+        return {
+            "node_lon": self.node_lon,
+            "node_lat": self.node_lat,
+            "indptr": self.indptr,
+            "indices": self.indices,
+            "weights_ms": self.weights_ms,
+            "lengths_m": self.lengths_m,
+            "main_nodes": self.main_nodes,
+            "cell_size": self.cell_size,
+            "grid_min_lon": self.grid_min_lon,
+            "grid_min_lat": self.grid_min_lat,
+            "grid_ncols": self.grid_ncols,
+            "grid_nrows": self.grid_nrows,
+            "cell_starts": self.cell_starts,
+            "cell_points": self.cell_points,
+        }
+
+    @classmethod
+    def from_payload(cls, payload: dict) -> "RoutingGraph":
+        return cls(**payload)

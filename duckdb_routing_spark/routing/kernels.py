@@ -1,0 +1,185 @@
+"""Shortest-path kernels over the CSR graph.
+
+The reference uses contraction hierarchies (`fast_paths`, rust/src/lib.rs:260)
+for point-to-point queries and a plain binary-heap Dijkstra for isochrones
+(lib.rs:638-720). CH is a pure accelerator — weights and results are identical
+to Dijkstra — so the rebuild uses heap Dijkstra throughout (documented in
+SURVEY §4.1); weights are integer milliseconds, durations are ms/1000.0
+(lib.rs:421-427).
+
+These kernels run inside Arrow-batched pandas UDF / mapInPandas workers with
+the graph arrays coming from a Spark broadcast: one graph per executor
+process, shared across batches, no locks (read-only).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from duckdb_routing_spark.routing.geometry import haversine_m
+from duckdb_routing_spark.routing.graph import RoutingGraph
+
+NO_ROUTE = -1.0
+NOT_LOADED = -2.0
+
+
+def dijkstra_p2p(g: RoutingGraph, src: int, dst: int) -> float:
+    """Shortest-path weight in ms from src to dst, or -1.0 if unreachable.
+
+    Early-exits when dst is settled (matches CH query results exactly)."""
+    if src == dst:
+        return 0.0
+    indptr, indices, weights = g.indptr, g.indices, g.weights_ms
+    dist = {src: 0}
+    heap = [(0, src)]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u == dst:
+            return float(d)
+        if d > dist.get(u, np.inf):
+            continue
+        for ei in range(indptr[u], indptr[u + 1]):
+            v = indices[ei]
+            nd = d + weights[ei]
+            if nd < dist.get(v, np.inf):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return NO_ROUTE
+
+
+def dijkstra_p2p_path(g: RoutingGraph, src: int, dst: int):
+    """(weight_ms, path_node_list) or (NO_ROUTE, None)."""
+    indptr, indices, weights = g.indptr, g.indices, g.weights_ms
+    dist = {src: 0}
+    prev: dict[int, int] = {}
+    heap = [(0, src)]
+    found = src == dst
+    while heap and not found:
+        d, u = heapq.heappop(heap)
+        if u == dst:
+            found = True
+            break
+        if d > dist.get(u, np.inf):
+            continue
+        for ei in range(indptr[u], indptr[u + 1]):
+            v = indices[ei]
+            nd = d + weights[ei]
+            if nd < dist.get(v, np.inf):
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(heap, (nd, v))
+    if not found and dst not in dist:
+        return NO_ROUTE, None
+    path = [dst]
+    while path[-1] != src:
+        path.append(prev[path[-1]])
+    path.reverse()
+    return float(dist[dst]), path
+
+
+def dijkstra_multi_target(g: RoutingGraph, src: int, targets: np.ndarray):
+    """Single-source Dijkstra serving many targets at once (the matrix
+    operator's inner kernel — one Dijkstra amortizes all M destinations,
+    better than M point queries). Returns (weights_ms float64[M],
+    predecessor dict) with -1.0 for unreachable targets."""
+    indptr, indices, weights = g.indptr, g.indices, g.weights_ms
+    target_set = set(int(t) for t in targets)
+    remaining = len(target_set)
+    dist = {src: 0}
+    prev: dict[int, int] = {}
+    settled = set()
+    heap = [(0, src)]
+    while heap and remaining > 0:
+        d, u = heapq.heappop(heap)
+        if u in settled:
+            continue
+        settled.add(u)
+        if u in target_set:
+            remaining -= 1
+        for ei in range(indptr[u], indptr[u + 1]):
+            v = indices[ei]
+            nd = d + weights[ei]
+            if nd < dist.get(v, np.inf):
+                dist[v] = nd
+                prev[v] = u
+                heapq.heappush(heap, (nd, v))
+    out = np.full(len(targets), NO_ROUTE, dtype=np.float64)
+    for i, t in enumerate(targets):
+        t = int(t)
+        if t in dist:
+            out[i] = float(dist[t])
+    return out, prev
+
+
+def dijkstra_isochrone(g: RoutingGraph, src: int, max_cost_ms: int):
+    """All nodes reachable within max_cost_ms: (node_ids, costs_ms).
+
+    Semantics of the reference isochrone (rust/src/lib.rs:677-717): early
+    cutoff, every settled node emitted with its cost; costs <= cutoff."""
+    indptr, indices, weights = g.indptr, g.indices, g.weights_ms
+    dist = {src: 0}
+    heap = [(0, src)]
+    out_nodes: list[int] = []
+    out_costs: list[int] = []
+    settled = set()
+    while heap:
+        d, u = heapq.heappop(heap)
+        if u in settled or d > dist.get(u, np.inf):
+            continue
+        if d > max_cost_ms:
+            continue
+        settled.add(u)
+        out_nodes.append(u)
+        out_costs.append(d)
+        for ei in range(indptr[u], indptr[u + 1]):
+            v = indices[ei]
+            nd = d + weights[ei]
+            if nd <= max_cost_ms and nd < dist.get(v, np.inf):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return np.asarray(out_nodes, dtype=np.int64), np.asarray(out_costs, dtype=np.int64)
+
+
+def path_distance_m(g: RoutingGraph, path: list[int]) -> float:
+    """Sum of haversine over consecutive path nodes — the native engine's
+    route distance semantics (rust/src/lib.rs:779-795)."""
+    if path is None or len(path) < 2:
+        return 0.0
+    nodes = np.asarray(path, dtype=np.int64)
+    lons = g.node_lon[nodes]
+    lats = g.node_lat[nodes]
+    return float(np.sum(haversine_m(lons[:-1], lats[:-1], lons[1:], lats[1:])))
+
+
+# ---------------------------------------------------------------------------
+# batch wrappers (the Arrow-batch entry points)
+# ---------------------------------------------------------------------------
+
+
+def batch_travel_time_s(g: RoutingGraph, lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Vectorized travel_time: snap both endpoints, shortest-path seconds.
+    NaN marks no-route / invalid input (the SQL layer maps NaN -> NULL,
+    matching src/travel_time_extension.cpp:512-514)."""
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+    lon2 = np.asarray(lon2, dtype=np.float64)
+    n = len(lat1)
+    out = np.full(n, np.nan)
+    # de-duplicate identical OD pairs within the batch (common in SQL joins)
+    cache: dict[tuple[int, int], float] = {}
+    for i in range(n):
+        if np.isnan(lat1[i]) or np.isnan(lon1[i]) or np.isnan(lat2[i]) or np.isnan(lon2[i]):
+            continue
+        s = g.nearest_main_node(lon1[i], lat1[i])
+        t = g.nearest_main_node(lon2[i], lat2[i])
+        if s < 0 or t < 0:
+            continue
+        key = (s, t)
+        if key not in cache:
+            w = dijkstra_p2p(g, s, t)
+            cache[key] = w / 1000.0 if w >= 0 else np.nan
+        out[i] = cache[key]
+    return out

@@ -1,0 +1,78 @@
+"""SparkSession construction tuned for this engine.
+
+Defaults follow the large-cluster posture (AQE on, Arrow on, sane shuffle
+partition counts) while remaining correct for local[N] testing. Timezone is
+pinned to UTC so timestamp semantics agree with the DuckDB oracle
+(DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "duckdb_routing_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    On a real cluster ``master``/memory come from spark-submit; everything here
+    is cluster-safe (no local-only assumptions beyond the defaults).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local mode: ~cores.  On a real cluster this would be set to
+        # 2-3x total executor cores (or left to AQE coalescing).
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver-provided parquet tables as temp views.
+
+    Mirrors the oracle harness, which pre-registers the same names in DuckDB.
+    """
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)

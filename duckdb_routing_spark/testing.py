@@ -1,0 +1,102 @@
+"""Deterministic synthetic road-network fixtures (FIXTURES.md §A).
+
+A rectangular lattice: horizontal streets are 'residential', vertical streets
+are 'secondary', one row of horizontal edges is oneway (eastbound), plus a
+2-node disconnected island far away to exercise the no-route -> NULL path
+(src/travel_time_extension.cpp:512-514). All classes used are main roads, so
+every node is a snap candidate. Everything derives from integer grid math —
+reproducible across engines, which lets the DuckDB oracle rebuild the exact
+same edge set from an inlined VALUES list.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from duckdb_routing_spark.routing.geometry import haversine_m_scalar
+from duckdb_routing_spark.routing.graph import RoutingGraph
+from duckdb_routing_spark.routing.speeds import get_speed_kmh, is_main_road, segment_weight_ms
+
+BASE_LAT = 52.0
+BASE_LON = 13.0
+SPACING_DEG = 0.001  # ~111 m N-S
+
+
+def grid_nodes(nrows: int = 10, ncols: int = 10, island: bool = True) -> pd.DataFrame:
+    """node_id = r*ncols + c; island nodes appended at the end, ~0.5 deg away."""
+    ids, lons, lats = [], [], []
+    for r in range(nrows):
+        for c in range(ncols):
+            ids.append(r * ncols + c)
+            lons.append(BASE_LON + c * SPACING_DEG)
+            lats.append(BASE_LAT + r * SPACING_DEG)
+    if island:
+        n = nrows * ncols
+        ids += [n, n + 1]
+        lons += [BASE_LON + 0.5, BASE_LON + 0.5 + SPACING_DEG]
+        lats += [BASE_LAT + 0.5, BASE_LAT + 0.5]
+    return pd.DataFrame({"node_id": ids, "lon": lons, "lat": lats})
+
+
+def grid_segments(nrows: int = 10, ncols: int = 10, oneway_row: int = 1, island: bool = True) -> pd.DataFrame:
+    """(src, dst, highway, oneway) undirected segments of the lattice."""
+    rows = []
+    for r in range(nrows):
+        for c in range(ncols - 1):
+            oneway = "yes" if r == oneway_row else "no"
+            rows.append((r * ncols + c, r * ncols + c + 1, "residential", oneway))
+    for r in range(nrows - 1):
+        for c in range(ncols):
+            rows.append((r * ncols + c, (r + 1) * ncols + c, "secondary", "no"))
+    if island:
+        n = nrows * ncols
+        rows.append((n, n + 1, "residential", "no"))
+    return pd.DataFrame(rows, columns=["src", "dst", "highway", "oneway"])
+
+
+def build_grid_graph(
+    mode: str = "auto", nrows: int = 10, ncols: int = 10, oneway_row: int = 1, island: bool = True
+) -> RoutingGraph:
+    """Pandas-path graph build with the same semantics as the Spark builder
+    (osm_build.build_mode_graph_df) — used by unit tests and the oracle
+    fixture; node ids are already dense so no remap is needed."""
+    nodes = grid_nodes(nrows, ncols, island)
+    segs = grid_segments(nrows, ncols, oneway_row, island)
+    lon = nodes.set_index("node_id")["lon"]
+    lat = nodes.set_index("node_id")["lat"]
+
+    src, dst, w, ln, mains = [], [], [], [], set()
+    for s, d, hw, ow in segs.itertuples(index=False):
+        speed = get_speed_kmh(hw, mode)
+        if speed is None:
+            continue
+        length = haversine_m_scalar(lon[s], lat[s], lon[d], lat[d])
+        wms = segment_weight_ms(length, speed)
+        if wms <= 0:
+            continue
+        src.append(s); dst.append(d); w.append(wms); ln.append(length)
+        if ow != "yes":
+            src.append(d); dst.append(s); w.append(wms); ln.append(length)
+        if is_main_road(hw):
+            mains.add(s); mains.add(d)
+
+    main_flags = nodes["node_id"].isin(mains)
+    nodes = nodes.assign(main_road=main_flags)
+    edges = pd.DataFrame({"src": src, "dst": dst, "weight_ms": w, "length_m": ln})
+    return RoutingGraph.from_pandas(nodes, edges)
+
+
+def grid_edge_values_sql(g: RoutingGraph) -> str:
+    """The graph's directed edge list as a SQL VALUES body
+    `(src, dst, weight_ms), ...` — shared by the DuckDB oracle so both engines
+    route over the identical graph."""
+    src = np.repeat(np.arange(g.num_nodes, dtype=np.int64), np.diff(g.indptr))
+    return ", ".join(f"({s}, {d}, {w})" for s, d, w in zip(src, g.indices, g.weights_ms))
+
+
+def grid_node_values_sql(g: RoutingGraph) -> str:
+    """`(node_id, lon, lat), ...` VALUES body (repr keeps full float precision)."""
+    return ", ".join(
+        f"({i}, {lon!r}, {lat!r})" for i, (lon, lat) in enumerate(zip(g.node_lon, g.node_lat))
+    )

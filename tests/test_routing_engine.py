@@ -1,0 +1,193 @@
+"""End-to-end engine tests over Spark: the SQL function surface, the matrix /
+isochrone table operators, the JSON escape hatch, the conf bridge, and the
+distributed graph build — asserting the same relative properties as the
+reference's monaco_routing.test / z_integration.test.skip."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_routing_spark.routing.engine import RoutingEngine, TILES_CONF_KEY
+from duckdb_routing_spark.routing.geometry import build_wkb_point, parse_wkb_linestring
+from duckdb_routing_spark.testing import (
+    BASE_LAT,
+    BASE_LON,
+    SPACING_DEG,
+    build_grid_graph,
+    grid_nodes,
+    grid_segments,
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = RoutingEngine(spark)
+    for mode in ("auto", "bicycle", "pedestrian"):
+        eng.load_graph(build_grid_graph(mode), mode)
+    eng.register()
+    return eng
+
+
+def pt(r, c):
+    return BASE_LAT + r * SPACING_DEG, BASE_LON + c * SPACING_DEG
+
+
+def test_is_loaded_and_node_count(spark, engine):
+    row = spark.sql(
+        "SELECT travel_time_is_loaded('auto') AS a, travel_time_is_loaded('hoverboard') AS h,"
+        " travel_time_node_count('auto') AS n"
+    ).first()
+    assert row.a is True
+    assert row.n == 102  # > 1000 in z_integration is Monaco-scale; grid has 102
+    assert engine.node_count("auto") == 102
+
+
+def test_travel_time_sql(spark, engine):
+    lat1, lon1 = pt(0, 0)
+    lat2, lon2 = pt(0, 5)
+    row = spark.sql(
+        f"SELECT travel_time({lat1}, {lon1}, {lat2}, {lon2}, 'auto') AS s,"
+        f" travel_time({lat1}, {lon1}, {lat2}, {lon2}, 'bicycle') AS b,"
+        f" travel_time({lat1}, {lon1}, {lat2}, {lon2}, 'pedestrian') AS p,"
+        f" travel_time(NULL, {lon1}, {lat2}, {lon2}, 'auto') AS n"
+    ).first()
+    assert row.s is not None and 0 < row.s < 300
+    assert row.s < row.b < row.p  # mode ordering (monaco_routing.test:83-88)
+    assert row.n is None  # NULL propagates
+
+
+def test_travel_time_no_route_null(spark, engine):
+    # island -> grid is unroutable -> NULL, not an error
+    ila, ilo = BASE_LAT + 0.5, BASE_LON + 0.5
+    la, lo = pt(0, 0)
+    row = spark.sql(f"SELECT travel_time({ila}, {ilo}, {la}, {lo}, 'auto') AS s").first()
+    assert row.s is None
+
+
+def test_route_wkb_all_input_kinds(spark, engine):
+    la1, lo1 = pt(0, 0)
+    la2, lo2 = pt(5, 5)
+    df = spark.createDataFrame(
+        [(f"POINT({lo1} {la1})", f"POINT({lo2} {la2})", build_wkb_point(lo1, la1), build_wkb_point(lo2, la2))],
+        "fw string, tw string, fb binary, tb binary",
+    )
+    row = df.select(
+        F.expr("travel_time_route_wkb(fw, tw, 'auto')").alias("wkt_in"),
+        F.expr("travel_time_route_wkb(fb, tb, 'auto')").alias("wkb_in"),
+        F.expr("travel_time_route(fw, tw, 'auto')").alias("macro"),
+    ).first()
+    for r in (row.wkt_in, row.wkb_in, row.macro):
+        assert r.distance_km > 0
+        assert r.duration_minutes > 0
+        pts = parse_wkb_linestring(bytes(r.geometry))
+        assert len(pts) >= 10  # waypoint count (monaco_routing.test:64-69)
+    # macro equals WKB variant within 0.01 km (monaco_routing.test:154-160)
+    assert abs(row.wkt_in.distance_km - row.wkb_in.distance_km) < 0.01
+    assert abs(row.macro.distance_km - row.wkb_in.distance_km) < 0.01
+
+
+def test_route_wkb_null_on_failure(spark, engine):
+    row = spark.sql(
+        "SELECT travel_time_route_wkb('POINT(0 0)', 'POINT(0.001 0.001)', 'auto') AS r,"
+        " travel_time_route_wkb('garbage', 'POINT(13 52)', 'auto') AS g"
+    ).first()
+    # POINT(0 0) snaps somewhere (grid fixture covers it via nearest) — but
+    # garbage WKT must yield NULL struct fields, not an error
+    assert row.g.distance_km is None and row.g.geometry is None
+
+
+def test_locate_and_snap(spark, engine):
+    la, lo = pt(3, 4)
+    row = spark.sql(
+        f"SELECT travel_time_locate({la + 0.0002}, {lo + 0.0001}, 'auto') AS l,"
+        f" travel_time_snap({la + 0.0002}, {lo + 0.0001}, 'auto') AS s"
+    ).first()
+    assert row.l.lat == pytest.approx(la)
+    assert row.l.lon == pytest.approx(lo)
+    assert row.s.lat == pytest.approx(la)
+    assert row.s.distance_m < 500  # z_integration.test.skip:38-40
+    assert row.s.distance_m > 0
+
+
+def test_matrix(spark, engine):
+    (la1, lo1), (la2, lo2) = pt(0, 0), pt(9, 9)
+    df = engine.matrix([la1, la2], [lo1, lo2], [la1, la2], [lo1, lo2], "auto")
+    rows = df.collect()
+    assert len(rows) == 4  # 2x2 (z_integration.test.skip:44-53)
+    assert [(r.from_idx, r.to_idx) for r in rows] == [(0, 0), (0, 1), (1, 0), (1, 1)]
+    assert rows[0].duration_s == 0.0
+    assert rows[1].duration_s > 0 and rows[1].distance_m > 0
+    assert rows[1].duration_s == pytest.approx(rows[2].duration_s)  # symmetric here
+
+
+def test_isochrone(spark, engine):
+    la, lo = pt(5, 5)
+    small = engine.isochrone(la, lo, 30.0, "auto").collect()
+    large = engine.isochrone(la, lo, 120.0, "auto").collect()
+    assert 1 < len(small) < len(large) <= 102
+    assert all(0 <= r.seconds <= 30.0 for r in small)
+    assert all(0 <= r.seconds <= 120.0 for r in large)
+
+
+def test_request_dispatcher(spark, engine):
+    la1, lo1 = pt(0, 0)
+    la2, lo2 = pt(5, 5)
+    status = json.loads(engine.request("status", "{}"))
+    assert status["loaded"] is True and "auto" in status["modes"]
+
+    route = json.loads(
+        engine.request("route", json.dumps({"locations": [{"lat": la1, "lon": lo1}, {"lat": la2, "lon": lo2}], "costing": "auto"}))
+    )
+    assert route["trip"]["summary"]["time"] > 0
+    assert route["trip"]["summary"]["length"] > 0
+
+    loc = json.loads(engine.request("locate", json.dumps({"locations": [{"lat": la1, "lon": lo1}]})))
+    assert loc["locations"][0]["lat"] == pytest.approx(la1)
+
+    iso = json.loads(
+        engine.request("isochrone", json.dumps({"locations": [{"lat": la1, "lon": lo1}], "contours": [{"time": 2}]}))
+    )
+    assert len(iso["contours"][0]["points"]) > 1
+
+    err = json.loads(engine.request("trace_attributes", "{}"))
+    assert "Unknown action" in err["error"]
+
+
+def test_conf_bridge_and_artifact(spark, tmp_path):
+    g = build_grid_graph("auto")
+    g.save(str(tmp_path), "auto")
+    eng = RoutingEngine(spark)
+    assert not eng.is_loaded("auto")
+    spark.conf.set(TILES_CONF_KEY, str(tmp_path))
+    eng.ensure_conf()
+    assert eng.is_loaded("auto")
+    assert eng.tiles_path == str(tmp_path)
+    assert eng.node_count("auto") == 102
+    eng.free("auto")
+    assert not eng.is_loaded("auto")
+
+
+def test_distributed_build_matches_pandas_build(spark, tmp_path):
+    """The Spark 'tile build' pipeline must produce the same graph as the
+    pandas fixture builder (same weights, same connectivity)."""
+    from duckdb_routing_spark.routing import kernels
+    from duckdb_routing_spark.routing.osm_build import build_tiles
+    from duckdb_routing_spark.routing.graph import RoutingGraph
+
+    nodes = grid_nodes()
+    segs = grid_segments()
+    # express the segments as OSM-ish ways: one way per segment
+    ways = spark.createDataFrame(
+        [(i, [int(r.src), int(r.dst)], r.highway, r.oneway) for i, r in enumerate(segs.itertuples(index=False))],
+        "way_id long, nodes array<long>, highway string, oneway string",
+    )
+    osm_nodes = spark.createDataFrame(nodes)
+    out = build_tiles(spark, ways, osm_nodes, str(tmp_path / "tiles"), modes=("auto",))
+    g_spark = RoutingGraph.load(out, "auto")
+    g_ref = build_grid_graph("auto")
+    assert g_spark.num_nodes == g_ref.num_nodes
+    assert g_spark.num_edges == g_ref.num_edges
+    w1 = kernels.dijkstra_p2p(g_spark, 0, 99)
+    w2 = kernels.dijkstra_p2p(g_ref, 0, 99)
+    assert w1 == pytest.approx(w2)
