@@ -1,0 +1,499 @@
+"""The relational workload: TPC-H-shaped analytics over the star schema plus
+the `events` behavioral table — the host-SQL capability envelope the
+reference's own examples exercise (SURVEY §2.4: scans, joins incl.
+semi/anti/lateral-shaped fan-outs, aggregation, windows, rollup, pivot,
+set ops, CTEs, JSON, sort/limit).
+
+Implementation style: flagship queries use the DataFrame API (to keep the
+plan shape explicit — broadcast hints, pushdown-friendly scans); the rest are
+Spark SQL. Every query has a DuckDB oracle.
+
+Float-parity policy (the driver hash-compares values bit-for-bit):
+  - NEVER round() an aggregate: Spark's round is HALF_UP on the double's
+    shortest decimal string while DuckDB rounds the double's exact value —
+    they disagree whenever the true result lands on a .5 boundary, which is
+    common for data generated with 2 decimals.
+  - Instead, cast each row's expression to DECIMAL before summing (the
+    fixture's money values are exact at <= 6 decimals, so the cast is exact),
+    sum exactly, and cast the result to DOUBLE — bit-identical across engines.
+  - Averages/ratios = exact decimal sum cast to double, divided by an exact
+    count — one deterministic IEEE division.
+  - Raw (untransformed) columns pass through bit-identically; no handling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_routing_spark.queries.registry import register, table
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def dsum(expr: str, scale: int = 4) -> str:
+    """Exact money sum as SQL text (identical in Spark and DuckDB dialects)."""
+    return f"cast(sum(cast({expr} as decimal(18,{scale}))) as double)"
+
+
+def dsum_col(col, scale: int = 4):
+    """Exact money sum as a Column (DataFrame API twin of dsum)."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped (adapted to the driver fixture's columns)
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum('l_quantity', 2)}                                              AS sum_qty,
+       {dsum('l_extendedprice', 2)}                                         AS sum_base_price,
+       {dsum('l_extendedprice * (1 - l_discount)', 4)}                      AS sum_disc_price,
+       {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)}        AS sum_charge,
+       {dsum('l_quantity', 2)} / count(*)                                   AS avg_qty,
+       {dsum('l_extendedprice', 2)} / count(*)                              AS avg_price,
+       {dsum('l_discount', 2)} / count(*)                                   AS avg_disc,
+       count(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=Q1_ORACLE, headline=True, doc="TPC-H Q1 pricing summary report")
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count("*")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum_col(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum_col(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            dsum_col(disc_price, 4).alias("sum_disc_price"),
+            dsum_col(charge, 6).alias("sum_charge"),
+            (dsum_col(F.col("l_quantity"), 2) / n).alias("avg_qty"),
+            (dsum_col(F.col("l_extendedprice"), 2) / n).alias("avg_price"),
+            (dsum_col(F.col("l_discount"), 2) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q3_ORACLE = f"""
+SELECT l_orderkey,
+       {dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@register("q3_shipping_priority", oracle=Q3_ORACLE, headline=True, doc="TPC-H Q3 shipping priority")
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer is the small side: broadcast it instead of shuffling lineitem
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=Q4_ORACLE, doc="TPC-H Q4: EXISTS as left-semi join")
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li, (li.l_orderkey == orders.o_orderkey) & (li.l_shipdate > orders.o_orderdate), "left_semi"
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count")).orderBy("o_orderpriority")
+
+
+Q5_ORACLE = f"""
+SELECT n_name, {dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register("q5_local_supplier", oracle=Q5_ORACLE, headline=True, doc="TPC-H Q5 local supplier volume")
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    # identical ANSI SQL; Catalyst broadcasts the dimension chain via AQE
+    return spark.sql(Q5_ORACLE)
+
+
+Q6_ORACLE = f"""
+SELECT {dsum('l_extendedprice * l_discount', 4)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("q6_revenue_forecast", oracle=Q6_ORACLE, headline=True, doc="TPC-H Q6 forecast revenue change")
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(dsum_col(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("revenue"))
+
+
+Q10_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=Q10_ORACLE, headline=True, doc="TPC-H Q10 returned item reporting")
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(Q10_ORACLE)
+
+
+Q14_ORACLE = f"""
+SELECT 100.00 * {dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+             / {dsum('l_extendedprice * (1 - l_discount)', 4)} AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+"""
+
+
+@register("q14_promo_effect", oracle=Q14_ORACLE, doc="TPC-H Q14 promotion effect")
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * dsum_col(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0), 4)
+                / dsum_col(disc, 4)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {dsum('l_quantity', 2)} AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING sum(cast(l_quantity as decimal(18,2))) > 150
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("q18_large_orders", oracle=Q18_ORACLE, doc="TPC-H Q18 large volume customers")
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(Q18_ORACLE)
+
+
+ROLLUP_ORACLE = f"""
+SELECT coalesce(r_name, 'ALL')  AS region_name,
+       coalesce(n_name, 'ALL')  AS nation_name,
+       cast(grouping(r_name) AS INT) + cast(grouping(n_name) AS INT) AS lvl,
+       {dsum('o_totalprice', 2)} AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY lvl, region_name, nation_name
+"""
+
+
+@register("rollup_revenue", oracle=ROLLUP_ORACLE, doc="ROLLUP region/nation with GROUPING")
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer", "nation", "region")
+    return spark.sql(ROLLUP_ORACLE)
+
+
+TOPK_ORACLE = """
+SELECT c_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT c_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM customer JOIN orders ON c_custkey = o_custkey
+) t
+WHERE rn <= 3
+ORDER BY c_custkey, rn
+"""
+
+
+@register("window_topk_orders", oracle=TOPK_ORACLE, headline=True, doc="top-3 orders per customer (window)")
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(TOPK_ORACLE)
+
+
+RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       cast(sum(cast(o_totalprice as decimal(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) as double) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_running_total", oracle=RUNNING_ORACLE, doc="running revenue per customer (window frame)")
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(RUNNING_ORACLE)
+
+
+ANTI_ORACLE = """
+SELECT n_name, count(*) AS n_quiet_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY n_name
+ORDER BY n_quiet_customers DESC, n_name
+"""
+
+
+@register("anti_join_quiet_customers", oracle=ANTI_ORACLE, doc="NOT EXISTS as left-anti join")
+def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    urgent = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_quiet_customers"))
+        .orderBy(F.desc("n_quiet_customers"), "n_name")
+    )
+
+
+SEGMENT_ORACLE = f"""
+SELECT c_mktsegment,
+       count(*) AS n_customers,
+       count(DISTINCT c_nationkey) AS n_nations,
+       {dsum('c_acctbal', 2)} / count(*) AS avg_acctbal,
+       min(c_acctbal) AS min_acctbal,
+       max(c_acctbal) AS max_acctbal
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("segment_stats", oracle=SEGMENT_ORACLE, doc="per-segment stats incl. count distinct")
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer")
+    return spark.sql(SEGMENT_ORACLE)
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("pivot_order_status", oracle=PIVOT_ORACLE, doc="pivot order status to columns")
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+        .select(
+            "o_orderpriority",
+            F.col("O").alias("status_O"),
+            F.col("F").alias("status_F"),
+            F.col("P").alias("status_P"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+UNION_ORACLE = """
+SELECT 'high_value' AS bucket, count(*) AS n FROM orders WHERE o_totalprice > 300000
+UNION ALL
+SELECT 'low_value' AS bucket, count(*) AS n FROM orders WHERE o_totalprice <= 300000
+ORDER BY bucket
+"""
+
+
+@register("union_buckets", oracle=UNION_ORACLE, doc="UNION ALL set op")
+def union_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(UNION_ORACLE)
+
+
+CTE_ORACLE = """
+WITH nation_rev AS (
+  SELECT n_name, sum(cast(o_totalprice as decimal(18,2))) AS rev_dec
+  FROM orders JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name
+)
+SELECT n_name, cast(rev_dec as double) AS revenue,
+       cast(rev_dec as double) / cast(sum(rev_dec) OVER () as double) AS rev_share
+FROM nation_rev
+ORDER BY revenue DESC, n_name
+"""
+# rev_share stays unrounded because BOTH operands come from exact decimal
+# sums (the window total is summed in decimal, not double, so addition order
+# can't shift it by an ulp); the final division is one deterministic IEEE op.
+
+
+@register("cte_revenue_share", oracle=CTE_ORACLE, doc="CTE + global window share-of-total")
+def cte_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(CTE_ORACLE)
+
+
+# ---------------------------------------------------------------------------
+# events: behavioral/time-series analytics
+# ---------------------------------------------------------------------------
+
+EVENTS_HOURLY_SPARK = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       {dsum('value', 6)} AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+EVENTS_HOURLY_ORACLE = EVENTS_HOURLY_SPARK.replace(
+    "date_trunc('hour', ts)", "date_trunc('hour', cast(ts as timestamp))"
+)
+
+
+@register("events_hourly", oracle=EVENTS_HOURLY_ORACLE, headline=True, doc="tumbling-hour event aggregation")
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "events")
+    return spark.sql(EVENTS_HOURLY_SPARK)
+
+
+EVENTS_JSON_SPARK = """
+SELECT event_type,
+       cast(sum(cast(get_json_object(props, '$.k') AS DECIMAL(18,2))) as double)
+         / count(get_json_object(props, '$.k')) AS avg_k,
+       count(CASE WHEN get_json_object(props, '$.k') IS NULL THEN 1 END) AS n_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+EVENTS_JSON_ORACLE = EVENTS_JSON_SPARK.replace("get_json_object", "json_extract_string")
+
+
+@register("events_json_extract", oracle=EVENTS_JSON_ORACLE, doc="JSON prop extraction + aggregation")
+def events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "events")
+    return spark.sql(EVENTS_JSON_SPARK)
+
+
+def _sessionize_sql(epoch_us: str, ts_cast: str) -> str:
+    return f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN {epoch_us} - lag({epoch_us}) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+                OR lag({ts_cast}) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+)
+SELECT user_id,
+       cast(max(session_id) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+EVENTS_SESSION_SPARK = _sessionize_sql("unix_micros(ts)", "ts")
+EVENTS_SESSION_ORACLE = _sessionize_sql("epoch_us(cast(ts as timestamp))", "cast(ts as timestamp)")
+
+
+@register("events_sessionize", oracle=EVENTS_SESSION_ORACLE, headline=True, doc="30-min-gap sessionization via windows")
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "events")
+    return spark.sql(EVENTS_SESSION_SPARK)
