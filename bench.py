@@ -1,0 +1,65 @@
+"""Headline benchmark: runs the flagship queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Per-query timing includes full execution to a count()/collect-free action
+(df.count() after a noop cache-bypass) — we time the plan end-to-end, not
+Python overhead. A warmup query absorbs JVM/codegen startup so numbers
+reflect steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from duckdb_routing_spark.queries import REGISTRY  # noqa: E402
+from duckdb_routing_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+
+    headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
+
+    # warmup: JVM + codegen + parquet footer caches + the Python worker fleet
+    # (first Arrow-UDF stage pays worker spawn + numpy/pandas import per core)
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _noop(s):
+        import duckdb_routing_spark.routing.kernels  # noqa: F401  (worker import warmup)
+
+        return s * 1.0
+
+    spark.range(cpus * 4, numPartitions=cpus).select(_noop(F.col("id").cast("double"))).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in headline.items():
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else sf_dir,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed by Arrow-batched mapInPandas kernels.
+
+The decode step itself is STUBBED — media codecs (PIL/ffmpeg/torchaudio) are
+not in this image — behind `decoder=` hooks that raise NotImplementedError
+unless the deterministic fake decoder is requested. Everything around the
+stub is real and tested: the schema contract, the binary payload handling,
+the Arrow batch iteration shape, and the partitioning story (media tables
+partition by content hash so one huge video never skews a task).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic fake media table from the documents fixture: the text's
+    utf-8 bytes stand in for an encoded image; metadata is derived
+    arithmetically (same construction as the multimodal_meta oracle query)."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.octet_length(F.encode(F.col(text_col), "UTF-8")).cast("long").alias("n_bytes"),
+            (64 + F.length(F.col(text_col)) % 512).cast("int").alias("width"),
+            (64 + (F.length(F.col(text_col)) * 7) % 512).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode_features(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a real image-embedding model: 16 floats
+    from the md5 digest, scaled to [0, 1)."""
+    digest = hashlib.md5(payload).digest()
+    return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 256.0
+
+
+def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode + feature-extract over Arrow batches (mapInPandas).
+
+    decoder='fake' uses the deterministic stub; decoder='pil' is the real
+    path and raises until an image library is available. The batch shape is
+    the real contract: one pandas batch in, one out, payloads never
+    round-trip through the driver."""
+    if decoder not in ("fake", "pil"):
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decoder == "pil":
+                raise NotImplementedError(
+                    "real image decode requires PIL (not in this image); use decoder='fake'"
+                )
+            feats = [
+                _fake_decode_features(bytes(p)) if p is not None else None for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame-sampling shape for video payloads: explode one payload row into
+    per-"frame" rows (here: one row per every_n_bytes chunk) — the partition-
+    explosion pattern a real video pipeline needs, without a codec."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame_bytes", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, chunks = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                for i in range(0, len(b), every_n_bytes):
+                    ids.append(mid)
+                    nos.append(i // every_n_bytes)
+                    chunks.append(b[i : i + every_n_bytes])
+            yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame_bytes": chunks})
+
+    return media.mapInPandas(run, schema)

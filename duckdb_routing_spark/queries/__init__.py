@@ -16,4 +16,4 @@ correctness gate runs both sides at sf0.01 and hash-compares
 from duckdb_routing_spark.queries.registry import REGISTRY, QuerySpec, register  # noqa: F401
 
 # importing the modules populates the registry
-from duckdb_routing_spark.queries import relational  # noqa: F401,E402
+from duckdb_routing_spark.queries import llm, relational, routing_queries, streaming_queries  # noqa: F401,E402

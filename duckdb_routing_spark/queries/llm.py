@@ -1,0 +1,290 @@
+"""LLM-data-pipeline queries over `documents` and `embeddings`, registered
+with DuckDB oracles (BASELINE north-star operators: dedup, similarity search,
+text analysis, multimodal columns).
+
+Oracle-parity notes:
+  - MinHash uses lexicographic min over md5 hex strings — engine-portable.
+  - All ratios are int/int or exact-int-derived double divisions.
+  - Spark array ops are 0-based (sequence/element_at), DuckDB lists 1-based
+    (range/ws[i]) — the oracles mirror the construction index-by-index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_routing_spark.operators import dedup, similarity, text
+from duckdb_routing_spark.queries.registry import register, table
+
+# shared oracle CTE: distinct word-3-gram shingles per doc
+SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+)
+"""
+
+MINHASH_BANDS_CTE = f"""
+{SHINGLES_CTE},
+mh AS (
+  SELECT doc_id, seed, min(md5(seed::varchar || ':' || shingle)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) seeds
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // 3 AS band, string_agg(mh, '|' ORDER BY seed) AS band_sig
+  FROM mh GROUP BY doc_id, seed // 3
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+TEXT_FEATURES_ORACLE = """
+WITH t AS (SELECT doc_id, lower(text) AS lt, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       len(ws)                                          AS n_tokens,
+       len(list_distinct(ws))                           AS n_unique_tokens,
+       (length(lt) - len(ws) + 1)::DOUBLE / len(ws)     AS avg_token_len,
+       len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in')))::DOUBLE
+         / len(ws)                                      AS stop_ratio,
+       md5(lt)                                          AS fp
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("doc_text_features", oracle=TEXT_FEATURES_ORACLE, headline=True, doc="token counts, quality ratios, fingerprint per doc")
+def doc_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = text.tokens(t)
+    # avg_token_len via total non-space chars / tokens: matches the oracle's
+    # (length - spaces) formulation exactly for single-space text
+    return docs.select(
+        "doc_id",
+        text.token_count(t).cast("long").alias("n_tokens"),
+        text.unique_token_count(t).cast("long").alias("n_unique_tokens"),
+        ((F.length(t) - F.size(toks) + 1).cast("double") / F.size(toks)).alias("avg_token_len"),
+        text.stopword_ratio(t).alias("stop_ratio"),
+        text.fingerprint(t).alias("fp"),
+    ).orderBy("doc_id")
+
+
+LANGID_MARKER_SQL = {
+    "de": "('der','die','das','und','ist','nicht')",
+    "en": "('the','a','of','and','is','to','in')",
+    "es": "('el','la','los','y','es','una')",
+    "fr": "('le','la','les','et','est','une')",
+}
+_SCORES = ",\n       ".join(
+    f"len(list_filter(ws, w -> w IN {m}))::DOUBLE / len(ws) AS s_{c}" for c, m in LANGID_MARKER_SQL.items()
+)
+LANGID_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+       {_SCORES}
+  FROM t
+)
+SELECT lang, pred, count(*) AS n_docs
+FROM (
+  SELECT lang,
+         CASE WHEN s_fr > 0.01 AND s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+              WHEN s_es > 0.01 AND s_es >= s_en AND s_es >= s_de THEN 'es'
+              WHEN s_en > 0.01 AND s_en >= s_de THEN 'en'
+              WHEN s_de > 0.01 THEN 'de'
+              ELSE 'und' END AS pred
+  FROM scored
+) GROUP BY lang, pred
+ORDER BY lang, pred
+"""
+
+
+@register("doc_langid", oracle=LANGID_ORACLE, doc="marker-word language ID vs labeled lang")
+def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.lang_id(F.col("text")).alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "pred")
+    )
+
+
+DOC_STATS_ORACLE = """
+SELECT lang, source, count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       cast(sum(n_chars) as double) / count(*) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@register("doc_stats", oracle=DOC_STATS_ORACLE, doc="per-(lang, source) document stats")
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+EXACT_DEDUP_ORACLE = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(lower(text))) AS n_distinct,
+       count(*) - count(DISTINCT md5(lower(text))) AS n_exact_dups
+FROM documents
+"""
+
+
+@register("dedup_exact_stats", oracle=EXACT_DEDUP_ORACLE, doc="exact dedup via md5 fingerprint groupBy")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_stats(table(spark, sf_dir, "documents"))
+
+
+LSH_ORACLE = f"""
+WITH {MINHASH_BANDS_CTE}
+SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_lsh", oracle=LSH_ORACLE, headline=True, doc="MinHash(12)+LSH(bands of 3) near-dup candidates")
+def dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+NEAR_DUP_ORACLE = f"""
+WITH {MINHASH_BANDS_CTE},
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b,
+       i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_near_dups", oracle=NEAR_DUP_ORACLE, headline=True, doc="LSH candidates -> exact n-gram Jaccard >= 0.8")
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+
+
+_NIBBLE_SUMS = ",\n       ".join(
+    f"sum(CASE WHEN strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(16)
+)
+_SIG = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+SIMHASH_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents
+),
+sums AS (
+  SELECT doc_id,
+       {_NIBBLE_SUMS}
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, cast({_SIG} AS BIGINT) AS simhash
+FROM sums ORDER BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=SIMHASH_ORACLE, doc="16-bit SimHash signature per doc")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash16(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+SIM_TOPK_ORACLE = """
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 3),
+scored AS (
+  SELECT query_id, vec_id,
+         list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+  FROM c CROSS JOIN q
+  WHERE vec_id != query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_topk_cosine", oracle=SIM_TOPK_ORACLE, headline=True, doc="brute-force cosine top-10 for 3 query vectors")
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+
+
+@register("sim_ann_lsh", oracle=None, doc="LSH-bucketed ANN top-10 (rows-only check; oracle = exact variant's recall)")
+def sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    # 4 planes -> 16 buckets: ~n/16 candidates per query at this corpus size;
+    # at scale n_planes grows with log(corpus) to keep buckets bounded
+    return similarity.ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 3), dim=64, k=10, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal column plumbing (opaque binary + typed metadata)
+# ---------------------------------------------------------------------------
+
+MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       64 + (n_chars % 512) AS width,
+       64 + ((n_chars * 7) % 512) AS height,
+       substring(md5(text), 1, 8) AS media_key
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_meta", oracle=MULTIMODAL_ORACLE, doc="binary payload + typed metadata columns (decode plumbing)")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+        (64 + F.col("n_chars") % 512).alias("width"),
+        (64 + (F.col("n_chars") * 7) % 512).alias("height"),
+        F.substring(F.md5(F.col("text")), 1, 8).alias("media_key"),
+    ).orderBy("doc_id")

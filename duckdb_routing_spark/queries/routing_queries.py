@@ -1,0 +1,219 @@
+"""Routing operators as oracle-checked registry queries.
+
+The driver's oracle can't route — so we make DuckDB route: each query's
+oracle is a self-contained recursive-CTE Bellman-Ford over the SAME grid
+graph the Spark engine loads, with the directed (src, dst, weight_ms) edge
+list inlined as VALUES straight from the fixture builder. Both engines
+therefore compute shortest paths over the identical graph, and integer-ms
+weights make durations exact (ms/1000.0 — no float drift).
+
+Oracle-checked columns are chosen to be path-independent: shortest-path
+DURATION is unique, but path geometry/haversine distance can differ between
+equal-cost paths, so distances stay out of the hash (they're covered by the
+relative assertions in tests/test_routing_engine.py instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_routing_spark.queries.registry import register
+from duckdb_routing_spark.routing.engine import RoutingEngine
+from duckdb_routing_spark.testing import (
+    build_grid_graph,
+    grid_edge_values_sql,
+    grid_node_values_sql,
+)
+
+_GRID = build_grid_graph("auto")
+_EDGES_SQL = grid_edge_values_sql(_GRID)
+_NODES_SQL = grid_node_values_sql(_GRID)
+_COST_CAP = 250_000  # > grid diameter (~182k ms); bounds the CTE state space
+
+# OD pairs by node id; pair 4 targets the disconnected island -> NULL
+_OD_PAIRS = [(0, 0, 99), (1, 5, 94), (2, 22, 77), (3, 10, 15), (4, 0, 100), (5, 33, 66), (6, 90, 9)]
+_MATRIX_SOURCES = [0, 55, 99]
+_MATRIX_TARGETS = [9, 90, 44, 100]
+_ISO_SOURCE, _ISO_SECONDS = 55, 60.0
+_SNAP_QUERIES = [(0, 52.0031, 13.0044), (1, 52.0006, 13.0002), (2, 51.9992, 13.0087), (3, 52.0088, 13.0091)]
+
+
+def _node_latlon(node: int) -> tuple[float, float]:
+    return float(_GRID.node_lat[node]), float(_GRID.node_lon[node])
+
+
+_ENGINES: dict[int, RoutingEngine] = {}
+
+
+def _engine(spark: SparkSession) -> RoutingEngine:
+    """One engine (and one graph broadcast) per SparkSession."""
+    key = id(spark)
+    if key not in _ENGINES:
+        eng = RoutingEngine(spark)
+        eng.load_graph(_GRID, "auto")
+        eng.register()
+        _ENGINES[key] = eng
+    return _ENGINES[key]
+
+
+def _reach_cte(sources_values: str, src_table: str = "srcs(tag, s)") -> str:
+    return f"""
+edges(src, dst, w) AS (VALUES {_EDGES_SQL}),
+{src_table} AS (VALUES {sources_values}),
+reach(tag, node, cost) AS (
+  SELECT tag, s, 0::BIGINT FROM srcs
+  UNION
+  SELECT r.tag, e.dst, r.cost + e.w
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.cost + e.w <= {_COST_CAP}
+)"""
+
+
+# ---------------------------------------------------------------------------
+# travel_time (#3/#14)
+# ---------------------------------------------------------------------------
+
+TRAVEL_TIME_ORACLE = f"""
+WITH RECURSIVE {_reach_cte(', '.join(f'({i}, {s})' for i, s, _ in _OD_PAIRS))},
+pairs(pair_id, d) AS (VALUES {', '.join(f'({i}, {d})' for i, _, d in _OD_PAIRS)})
+SELECT p.pair_id, min(r.cost) / 1000.0 AS duration_s
+FROM pairs p LEFT JOIN reach r ON r.tag = p.pair_id AND r.node = p.d
+GROUP BY p.pair_id
+ORDER BY p.pair_id
+"""
+
+
+@register("route_travel_time", oracle=TRAVEL_TIME_ORACLE, headline=True, doc="travel_time UDF vs recursive-CTE shortest path")
+def route_travel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _engine(spark)
+    rows = []
+    for pid, s, d in _OD_PAIRS:
+        la1, lo1 = _node_latlon(s)
+        la2, lo2 = _node_latlon(d)
+        rows.append((pid, la1, lo1, la2, lo2))
+    df = spark.createDataFrame(rows, "pair_id int, lat1 double, lon1 double, lat2 double, lon2 double").repartition(1)
+    return df.selectExpr("pair_id", "travel_time(lat1, lon1, lat2, lon2, 'auto') AS duration_s").orderBy(
+        "pair_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# route (#4) — duration through the geometry-returning UDF
+# ---------------------------------------------------------------------------
+
+ROUTE_ORACLE = f"""
+WITH RECURSIVE {_reach_cte(', '.join(f'({i}, {s})' for i, s, _ in _OD_PAIRS[:4]))},
+pairs(pair_id, d) AS (VALUES {', '.join(f'({i}, {d})' for i, _, d in _OD_PAIRS[:4])})
+SELECT p.pair_id, min(r.cost) / 1000.0 / 60.0 AS duration_minutes
+FROM pairs p LEFT JOIN reach r ON r.tag = p.pair_id AND r.node = p.d
+GROUP BY p.pair_id
+ORDER BY p.pair_id
+"""
+
+
+@register("route_wkb_duration", oracle=ROUTE_ORACLE, doc="travel_time_route_wkb struct (duration field) on WKT inputs")
+def route_wkb_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _engine(spark)
+    rows = []
+    for pid, s, d in _OD_PAIRS[:4]:
+        la1, lo1 = _node_latlon(s)
+        la2, lo2 = _node_latlon(d)
+        rows.append((pid, f"POINT({lo1!r} {la1!r})", f"POINT({lo2!r} {la2!r})"))
+    df = spark.createDataFrame(rows, "pair_id int, f string, t string").repartition(1)
+    return df.selectExpr(
+        "pair_id", "travel_time_route_wkb(f, t, 'auto').duration_minutes AS duration_minutes"
+    ).orderBy("pair_id")
+
+
+# ---------------------------------------------------------------------------
+# matrix (#8/#15)
+# ---------------------------------------------------------------------------
+
+MATRIX_ORACLE = f"""
+WITH RECURSIVE {_reach_cte(', '.join(f'({i}, {s})' for i, s in enumerate(_MATRIX_SOURCES)))},
+tgts(to_idx, d) AS (VALUES {', '.join(f'({i}, {d})' for i, d in enumerate(_MATRIX_TARGETS))})
+SELECT s.tag AS from_idx, t.to_idx, min(r.cost) / 1000.0 AS duration_s
+FROM srcs s CROSS JOIN tgts t
+LEFT JOIN reach r ON r.tag = s.tag AND r.node = t.d
+GROUP BY s.tag, t.to_idx
+ORDER BY from_idx, to_idx
+"""
+
+
+@register("route_matrix", oracle=MATRIX_ORACLE, headline=True, doc="N x M travel-time matrix (per-origin multi-target Dijkstra)")
+def route_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark)
+    src = [_node_latlon(s) for s in _MATRIX_SOURCES]
+    tgt = [_node_latlon(t) for t in _MATRIX_TARGETS]
+    return eng.matrix(
+        [p[0] for p in src], [p[1] for p in src], [p[0] for p in tgt], [p[1] for p in tgt], "auto"
+    ).select("from_idx", "to_idx", "duration_s")
+
+
+# ---------------------------------------------------------------------------
+# isochrone (#17)
+# ---------------------------------------------------------------------------
+
+ISOCHRONE_ORACLE = f"""
+WITH RECURSIVE {_reach_cte(f'(0, {_ISO_SOURCE})')},
+nodes(node_id, lon, lat) AS (VALUES {_NODES_SQL})
+SELECT n.lat, n.lon, min(r.cost) / 1000.0 AS seconds
+FROM reach r JOIN nodes n ON n.node_id = r.node
+WHERE r.cost <= {int(_ISO_SECONDS * 1000)}
+GROUP BY n.lat, n.lon
+ORDER BY seconds, lat, lon
+"""
+
+
+@register("route_isochrone", oracle=ISOCHRONE_ORACLE, doc="single-source isochrone point cloud with cutoff")
+def route_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark)
+    la, lo = _node_latlon(_ISO_SOURCE)
+    return eng.isochrone(la, lo, _ISO_SECONDS, "auto").coalesce(1).sortWithinPartitions("seconds", "lat", "lon")
+
+
+# ---------------------------------------------------------------------------
+# snap / locate (#6/#16)
+# ---------------------------------------------------------------------------
+
+SNAP_ORACLE = f"""
+WITH nodes(node_id, lon, lat) AS (VALUES {_NODES_SQL}),
+qs(q_id, qlat, qlon) AS (VALUES {', '.join(f'({i}, {la!r}, {lo!r})' for i, la, lo in _SNAP_QUERIES)})
+SELECT q_id, lat, lon FROM (
+  SELECT q.q_id, n.lat, n.lon,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY (n.lon - q.qlon) * (n.lon - q.qlon) + (n.lat - q.qlat) * (n.lat - q.qlat), n.node_id
+         ) AS rn
+  FROM qs q CROSS JOIN nodes n
+) WHERE rn = 1
+ORDER BY q_id
+"""
+
+
+@register("route_snap", oracle=SNAP_ORACLE, doc="nearest-main-road-node snap (R-tree semantics)")
+def route_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _engine(spark)
+    df = spark.createDataFrame(_SNAP_QUERIES, "q_id int, qlat double, qlon double").repartition(1)
+    return df.selectExpr(
+        "q_id",
+        "travel_time_snap(qlat, qlon, 'auto').lat AS lat",
+        "travel_time_snap(qlat, qlon, 'auto').lon AS lon",
+    ).orderBy("q_id")
+
+
+# ---------------------------------------------------------------------------
+# node count (#18)
+# ---------------------------------------------------------------------------
+
+NODE_COUNT_ORACLE = f"""
+WITH nodes(node_id, lon, lat) AS (VALUES {_NODES_SQL})
+SELECT 'auto' AS mode, count(*) AS n_nodes FROM nodes
+"""
+
+
+@register("route_node_count", oracle=NODE_COUNT_ORACLE, doc="graph cardinality sanity")
+def route_node_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _engine(spark)
+    return spark.sql("SELECT 'auto' AS mode, cast(travel_time_node_count('auto') AS BIGINT) AS n_nodes")

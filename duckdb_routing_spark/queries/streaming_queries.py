@@ -1,0 +1,52 @@
+"""Streaming queries in the registry.
+
+stream_hourly has a real DuckDB oracle: a fully-drained file-source stream in
+complete output mode must equal the batch aggregation over the same parquet —
+that's the batch/stream parity contract. The stateful sessionizer is
+genuinely non-SQL-expressible mid-stream (keyed GroupState), so it gets a
+rows-only check.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_routing_spark.queries.registry import register
+from duckdb_routing_spark.streaming import events as ev
+
+STREAM_HOURLY_ORACLE = """
+SELECT date_trunc('hour', cast(ts as timestamp)) AS hour, event_type,
+       count(*) AS n_events,
+       cast(sum(cast(value as decimal(18,6))) as double) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("stream_hourly", oracle=STREAM_HOURLY_ORACLE, doc="Structured Streaming windowed agg == batch result when drained")
+def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    stream = ev.streaming_hourly_counts(ev.read_events_stream(spark, sf_dir))
+    q = ev.run_stream_to_memory(stream, name, output_mode="complete")
+    try:
+        out = spark.table(name).orderBy("hour", "event_type").cache()
+        out.count()  # materialize before the stream/view goes away
+    finally:
+        q.stop()
+    return out
+
+
+@register("stream_sessionize_stateful", oracle=None, doc="applyInPandasWithState sessionizer (closed sessions; rows-only)")
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    stream = ev.sessionize_stateful(ev.read_events_stream(spark, sf_dir))
+    q = ev.run_stream_to_memory(stream, name, output_mode="append")
+    try:
+        out = spark.table(name).orderBy("user_id", "session_no").cache()
+        out.count()
+    finally:
+        q.stop()
+    return out

@@ -305,6 +305,10 @@ class RoutingEngine:
         broadcasts = self._broadcasts
         dst = [(float(la), float(lo)) for la, lo in zip(dst_lats, dst_lons)]
 
+        # repartition (real shuffle), NOT coalesce: a Python kernel fed
+        # directly from a LocalTableScan spawns a fresh Python worker per
+        # action (~5s); the exchange routes it through the reused worker
+        # pool, and one task per origin is the right granularity anyway
         origins = self.spark.createDataFrame(
             [(i, float(la), float(lo)) for i, (la, lo) in enumerate(zip(src_lats, src_lons))],
             "from_idx int, lat double, lon double",
@@ -334,7 +338,10 @@ class RoutingEngine:
                         out.append((int(r.from_idx), j, d_m, w_ms[j] / 1000.0))
                 yield pd.DataFrame(out, columns=["from_idx", "to_idx", "distance_m", "duration_s"])
 
-        return origins.mapInPandas(run, MATRIX_SCHEMA).orderBy("from_idx", "to_idx")
+        # single-partition sort, not orderBy: the output is bounded by the
+        # matrix service limit, and a range-exchange would sample-execute the
+        # kernel a second time just to pick partition bounds
+        return origins.mapInPandas(run, MATRIX_SCHEMA).coalesce(1).sortWithinPartitions("from_idx", "to_idx")
 
     def isochrone(self, lat: float, lon: float, max_seconds: float, costing: str = "auto") -> DataFrame:
         """Single-source isochrone point cloud (#17): every reachable node

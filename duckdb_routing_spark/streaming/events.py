@@ -1,0 +1,131 @@
+"""Streaming event analytics.
+
+Batch/stream parity design: `streaming_hourly_counts` produces the same
+rows as the batch `events_hourly` query when the stream is fully drained —
+that's the testable contract (file source + memory sink +
+processAllAvailable drives a deterministic end-to-end pass locally; on a
+cluster the same plan runs against Kafka with real triggers).
+
+Scale posture: watermark bounds state; the windowed aggregation shuffles on
+(window, event_type) exactly like the batch groupBy; the stateful
+sessionizer keys state by user_id (applyInPandasWithState), which is the
+idiomatic Spark replacement for a hand-rolled stateful operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see queries.registry.table)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (1 file = 1 micro-batch
+    locally; swap for Kafka in production). Converts the nanos long to a
+    proper event-time column for watermarking."""
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_hourly_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows with a 2-hour watermark for late data.
+
+    total_value sums in DECIMAL then casts to double — the same float-parity
+    policy as the batch queries, so a fully-drained stream hash-matches the
+    batch events_hourly aggregation."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_no", T.IntegerType()),
+        T.StructField("n_events", T.IntegerType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+    ]
+)
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_no", T.IntegerType()),
+        T.StructField("n_events", T.IntegerType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_fn(key, pdfs, state: GroupState):
+    """Custom stateful operator: emit a session row whenever a 30-min gap
+    closes one; carry the open session in GroupState."""
+    (user_id,) = key
+    if state.exists:
+        session_no, n_events, start_us, last_us = state.get
+    else:
+        session_no, n_events, start_us, last_us = 0, 0, None, None
+    out = []
+    for pdf in pdfs:
+        # arrow->pandas can surface absent values as NaN (float64 column)
+        for us in pdf["ts_us"].dropna().sort_values():
+            us = int(us)
+            if start_us is None:
+                session_no, n_events, start_us, last_us = 1, 1, us, us
+            elif us - last_us > SESSION_GAP_US:
+                out.append((user_id, session_no, n_events, start_us, last_us))
+                session_no += 1
+                n_events, start_us, last_us = 1, us, us
+            else:
+                n_events += 1
+                last_us = us
+    state.update((session_no, n_events, start_us, last_us))
+    if out:
+        yield pd.DataFrame(out, columns=["user_id", "session_no", "n_events", "start_us", "end_us"])
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState sessionizer: closed sessions stream out as
+    rows; open sessions live in keyed state."""
+    keyed = events.select("user_id", F.unix_micros(F.col("ts")).alias("ts_us")).groupBy("user_id")
+    return keyed.applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion against the memory sink;
+    returns the query handle (caller reads spark.table(name))."""
+    q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    return q

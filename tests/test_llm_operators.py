@@ -1,0 +1,129 @@
+"""Behavioral tests for the LLM-pipeline operators: dedup recall, ANN recall
+vs the exact baseline, simhash locality, multimodal batch plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_routing_spark.operators import dedup, multimodal, similarity
+from tests.conftest import SF_ORACLE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").cache()
+
+
+def test_lsh_finds_planted_near_dups(spark, docs):
+    """The fixture plants near-dup pairs (same 200-char prefix). LSH must
+    recover every one of them."""
+    planted = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.expr("a.doc_id < b.doc_id AND substring(a.text,1,200) = substring(b.text,1,200)"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    n_planted = planted.count()
+    assert n_planted > 0
+    found = dedup.near_dup_pairs(docs, threshold=0.8)
+    missed = planted.join(found, ["doc_a", "doc_b"], "left_anti").count()
+    assert missed == 0, f"LSH missed {missed}/{n_planted} planted near-dup pairs"
+
+
+def test_near_dup_jaccard_bounds(spark, docs):
+    rows = dedup.near_dup_pairs(docs, threshold=0.8).collect()
+    assert all(0.8 <= r.jaccard <= 1.0 for r in rows)
+
+
+def test_exact_dedup_keep_first(spark, docs):
+    # duplicate the corpus with shifted ids: every doc gains an exact dup
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(dup)
+    kept = dedup.exact_dedup_keep_first(both)
+    assert kept.count() == docs.count()
+    assert kept.agg(F.max("doc_id")).first()[0] < 1_000_000  # survivors are the low ids
+
+
+def test_simhash_locality(spark, docs):
+    """Near-dup docs should have close simhashes (hamming <= 4 of 16 bits);
+    random pairs should average much farther."""
+    sig = dedup.simhash16(docs)
+    near = dedup.near_dup_pairs(docs, threshold=0.9).select("doc_a", "doc_b")
+    joined = (
+        near.join(sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h1")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h2")), "doc_b")
+        .select(F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("ham"))
+    )
+    avg_near = joined.agg(F.avg("ham")).first()[0]
+    rand = (
+        sig.alias("a")
+        .join(sig.alias("b"), F.expr("a.doc_id + 250 = b.doc_id"))
+        .select(F.bit_count(F.expr("a.simhash").bitwiseXOR(F.expr("b.simhash"))).alias("ham"))
+    )
+    avg_rand = rand.agg(F.avg("ham")).first()[0]
+    assert avg_near < avg_rand, f"simhash has no locality: near={avg_near} rand={avg_rand}"
+    assert avg_near <= 4.0
+
+
+def test_ann_recall_vs_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = similarity.ann_lsh_topk(emb, queries, dim=64, k=10, n_planes=4).select("query_id", "vec_id")
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    recall = hit / n_exact
+    # 4-plane single-probe LSH on random-ish vectors: modest recall is
+    # expected; the point is it's >> random-subset recall (1/16)
+    assert recall > 0.2, f"ANN recall suspiciously low: {recall}"
+
+
+def test_cosine_topk_shape(spark, emb):
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10).collect()
+    assert len(out) == 30
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert -1.0 <= r.cosine <= 1.0
+        assert r.vec_id != r.query_id
+    for q, rows in by_q.items():
+        assert [r.rank for r in rows] == list(range(1, 11))
+        coss = [r.cosine for r in rows]
+        assert coss == sorted(coss, reverse=True)
+
+
+def test_multimodal_pipeline(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(50))
+    assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 50
+    for r in feats[:5]:
+        assert len(r.feature) == multimodal.FEATURE_DIM
+        assert all(0.0 <= x < 1.0 for x in r.feature)
+        assert r.n_bytes > 0
+    # deterministic: same payload -> same features
+    feats2 = multimodal.extract_features(media).collect()
+    assert sorted(map(tuple, ((r.media_id, tuple(r.feature)) for r in feats))) == sorted(
+        map(tuple, ((r.media_id, tuple(r.feature)) for r in feats2))
+    )
+
+
+def test_multimodal_real_decoder_raises(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(5))
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        multimodal.extract_features(media, decoder="pil").collect()
+
+
+def test_frame_sample(spark, docs):
+    media = multimodal.synthesize_media(docs.limit(3))
+    frames = multimodal.frame_sample(media, every_n_bytes=64).collect()
+    n_bytes = {r.media_id: r.meta.n_bytes for r in media.collect()}
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_media.items():
+        expect = (n_bytes[mid] + 63) // 64
+        assert len(rows) == expect
+        assert sorted(r.frame_no for r in rows) == list(range(expect))

@@ -1,0 +1,29 @@
+"""Streaming layer tests: batch/stream parity and the stateful sessionizer's
+agreement with the SQL-window batch sessionization."""
+
+from pyspark.sql import functions as F
+
+from duckdb_routing_spark.queries import REGISTRY
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_hourly_equals_batch(spark):
+    streamed = REGISTRY["stream_hourly"].fn(spark, SF_SMOKE).toPandas()
+    batch = (
+        REGISTRY["events_hourly"].fn(spark, SF_SMOKE).select("hour", "event_type", "n_events").toPandas()
+    )
+    s = streamed[["hour", "event_type", "n_events"]].sort_values(["hour", "event_type"]).reset_index(drop=True)
+    b = batch.sort_values(["hour", "event_type"]).reset_index(drop=True)
+    assert s.equals(b), "drained stream != batch aggregation"
+
+
+def test_stateful_sessionizer_agrees_with_batch_windows(spark):
+    """Closed sessions from the stateful op + the open session per user must
+    equal the batch sessionize counts (sessions per user)."""
+    closed = REGISTRY["stream_sessionize_stateful"].fn(spark, SF_SMOKE)
+    batch = REGISTRY["events_sessionize"].fn(spark, SF_SMOKE)
+    closed_per_user = closed.groupBy("user_id").agg(F.count("*").alias("n_closed"))
+    joined = batch.join(closed_per_user, "user_id", "left").na.fill(0, ["n_closed"]).collect()
+    for r in joined:
+        # every user has exactly one open (unemitted) session at end of stream
+        assert r.n_sessions == r.n_closed + 1, f"user {r.user_id}: {r.n_sessions} vs {r.n_closed}+1"
