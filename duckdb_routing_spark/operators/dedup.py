@@ -48,8 +48,11 @@ def exact_dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: st
 # shingles + MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
-    """Distinct word k-gram shingles per document: (doc_id, shingle).
+def shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word k-gram shingles per document: (doc_id, shingle), distinct by
+    default (set semantics, as Jaccard needs).
 
     Built as posexplode + window lead — every expression stays inside
     whole-stage codegen. (The tempting one-liner — transform(sequence(...))
@@ -62,12 +65,12 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k:
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, k)]
-    return (
+    out = (
         toks.select("doc_id", F.lead("w", k - 1).over(w).alias("_tail"), F.concat_ws(" ", *parts).alias("shingle"))
         .filter(F.col("_tail").isNotNull())  # concat_ws skips NULLs: drop short tails
         .select("doc_id", "shingle")
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_band_rows(
@@ -78,8 +81,12 @@ def minhash_band_rows(
     n_hashes: int = 12,
     band_size: int = 3,
 ) -> DataFrame:
-    """(doc_id, band, band_sig) via explode + partial-aggregating groupBy."""
-    return bands_from_shingles(shingles(docs, id_col, text_col, k), n_hashes, band_size)
+    """(doc_id, band, band_sig) via explode + partial-aggregating groupBy.
+
+    Uses NON-distinct shingles: min(md5) over a multiset equals min over the
+    set, so MinHash semantics are unchanged and the dedup shuffle is saved
+    (Jaccard, which needs set semantics, uses the distinct table)."""
+    return bands_from_shingles(shingles(docs, id_col, text_col, k, distinct=False), n_hashes, band_size)
 
 
 def bands_from_shingles(sh: DataFrame, n_hashes: int = 12, band_size: int = 3) -> DataFrame:

@@ -288,3 +288,24 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         (64 + (F.col("n_chars") * 7) % 512).alias("height"),
         F.substring(F.md5(F.col("text")), 1, 8).alias("media_key"),
     ).orderBy("doc_id")
+
+
+CENTROID_ORACLE = """
+SELECT label, pos - 1 AS pos,
+       cast(sum(cast(cast(v as double) as decimal(18,9))) as double) / count(*) AS centroid
+FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
+@register("emb_label_centroids", oracle=CENTROID_ORACLE, doc="per-label embedding centroids (exact decimal mean per dim)")
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return (
+        ex.groupBy("label", "pos")
+        .agg((F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double") / F.count("*")).alias("centroid"))
+        .orderBy("label", "pos")
+    )

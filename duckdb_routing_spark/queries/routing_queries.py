@@ -217,3 +217,66 @@ SELECT 'auto' AS mode, count(*) AS n_nodes FROM nodes
 def route_node_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     _engine(spark)
     return spark.sql("SELECT 'auto' AS mode, cast(travel_time_node_count('auto') AS BIGINT) AS n_nodes")
+
+
+# ---------------------------------------------------------------------------
+# lateral fan-out (the reference README's CROSS JOIN pattern) + batch routing
+# ---------------------------------------------------------------------------
+
+_FANOUT_CITIES = [("B", 35), ("C", 62), ("D", 99), ("E", 57)]
+
+FANOUT_ORACLE = f"""
+WITH RECURSIVE {_reach_cte(f'(0, 0)')},
+cities(name, node) AS (VALUES {', '.join(f"('{n}', {d})" for n, d in _FANOUT_CITIES)})
+SELECT c.name, min(r.cost) / 1000.0 AS seconds
+FROM cities c LEFT JOIN reach r ON r.tag = 0 AND r.node = c.node
+GROUP BY c.name
+ORDER BY seconds, name
+"""
+
+
+@register("route_fanout", oracle=FANOUT_ORACLE, doc="one-origin city fan-out (README CROSS JOIN pattern)")
+def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _engine(spark)
+    rows = []
+    for name, node in _FANOUT_CITIES:
+        la, lo = _node_latlon(node)
+        rows.append((name, la, lo))
+    la0, lo0 = _node_latlon(0)
+    cities = spark.createDataFrame(rows, "name string, lat double, lon double").repartition(1)
+    return (
+        cities.selectExpr("name", f"travel_time({la0!r}, {lo0!r}, lat, lon, 'auto') AS seconds")
+        .orderBy("seconds", "name")
+    )
+
+
+@register("route_batch_throughput", oracle=None, headline=True,
+          doc="batch routing over 20k generated OD pairs (= routing_batch #15; rows-only)")
+def route_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The throughput shape of the reference's rayon routing_batch: a large
+    OD table routed by the vectorized travel_time kernel across all cores."""
+    _engine(spark)
+    n_grid = 100
+    nodes = spark.createDataFrame(
+        [(int(i), float(_GRID.node_lat[i]), float(_GRID.node_lon[i])) for i in range(n_grid)],
+        "node_id long, lat double, lon double",
+    )
+    pairs = (
+        spark.range(20_000)
+        .selectExpr(f"id % {n_grid} AS s_node", f"(id * 37 + 13) % {n_grid} AS d_node")
+        .join(F.broadcast(nodes.selectExpr("node_id AS s_node", "lat AS lat1", "lon AS lon1")), "s_node")
+        .join(F.broadcast(nodes.selectExpr("node_id AS d_node", "lat AS lat2", "lon AS lon2")), "d_node")
+    )
+    routed = pairs.selectExpr("s_node", "d_node", "travel_time(lat1, lon1, lat2, lon2, 'auto') AS s")
+    return routed.agg(
+        F.count("*").alias("n_pairs"),
+        F.count("s").alias("n_routed"),
+        F.sum(F.col("s").cast("decimal(18,3)")).cast("double").alias("total_duration_s"),
+    )
+
+
+@register("route_isochrone_contours", oracle=None, doc="polygon contour isochrones (convex hull; rows-only)")
+def route_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark)
+    la, lo = _node_latlon(_ISO_SOURCE)
+    return eng.isochrone_contours(la, lo, [0.5, 1.0, 2.0], "auto").select("minutes", "n_points")

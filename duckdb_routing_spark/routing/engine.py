@@ -44,6 +44,8 @@ from duckdb_routing_spark.routing import kernels
 from duckdb_routing_spark.routing.geometry import (
     any_geometry_to_lonlat,
     build_wkb_linestring,
+    build_wkb_polygon,
+    convex_hull,
     haversine_m_scalar,
 )
 from duckdb_routing_spark.routing.graph import RoutingGraph
@@ -264,6 +266,45 @@ class RoutingEngine:
                 rows.append((nlat, nlon, haversine_m_scalar(float(lo), float(la), nlon, nlat)))
             return pd.DataFrame(rows, columns=["lat", "lon", "distance_m"])
 
+        @F.udf(T.StringType())
+        def travel_time_request(action, request_json):
+            """Per-row JSON escape hatch for the point actions (route,
+            locate, status). Table-shaped actions (matrix, isochrone,
+            optimized_route) need the engine object — the driver-side
+            engine.request() serves those."""
+            import json as _json
+
+            try:
+                req = _json.loads(request_json) if request_json else {}
+            except _json.JSONDecodeError as e:
+                return _json.dumps({"error": f"Invalid JSON: {e}"})
+            costing = req.get("costing", "auto")
+            locs = req.get("locations", [])
+            if action == "status":
+                return _json.dumps({"loaded": bool(broadcasts), "modes": sorted(broadcasts)})
+            g = _resolve(broadcasts, costing)
+            if action == "locate":
+                out = []
+                for p in locs:
+                    idx = g.nearest_main_node(float(p["lon"]), float(p["lat"]))
+                    out.append(None if idx < 0 else {"lat": float(g.node_lat[idx]), "lon": float(g.node_lon[idx])})
+                return _json.dumps({"locations": out})
+            if action == "route":
+                if len(locs) < 2:
+                    return _json.dumps({"error": "route requires 2 locations"})
+                s = g.nearest_main_node(float(locs[0]["lon"]), float(locs[0]["lat"]))
+                d = g.nearest_main_node(float(locs[1]["lon"]), float(locs[1]["lat"]))
+                if s < 0 or d < 0:
+                    return _json.dumps({"error": "no road near location"})
+                w, path = kernels.dijkstra_p2p_path(g, s, d)
+                if w < 0:
+                    return _json.dumps({"error": "no route found"})
+                dist_m = kernels.path_distance_m(g, path)
+                return _json.dumps(
+                    {"trip": {"summary": {"length": dist_m / 1000.0, "time": w / 1000.0}, "shape_points": len(path)}}
+                )
+            return _json.dumps({"error": f"Unsupported per-row action: {action}; use engine.request()"})
+
         @F.udf(T.BooleanType())
         def travel_time_is_loaded(costing):
             return (costing or "auto") in broadcasts
@@ -285,6 +326,7 @@ class RoutingEngine:
         self.spark.udf.register("travel_time_snap", travel_time_snap)
         self.spark.udf.register("travel_time_is_loaded", travel_time_is_loaded)
         self.spark.udf.register("travel_time_node_count", travel_time_node_count)
+        self.spark.udf.register("travel_time_request", travel_time_request)
 
     # ------------------------------------------------------------------
     # table operators  (#8 matrix, #17 isochrone)
@@ -386,6 +428,77 @@ class RoutingEngine:
         return origins.mapInPandas(run, schema)
 
     # ------------------------------------------------------------------
+    # contour isochrones + optimized route (wrapper-level ops, SURVEY §2.3)
+    # ------------------------------------------------------------------
+
+    def isochrone_contours(self, lat: float, lon: float, contours_minutes, costing: str = "auto") -> DataFrame:
+        """Polygon contour isochrones (the valhalla_isochrone shape,
+        valhalla-wrapper/src/wrapper.cpp:323-383): one polygon per contour
+        level, built as the convex hull of the reachable point cloud.
+        Returns DataFrame(minutes, n_points, geometry WKB POLYGON)."""
+        contours_minutes = sorted(float(m) for m in contours_minutes)
+        if len(contours_minutes) > SERVICE_LIMITS["isochrone_max_contours"]:
+            raise ValueError("too many contours (service limit 4)")
+        if contours_minutes and contours_minutes[-1] > SERVICE_LIMITS["isochrone_max_time_min"]:
+            raise ValueError("contour beyond max time (service limit 120 min)")
+        g = self._local.get(costing if costing in self._local else "auto")
+        if g is None:
+            raise RuntimeError("Travel time extension not loaded")
+        src = g.nearest_main_node(float(lon), float(lat))
+        rows = []
+        if src >= 0 and contours_minutes:
+            nodes, costs = kernels.dijkstra_isochrone(g, src, int(contours_minutes[-1] * 60_000))
+            for minutes in contours_minutes:
+                mask = costs <= minutes * 60_000
+                pts = np.column_stack([g.node_lon[nodes[mask]], g.node_lat[nodes[mask]]])
+                hull = convex_hull(pts) if len(pts) else []
+                rows.append((minutes, len(hull), build_wkb_polygon(hull) if len(hull) >= 3 else None))
+        return self.spark.createDataFrame(rows, "minutes double, n_points int, geometry binary")
+
+    def optimized_route(self, lats, lons, costing: str = "auto") -> dict:
+        """TSP-style waypoint ordering (the reference's optimized_route
+        action): N x N duration matrix (one multi-target Dijkstra per
+        origin), nearest-neighbor construction from location 0, then 2-opt
+        until no improving swap. Returns {order, duration_s}."""
+        g = self._local.get(costing if costing in self._local else "auto")
+        if g is None:
+            raise RuntimeError("Travel time extension not loaded")
+        n = len(lats)
+        if n < 2:
+            return {"order": list(range(n)), "duration_s": 0.0}
+        snapped = np.asarray([g.nearest_main_node(float(lo), float(la)) for la, lo in zip(lats, lons)])
+        if (snapped < 0).any():
+            return {"error": "no road near location"}
+        dur = np.full((n, n), np.inf)
+        for i in range(n):
+            w, _ = kernels.dijkstra_multi_target(g, int(snapped[i]), snapped)
+            dur[i] = np.where(w < 0, np.inf, w)
+        order = [0]
+        todo = set(range(1, n))
+        while todo:
+            last = order[-1]
+            nxt = min(todo, key=lambda j: dur[last, j])
+            order.append(nxt)
+            todo.remove(nxt)
+
+        def total(o):
+            return sum(dur[a, b] for a, b in zip(o, o[1:]))
+
+        improved = True
+        while improved:
+            improved = False
+            for i in range(1, n - 1):
+                for j in range(i + 1, n):
+                    cand = order[:i] + order[i : j + 1][::-1] + order[j + 1 :]
+                    if total(cand) < total(order):
+                        order = cand
+                        improved = True
+        t = total(order)
+        if not np.isfinite(t):
+            return {"error": "no route found between some locations"}
+        return {"order": [int(i) for i in order], "duration_s": float(t) / 1000.0}
+
+    # ------------------------------------------------------------------
     # JSON escape hatch  (#7)
     # ------------------------------------------------------------------
 
@@ -455,9 +568,43 @@ class RoutingEngine:
                     ]
                 }
             )
+        if action == "optimized_route":
+            if len(locs) < 2:
+                return json.dumps({"error": "optimized_route requires at least 2 locations"})
+            result = self.optimized_route([p["lat"] for p in locs], [p["lon"] for p in locs], costing)
+            if "error" in result:
+                return json.dumps(result)
+            return json.dumps(
+                {"trip": {"summary": {"time": result["duration_s"]}, "location_order": result["order"]}}
+            )
+        if action in ("trace_route", "trace_attributes", "height"):
+            # map-matching and elevation are out of scope v1: structured
+            # error, mirroring the reference's unknown-action handling
+            # (valhalla-wrapper/src/wrapper.cpp:450-452)
+            return json.dumps({"error": f"Action not implemented in this engine: {action}"})
         if action == "isochrone":
             if not locs:
                 return json.dumps({"error": "isochrone requires a location"})
+            if req.get("polygons"):
+                contours = req.get("contours", [{"time": 15}])
+                try:
+                    rows = self.isochrone_contours(
+                        float(locs[0]["lat"]), float(locs[0]["lon"]),
+                        [float(c.get("time", 15)) for c in contours], costing,
+                    ).collect()
+                except ValueError as e:
+                    # request() never raises for bad input — error JSON,
+                    # like every other action path
+                    return json.dumps({"error": str(e)})
+                return json.dumps(
+                    {
+                        "contours": [
+                            {"time": r.minutes, "n_points": r.n_points,
+                             "geometry_wkb_hex": bytes(r.geometry).hex() if r.geometry else None}
+                            for r in rows
+                        ]
+                    }
+                )
             contours = req.get("contours", [{"time": 15}])
             if len(contours) > SERVICE_LIMITS["isochrone_max_contours"]:
                 return json.dumps({"error": "too many contours"})

@@ -273,6 +273,44 @@ def build_wkb_linestring(lons, lats) -> bytes | None:
     return bytes(out)
 
 
+def build_wkb_polygon(ring: list[tuple[float, float]]) -> bytes | None:
+    """Little-endian WKB POLYGON with one exterior ring (closed)."""
+    if not ring:
+        return None
+    if ring[0] != ring[-1]:
+        ring = list(ring) + [ring[0]]
+    out = bytearray(13 + 16 * len(ring))
+    struct.pack_into("<BIII", out, 0, 0x01, _WKB_POLYGON, 1, len(ring))
+    offset = 13
+    for lon, lat in ring:
+        struct.pack_into("<dd", out, offset, float(lon), float(lat))
+        offset += 16
+    return bytes(out)
+
+
+def convex_hull(points: np.ndarray) -> list[tuple[float, float]]:
+    """Andrew's monotone chain over an (n, 2) array of (lon, lat); returns
+    the hull ring counter-clockwise (no numpy/scipy dependency beyond sort)."""
+    pts = sorted(map(tuple, np.asarray(points, dtype=np.float64)))
+    if len(pts) <= 2:
+        return [(float(x), float(y)) for x, y in pts]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return [(float(x), float(y)) for x, y in lower[:-1] + upper[:-1]]
+
+
 def parse_wkb_linestring(data: bytes) -> list[tuple[float, float]]:
     bo = data[0]
     endian = "<" if bo == 0x01 else ">"

@@ -151,7 +151,9 @@ def test_request_dispatcher(spark, engine):
     assert len(iso["contours"][0]["points"]) > 1
 
     err = json.loads(engine.request("trace_attributes", "{}"))
-    assert "Unknown action" in err["error"]
+    assert "not implemented" in err["error"].lower()
+    err2 = json.loads(engine.request("launch_rockets", "{}"))
+    assert "Unknown action" in err2["error"]
 
 
 def test_conf_bridge_and_artifact(spark, tmp_path):

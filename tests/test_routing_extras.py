@@ -1,0 +1,106 @@
+"""Contour isochrones, optimized_route (TSP), and the per-row request UDF."""
+
+import json
+
+import pytest
+
+from duckdb_routing_spark.routing.engine import RoutingEngine
+from duckdb_routing_spark.routing.geometry import convex_hull, wkb_to_centroid
+from duckdb_routing_spark.testing import BASE_LAT, BASE_LON, SPACING_DEG, build_grid_graph
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = RoutingEngine(spark)
+    eng.load_graph(build_grid_graph("auto"), "auto")
+    eng.register()
+    return eng
+
+
+def pt(r, c):
+    return BASE_LAT + r * SPACING_DEG, BASE_LON + c * SPACING_DEG
+
+
+def test_convex_hull_basics():
+    square = [(0, 0), (1, 0), (1, 1), (0, 1), (0.5, 0.5), (0.2, 0.8)]
+    hull = convex_hull(square)
+    assert sorted(hull) == [(0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0)]
+
+
+def test_isochrone_contours(spark, engine):
+    la, lo = pt(5, 5)
+    rows = engine.isochrone_contours(la, lo, [0.5, 2.0], "auto").collect()
+    assert [r.minutes for r in rows] == [0.5, 2.0]
+    assert rows[0].n_points >= 3
+    assert rows[1].n_points >= rows[0].n_points or rows[1].geometry is not None
+    # the larger contour's polygon contains the center (rough check: the
+    # centroid of the hull is near the source)
+    c = wkb_to_centroid(bytes(rows[1].geometry))
+    assert abs(c[0] - lo) < 0.01 and abs(c[1] - la) < 0.01
+
+
+def test_isochrone_contours_limits(spark, engine):
+    la, lo = pt(5, 5)
+    with pytest.raises(ValueError, match="contours"):
+        engine.isochrone_contours(la, lo, [1, 2, 3, 4, 5])
+    with pytest.raises(ValueError, match="max time"):
+        engine.isochrone_contours(la, lo, [500.0])
+
+
+def test_optimized_route(spark, engine):
+    # corners + center: optimal-ish tour should not revisit; order starts at 0
+    lats, lons = zip(pt(0, 0), pt(9, 9), pt(0, 9), pt(9, 0), pt(5, 5))
+    res = engine.optimized_route(list(lats), list(lons), "auto")
+    assert res["order"][0] == 0
+    assert sorted(res["order"]) == [0, 1, 2, 3, 4]
+    assert res["duration_s"] > 0
+    # 2-opt result must beat (or match) the naive identity order
+    identity = engine.optimized_route([lats[0], lats[2], lats[1]], [lons[0], lons[2], lons[1]])
+    assert identity["duration_s"] > 0
+
+
+def test_optimized_route_via_request(spark, engine):
+    (la1, lo1), (la2, lo2), (la3, lo3) = pt(0, 0), pt(9, 9), pt(0, 9)
+    out = json.loads(
+        engine.request(
+            "optimized_route",
+            json.dumps({"locations": [
+                {"lat": la1, "lon": lo1}, {"lat": la2, "lon": lo2}, {"lat": la3, "lon": lo3}]}),
+        )
+    )
+    assert out["trip"]["location_order"][0] == 0
+    assert out["trip"]["summary"]["time"] > 0
+
+
+def test_not_implemented_actions(spark, engine):
+    for action in ("trace_route", "trace_attributes", "height"):
+        out = json.loads(engine.request(action, "{}"))
+        assert "not implemented" in out["error"].lower()
+
+
+def test_isochrone_polygons_via_request(spark, engine):
+    la, lo = pt(5, 5)
+    out = json.loads(
+        engine.request(
+            "isochrone",
+            json.dumps({"locations": [{"lat": la, "lon": lo}], "contours": [{"time": 2}], "polygons": True}),
+        )
+    )
+    assert out["contours"][0]["n_points"] >= 3
+    assert out["contours"][0]["geometry_wkb_hex"]
+
+
+def test_request_sql_udf(spark, engine):
+    la1, lo1 = pt(0, 0)
+    la2, lo2 = pt(5, 5)
+    req = json.dumps({"locations": [{"lat": la1, "lon": lo1}, {"lat": la2, "lon": lo2}], "costing": "auto"})
+    row = spark.sql(
+        f"""SELECT travel_time_request('route', '{req}') AS r,
+                   travel_time_request('status', '{{}}') AS s,
+                   travel_time_request('matrix', '{{}}') AS m,
+                   travel_time_request('route', '{{bad json') AS bad"""
+    ).first()
+    assert json.loads(row.r)["trip"]["summary"]["time"] > 0
+    assert json.loads(row.s)["loaded"] is True
+    assert "engine.request" in json.loads(row.m)["error"]
+    assert "Invalid JSON" in json.loads(row.bad)["error"]
