@@ -309,3 +309,35 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double") / F.count("*")).alias("centroid"))
         .orderBy("label", "pos")
     )
+
+
+SIMHASH_PAIRS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents
+),
+sums AS (
+  SELECT doc_id,
+       {_NIBBLE_SUMS}
+  FROM w GROUP BY doc_id
+),
+sig AS (SELECT doc_id, cast({_SIG} AS BIGINT) AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_simhash_pairs", oracle=SIMHASH_PAIRS_ORACLE, doc="SimHash hamming-radius (<=2 of 16 bits) candidate pairs")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup.simhash16(table(spark, sf_dir, "documents"))
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h1"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h2"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -37,6 +37,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (spark.sql.legacy.parquet.nanosAsLong), which we convert to a microsecond
     TIMESTAMP — the same truncation DuckDB applies when casting its
     TIMESTAMP_NS to TIMESTAMP, so both sides agree."""
+    if name == "events":
+        # the driver's own session won't have this in its builder; it is a
+        # dynamic SQLConf, so set it defensively before touching the ns file
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

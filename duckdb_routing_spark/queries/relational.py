@@ -497,3 +497,173 @@ EVENTS_SESSION_ORACLE = _sessionize_sql("epoch_us(cast(ts as timestamp))", "cast
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "events")
     return spark.sql(EVENTS_SESSION_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# additional TPC-H shapes + as-of join
+# ---------------------------------------------------------------------------
+
+Q7_ORACLE = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       cast(year(l_shipdate) AS INT) AS l_year,
+       {dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_name != cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_nation_volume", oracle=Q7_ORACLE, doc="TPC-H Q7 cross-nation shipping volume")
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation")
+    return spark.sql(Q7_ORACLE)
+
+
+Q8_ORACLE = f"""
+WITH sales AS (
+  SELECT cast(year(o_orderdate) AS INT) AS o_year,
+         r_name,
+         cast(l_extendedprice * (1 - l_discount) as decimal(18,4)) AS volume
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+)
+SELECT o_year,
+       cast(sum(CASE WHEN r_name = 'ASIA' THEN volume ELSE cast(0 as decimal(18,4)) END) as double)
+         / cast(sum(volume) as double) AS asia_share
+FROM sales
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=Q8_ORACLE, doc="TPC-H Q8-style market share per year")
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "orders", "customer", "nation", "region")
+    return spark.sql(Q8_ORACLE)
+
+
+Q9_ORACLE = f"""
+SELECT n_name AS nation, cast(year(o_orderdate) AS INT) AS o_year,
+       {dsum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1', 4)} AS profit_proxy
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN nation   ON n_nationkey = s_nationkey
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_profit_proxy", oracle=Q9_ORACLE, doc="TPC-H Q9-style profit by supplier nation and year")
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation")
+    return spark.sql(Q9_ORACLE)
+
+
+Q19_ORACLE = f"""
+SELECT {dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_type = 'PROMO' AND p_size BETWEEN 1 AND 50 AND l_quantity >= 5)
+"""
+
+
+@register("q19_disjunctive_predicates", oracle=Q19_ORACLE, doc="TPC-H Q19-style disjunctive join predicates")
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(Q19_ORACLE)
+
+
+Q22_ORACLE = """
+WITH avg_bal AS (
+  SELECT cast(sum(cast(c_acctbal as decimal(18,2))) as double) / count(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS n_rich_dormant,
+       cast(sum(cast(c_acctbal as decimal(18,2))) as double) AS total_bal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("q22_dormant_rich", oracle=Q22_ORACLE, doc="TPC-H Q22-style scalar subquery + anti join")
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(Q22_ORACLE)
+
+
+GROUPING_SETS_ORACLE = f"""
+SELECT coalesce(r_name, 'ALL') AS region_name,
+       coalesce(c_mktsegment, 'ALL') AS segment,
+       cast(grouping(r_name) AS INT) AS g_region,
+       cast(grouping(c_mktsegment) AS INT) AS g_segment,
+       {dsum('o_totalprice', 2)} AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+ORDER BY g_region, g_segment, region_name, segment
+"""
+
+
+@register("grouping_sets_revenue", oracle=GROUPING_SETS_ORACLE, doc="GROUPING SETS over region/segment")
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer", "nation", "region")
+    return spark.sql(GROUPING_SETS_ORACLE)
+
+
+ASOF_ORACLE = """
+SELECT p.event_id, p.user_id, p.value,
+       (SELECT v.value FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_value
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
+@register("asof_purchase_last_view", oracle=ASOF_ORACLE, doc="as-of join: each purchase joined to the latest prior view")
+def asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_routing_spark.operators.asof import asof_join_backward
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    out = asof_join_backward(purchases, views, on="ts", by="user_id", value_cols=["value"], seq_col="event_id")
+    return out.select("event_id", "user_id", "value", F.col("asof_value")).orderBy("event_id")
+
+
+PERCENTILE_ORACLE = """
+SELECT o_orderpriority,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price,
+       quantile_cont(o_totalprice, 0.99) AS p99_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+PERCENTILE_SPARK = PERCENTILE_ORACLE.replace("quantile_cont(o_totalprice,", "percentile(o_totalprice,")
+
+
+@register("percentiles_by_priority", oracle=PERCENTILE_ORACLE, doc="exact interpolated percentiles (Spark percentile == DuckDB quantile_cont)")
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders")
+    return spark.sql(PERCENTILE_SPARK)

@@ -280,3 +280,23 @@ def route_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark)
     la, lo = _node_latlon(_ISO_SOURCE)
     return eng.isochrone_contours(la, lo, [0.5, 1.0, 2.0], "auto").select("minutes", "n_points")
+
+
+@register("route_tile_build", oracle=None, headline=True,
+          doc="distributed ways->graph 'tile build' on a 3.6k-node grid (rows-only)")
+def route_tile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ETL operator (#9/#11) at meaningful size: a 60x60 lattice built
+    through the full Spark pipeline (segments -> speed join -> haversine
+    weights -> oneway -> dense remap), returning graph cardinalities."""
+    from duckdb_routing_spark.routing.osm_build import build_mode_graph_df, segments_from_ways
+    from duckdb_routing_spark.testing import grid_nodes, grid_segments
+
+    nrows = ncols = 60
+    segs = grid_segments(nrows, ncols, island=False)
+    ways = spark.createDataFrame(
+        [(i, [int(r.src), int(r.dst)], r.highway, r.oneway) for i, r in enumerate(segs.itertuples(index=False))],
+        "way_id long, nodes array<long>, highway string, oneway string",
+    )
+    osm_nodes = spark.createDataFrame(grid_nodes(nrows, ncols, island=False))
+    nodes, edges = build_mode_graph_df(spark, segments_from_ways(ways), osm_nodes, "auto")
+    return nodes.agg(F.count("*").alias("n_nodes")).crossJoin(edges.agg(F.count("*").alias("n_edges")))

@@ -38,10 +38,16 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (1 file = 1 micro-batch
     locally; swap for Kafka in production). Converts the nanos long to a
     proper event-time column for watermarking."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns file
+    # glob the events file specifically: the sf dir holds the OTHER fixture
+    # tables too, and a schema-projected read of those yields all-null junk
+    # rows (silently swallowed downstream by watermarking — a real trap).
+    # The wildcard matters: the file-stream source requires a directory
+    # basePath, which a bare file path breaks but a glob preserves.
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(sf_dir))
+        .parquet(os.path.join(sf_dir, "events*.parquet"))
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
