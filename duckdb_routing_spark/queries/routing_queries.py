@@ -300,3 +300,98 @@ def route_tile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     osm_nodes = spark.createDataFrame(grid_nodes(nrows, ncols, island=False))
     nodes, edges = build_mode_graph_df(spark, segments_from_ways(ways), osm_nodes, "auto")
     return nodes.agg(F.count("*").alias("n_nodes")).crossJoin(edges.agg(F.count("*").alias("n_edges")))
+
+
+# ---------------------------------------------------------------------------
+# multi-mode parity: each mode's graph has different weights (speed table)
+# ---------------------------------------------------------------------------
+
+_MODE_GRIDS = {m: build_grid_graph(m) for m in ("bicycle", "pedestrian")}
+_MODE_GRIDS["auto"] = _GRID
+_MODE_OD = [(0, 0, 99), (1, 22, 77), (2, 5, 94)]
+
+
+def _mode_edges_cte() -> str:
+    parts = []
+    for mode, g in sorted(_MODE_GRIDS.items()):
+        parts.append(f"edges_{mode}(src, dst, w) AS (VALUES {grid_edge_values_sql(g)})")
+    return ",\n".join(parts)
+
+
+_MODE_CAPS = {"auto": 250_000, "bicycle": 450_000, "pedestrian": 1_400_000}
+
+
+def _mode_reach(mode: str) -> str:
+    return f"""
+reach_{mode}(pair_id, node, cost) AS (
+  SELECT pair_id, s, 0::BIGINT FROM pairs
+  UNION
+  SELECT r.pair_id, e.dst, r.cost + e.w
+  FROM reach_{mode} r JOIN edges_{mode} e ON e.src = r.node
+  WHERE r.cost + e.w <= {_MODE_CAPS[mode]}
+)"""
+
+
+MODES_ORACLE = f"""
+WITH RECURSIVE {_mode_edges_cte()},
+pairs(pair_id, s, d) AS (VALUES {', '.join(f'({i}, {s}, {d})' for i, s, d in _MODE_OD)}),
+{', '.join(_mode_reach(m) for m in ('auto', 'bicycle', 'pedestrian'))},
+reach(mode, pair_id, node, cost) AS (
+  SELECT 'auto', * FROM reach_auto
+  UNION ALL SELECT 'bicycle', * FROM reach_bicycle
+  UNION ALL SELECT 'pedestrian', * FROM reach_pedestrian
+)
+SELECT p.pair_id, m.mode, min(r.cost) / 1000.0 AS duration_s
+FROM pairs p
+CROSS JOIN (SELECT 'auto' AS mode UNION ALL SELECT 'bicycle' UNION ALL SELECT 'pedestrian') m
+LEFT JOIN reach r ON r.mode = m.mode AND r.pair_id = p.pair_id AND r.node = p.d
+GROUP BY p.pair_id, m.mode
+ORDER BY p.pair_id, m.mode
+"""
+
+
+@register("route_modes", oracle=MODES_ORACLE, doc="per-mode travel times (auto < bicycle < pedestrian)")
+def route_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark)
+    for m, g in _MODE_GRIDS.items():
+        if not eng.is_loaded(m):
+            eng.load_graph(g, m)
+    rows = []
+    for pid, s, d in _MODE_OD:
+        la1, lo1 = _node_latlon(s)
+        la2, lo2 = _node_latlon(d)
+        for mode in ("auto", "bicycle", "pedestrian"):
+            rows.append((pid, mode, la1, lo1, la2, lo2))
+    df = spark.createDataFrame(
+        rows, "pair_id int, mode string, lat1 double, lon1 double, lat2 double, lon2 double"
+    ).repartition(1)
+    return df.selectExpr("pair_id", "mode", "travel_time(lat1, lon1, lat2, lon2, mode) AS duration_s").orderBy(
+        "pair_id", "mode"
+    )
+
+
+ISO_BATCH_ORACLE = f"""
+WITH RECURSIVE {_reach_cte('(0, 11), (1, 88)')},
+nodes(node_id, lon, lat) AS (VALUES {_NODES_SQL})
+SELECT r.tag AS origin_id, n.lat, n.lon, min(r.cost) / 1000.0 AS seconds
+FROM reach r JOIN nodes n ON n.node_id = r.node
+WHERE r.cost <= 45000
+GROUP BY r.tag, n.lat, n.lon
+ORDER BY origin_id, seconds, lat, lon
+"""
+
+
+@register("route_isochrones_batch", oracle=ISO_BATCH_ORACLE, doc="multi-origin isochrones via mapInPandas")
+def route_iso_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = _engine(spark)
+    la0, lo0 = _node_latlon(11)
+    la1, lo1 = _node_latlon(88)
+    origins = spark.createDataFrame(
+        [(0, la0, lo0), (1, la1, lo1)], "origin_id long, lat double, lon double"
+    ).repartition(2)
+    return (
+        eng.isochrones(origins, 45.0, "auto")
+        .withColumn("origin_id", F.col("origin_id").cast("int"))
+        .coalesce(1)
+        .sortWithinPartitions("origin_id", "seconds", "lat", "lon")
+    )

@@ -127,6 +127,7 @@ class RoutingEngine:
         self._broadcasts: dict = {}  # mode -> Broadcast[payload]
         self._local: dict[str, RoutingGraph] = {}  # driver-side copies
         self._tiles_path: str | None = None
+        self._registered = False
 
     # ------------------------------------------------------------------
     # loading / state  (#1, #2, #10, #11, #18, routing_free)
@@ -140,6 +141,10 @@ class RoutingEngine:
         self._local[mode] = graph
         if old is not None:
             old.unpersist()
+        if self._registered:
+            # spark.udf.register serializes the UDF closures ONCE — re-register
+            # so executors see graphs loaded after the first register() call
+            self.register()
         return True
 
     def load_config(self, dir_path: str, modes=("auto", "bicycle", "pedestrian")) -> bool:
@@ -327,6 +332,7 @@ class RoutingEngine:
         self.spark.udf.register("travel_time_is_loaded", travel_time_is_loaded)
         self.spark.udf.register("travel_time_node_count", travel_time_node_count)
         self.spark.udf.register("travel_time_request", travel_time_request)
+        self._registered = True
 
     # ------------------------------------------------------------------
     # table operators  (#8 matrix, #17 isochrone)

@@ -1,0 +1,83 @@
+"""Registration/introspection tests mirroring the reference's
+test/sql/travel_time.test (all functions exist in the catalog; calling
+before load fails with the not-loaded message), plus the COPY-to-GeoJSON
+sink surface."""
+
+import json
+
+import pytest
+
+from duckdb_routing_spark.functions import register_geo_functions
+from duckdb_routing_spark.routing.engine import RoutingEngine
+from duckdb_routing_spark.sources.sinks import write_geojson, write_json_array
+from duckdb_routing_spark.testing import build_grid_graph
+
+EXPECTED_FUNCTIONS = [
+    "travel_time",
+    "travel_time_route_wkb",
+    "travel_time_route",
+    "travel_time_locate",
+    "travel_time_snap",
+    "travel_time_is_loaded",
+    "travel_time_node_count",
+    "travel_time_request",
+]
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    eng = RoutingEngine(spark)
+    eng.load_graph(build_grid_graph("auto"), "auto")
+    eng.register()
+    register_geo_functions(spark)
+    return eng
+
+
+def test_all_functions_registered(spark, engine):
+    """The reference's registration test: every function in the catalog
+    (test/sql/travel_time.test:15-48)."""
+    names = {f.name for f in spark.catalog.listFunctions()}
+    for fn in EXPECTED_FUNCTIONS:
+        assert fn in names, f"{fn} missing from catalog"
+    for fn in ("st_point", "st_astext", "st_npoints", "st_asgeojson"):
+        assert fn in names
+
+
+def test_unloaded_engine_error_message(spark):
+    """Pre-load failure mirrors 'Travel time extension not loaded'
+    (test/sql/travel_time.test:6-9)."""
+    eng2 = RoutingEngine(spark)
+    eng2.register()
+    with pytest.raises(Exception, match="not loaded"):
+        spark.sql("SELECT travel_time(52.0, 13.0, 52.001, 13.001, 'auto')").collect()
+    # restore the loaded engine's functions for other tests
+    spark_engines = RoutingEngine(spark)
+    spark_engines.load_graph(build_grid_graph("auto"), "auto")
+    spark_engines.register()
+
+
+def test_geojson_export(spark, engine, tmp_path):
+    """COPY (...) TO 'route.geojson' parity: route -> FeatureCollection."""
+    df = spark.sql(
+        """SELECT 'r1' AS route_id,
+                  travel_time_route_wkb('POINT(13.0 52.0)', 'POINT(13.005 52.005)', 'auto').geometry AS geometry,
+                  travel_time_route_wkb('POINT(13.0 52.0)', 'POINT(13.005 52.005)', 'auto').distance_km AS km"""
+    )
+    out = tmp_path / "route.geojson"
+    n = write_geojson(df, str(out))
+    assert n == 1
+    doc = json.loads(out.read_text())
+    assert doc["type"] == "FeatureCollection"
+    feat = doc["features"][0]
+    assert feat["geometry"]["type"] == "LineString"
+    assert len(feat["geometry"]["coordinates"]) >= 2
+    assert feat["properties"]["route_id"] == "r1"
+    assert feat["properties"]["km"] > 0
+
+
+def test_json_array_export(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    out = tmp_path / "rows.json"
+    n = write_json_array(df, str(out))
+    assert n == 2
+    assert json.loads(out.read_text()) == [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]

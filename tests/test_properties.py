@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) for the pure kernels: geometry
+round-trips, haversine metric properties, convex hull invariants, and
+Dijkstra vs brute-force Floyd-Warshall on random graphs."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from duckdb_routing_spark.routing import kernels
+from duckdb_routing_spark.routing.geometry import (
+    EARTH_RADIUS_M,
+    build_wkb_linestring,
+    build_wkb_point,
+    convex_hull,
+    haversine_m_scalar,
+    looks_like_wkb,
+    parse_wkb_linestring,
+    wkb_to_centroid,
+    wkt_to_centroid,
+)
+from duckdb_routing_spark.routing.graph import RoutingGraph
+
+lons = st.floats(min_value=-180.0, max_value=180.0, allow_nan=False)
+lats = st.floats(min_value=-90.0, max_value=90.0, allow_nan=False)
+
+
+@given(lons, lats)
+def test_wkb_point_roundtrip(lon, lat):
+    wkb = build_wkb_point(lon, lat)
+    assert looks_like_wkb(wkb)
+    assert wkb_to_centroid(wkb) == (lon, lat)
+
+
+@given(st.lists(st.tuples(lons, lats), min_size=1, max_size=50))
+def test_wkb_linestring_roundtrip(pts):
+    wkb = build_wkb_linestring([p[0] for p in pts], [p[1] for p in pts])
+    assert parse_wkb_linestring(wkb) == [(float(x), float(y)) for x, y in pts]
+
+
+@given(lons, lats)
+def test_wkt_point_roundtrip(lon, lat):
+    got = wkt_to_centroid(f"POINT({lon!r} {lat!r})")
+    assert got == (lon, lat)
+
+
+@given(lons, lats, lons, lats)
+def test_haversine_metric_properties(lon1, lat1, lon2, lat2):
+    d = haversine_m_scalar(lon1, lat1, lon2, lat2)
+    assert d >= 0.0
+    # symmetry (same formula, commutative inputs)
+    assert d == haversine_m_scalar(lon2, lat2, lon1, lat1)
+    # bounded by half the great circle
+    assert d <= math.pi * EARTH_RADIUS_M * 1.0000001
+    assert haversine_m_scalar(lon1, lat1, lon1, lat1) == 0.0
+
+
+@given(st.lists(st.tuples(st.floats(-100, 100, allow_nan=False), st.floats(-100, 100, allow_nan=False)), min_size=1, max_size=60))
+def test_convex_hull_invariants(pts):
+    hull = convex_hull(np.array(pts))
+    assert set(hull) <= {(float(x), float(y)) for x, y in pts}
+    if len(hull) >= 3:
+        # every input point is inside or on the hull (ccw cross products)
+        for px, py in pts:
+            for (x1, y1), (x2, y2) in zip(hull, hull[1:] + hull[:1]):
+                cross = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+                assert cross >= -1e-6 * max(1.0, abs(px), abs(py)) * 200
+
+
+def _random_graph(rng, n):
+    density = rng.uniform(0.15, 0.5)
+    src, dst, w = [], [], []
+    for i in range(n):
+        for j in range(n):
+            if i != j and rng.random() < density:
+                src.append(i)
+                dst.append(j)
+                w.append(int(rng.integers(1, 1000)))
+    if not src:  # ensure at least one edge
+        src, dst, w = [0], [min(1, n - 1)], [1]
+    return RoutingGraph.from_arrays(
+        node_lon=rng.uniform(0, 1, n),
+        node_lat=rng.uniform(0, 1, n),
+        src=np.array(src),
+        dst=np.array(dst),
+        weight_ms=np.array(w),
+        length_m=np.array(w, dtype=float),
+        main_nodes=np.arange(n),
+    )
+
+
+@settings(deadline=None, max_examples=25)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=2, max_value=12))
+def test_dijkstra_matches_floyd_warshall(seed, n):
+    rng = np.random.default_rng(seed)
+    g = _random_graph(rng, n)
+    # brute-force all-pairs shortest paths
+    dist = np.full((n, n), np.inf)
+    np.fill_diagonal(dist, 0.0)
+    for u in range(n):
+        for ei in range(g.indptr[u], g.indptr[u + 1]):
+            dist[u, g.indices[ei]] = min(dist[u, g.indices[ei]], g.weights_ms[ei])
+    for k in range(n):
+        dist = np.minimum(dist, dist[:, k : k + 1] + dist[k : k + 1, :])
+    for s in range(n):
+        for t in range(n):
+            got = kernels.dijkstra_p2p(g, s, t)
+            want = dist[s, t]
+            if math.isinf(want):
+                assert got == kernels.NO_ROUTE
+            else:
+                assert got == want
+    # multi-target agrees too
+    targets = np.arange(n)
+    w, _ = kernels.dijkstra_multi_target(g, 0, targets)
+    for t in range(n):
+        want = dist[0, t]
+        assert (w[t] == kernels.NO_ROUTE and math.isinf(want)) or w[t] == want
+
+
+@settings(deadline=None, max_examples=15)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_isochrone_matches_bounded_shortest_paths(seed):
+    rng = np.random.default_rng(seed)
+    n = 10
+    g = _random_graph(rng, n)
+    cutoff = 800
+    nodes, costs = kernels.dijkstra_isochrone(g, 0, cutoff)
+    reach = dict(zip(nodes.tolist(), costs.tolist()))
+    for t in range(n):
+        d = kernels.dijkstra_p2p(g, 0, t)
+        if 0 <= d <= cutoff:
+            assert reach.get(t) == d
+        else:
+            assert t not in reach
