@@ -54,21 +54,18 @@ def shingles(
     """Word k-gram shingles per document: (doc_id, shingle), distinct by
     default (set semantics, as Jaccard needs).
 
-    Built as posexplode + window lead — every expression stays inside
-    whole-stage codegen. (The tempting one-liner — transform(sequence(...))
-    with element_at lambdas — evaluates INTERPRETED in Spark and is two
-    orders of magnitude slower on a corpus.)"""
-    from pyspark.sql import Window
-
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", j).over(w) for j in range(1, k)]
+    Built as arrays_zip over k shifted slices of the token array, exploded
+    once — zero shuffles and fully row-local. (Two rejected formulations,
+    both measured: transform(sequence(...)) lambdas evaluate INTERPRETED,
+    ~100x slower; posexplode + window lead works but pays a shuffle on
+    doc_id, ~3x slower.)"""
+    ws = F.split(F.col(text_col), " ")
+    n = F.size(ws)
+    zipped = F.arrays_zip(*[F.slice(ws, j + 1, n - (k - 1)) for j in range(k)])
     out = (
-        toks.select("doc_id", F.lead("w", k - 1).over(w).alias("_tail"), F.concat_ws(" ", *parts).alias("shingle"))
-        .filter(F.col("_tail").isNotNull())  # concat_ws skips NULLs: drop short tails
-        .select("doc_id", "shingle")
+        docs.filter(n >= k)
+        .select(F.col(id_col).alias("doc_id"), F.explode(zipped).alias("g"))
+        .select("doc_id", F.concat_ws(" ", *[F.col(f"g.{j}") for j in range(k)]).alias("shingle"))
     )
     return out.distinct() if distinct else out
 
