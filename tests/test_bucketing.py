@@ -1,0 +1,40 @@
+"""Bucketing: co-located joins without a shuffle — the 100 TB join strategy
+for repeated large-large joins (SURVEY 'Partitioning & shuffle'). Writes two
+tables bucketed by the join key and asserts the join plan contains NO
+exchange on either side."""
+
+import pytest
+
+from duckdb_routing_spark.plans import audit
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    # the session's warehouse dir is fixed at startup; use a unique db
+    spark.sql("CREATE DATABASE IF NOT EXISTS bucketing_test")
+    spark.sql("USE bucketing_test")
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS fact_b")
+    spark.sql("DROP TABLE IF EXISTS dim_b")
+    spark.sql("USE default")
+    spark.sql("DROP DATABASE IF EXISTS bucketing_test")
+
+
+def test_bucketed_join_has_no_shuffle(warehouse, spark):
+    from pyspark.sql import functions as F
+
+    fact = spark.range(10_000).select(
+        (F.col("id") % 500).alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dim = spark.range(500).select(F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("name"))
+    fact.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("fact_b")
+    dim.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("dim_b")
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+    try:
+        joined = spark.table("fact_b").join(spark.table("dim_b"), "k")
+        plan = audit.formatted_plan(joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
