@@ -1,0 +1,25 @@
+PY ?= python
+
+.PHONY: test test-fast parity parity-sf01 bench smoke
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/test_speeds.py tests/test_geometry.py tests/test_graph_kernels.py tests/test_properties.py -q
+
+parity:
+	$(PY) -m pytest tests/test_oracle_parity.py -q
+
+parity-sf01:
+	SPARK_GRAFT_PARITY_SF=/root/testdata/sf0.01 $(PY) -m pytest tests/test_oracle_parity.py -q
+
+bench:
+	$(PY) bench.py
+
+smoke:
+	$(PY) -c "import importlib.util; \
+s = importlib.util.spec_from_file_location('e', '__spark_entry__.py'); \
+m = importlib.util.module_from_spec(s); s.loader.exec_module(m); \
+from duckdb_routing_spark.session import get_spark; \
+print(m.entry(get_spark(master='local[4]', shuffle_partitions=4)).count(), 'rows')"
