@@ -211,3 +211,48 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         bit = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         sig = bit if sig is None else sig + bit
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+# band layout for the 16-bit signature: (shift, width) for 3 bands of 6/5/5.
+# Pigeonhole: a pair with hamming distance <= 2 differs in at most 2 bands,
+# so at least one band matches bit-exactly -> an equi-join on (band, bits)
+# recovers every such pair without materializing the O(n^2) pair space.
+_SIMHASH16_BANDS = [(0, 6), (6, 5), (11, 5)]
+
+
+def simhash_hamming_pairs(sig: DataFrame, max_hamming: int = 2) -> DataFrame:
+    """All (doc_a < doc_b) pairs within `max_hamming` (<= 2) of each other,
+    via banded equi-join — NOT an all-pairs crossJoin, so the pair space
+    only materializes inside shared-band buckets (bucket sizes stay bounded
+    when signatures are spread; at planet scale add bits/bands).
+
+    Input: (doc_id, simhash) from :func:`simhash16`. Output columns
+    (doc_a, doc_b, hamming)."""
+    if max_hamming > len(_SIMHASH16_BANDS) - 1:
+        raise ValueError("3-band layout guarantees recall only for max_hamming <= 2")
+    h = F.col("simhash")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(h, shift).bitwiseAND(F.lit((1 << width) - 1)).alias("bits"),
+            )
+            for i, (shift, width) in enumerate(_SIMHASH16_BANDS)
+        ]
+    )
+    e = sig.select("doc_id", "simhash", F.explode(bands).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bits").alias("bits")
+    )
+    a = e.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h1"), "band", "bits")
+    b = e.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h2"), "band", "bits")
+    return (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -124,7 +124,7 @@ def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_STATS_ORACLE = """
 SELECT lang, source, count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       cast(sum(n_chars) as bigint) AS total_chars,
        cast(sum(n_chars) as double) / count(*) AS avg_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents
@@ -331,13 +331,7 @@ ORDER BY doc_a, doc_b
 
 @register("dedup_simhash_pairs", oracle=SIMHASH_PAIRS_ORACLE, doc="SimHash hamming-radius (<=2 of 16 bits) candidate pairs")
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark side is the banded equi-join (no crossJoin); the oracle keeps the
+    # all-pairs DEFINITION, so the hash match proves the banding is lossless.
     sig = dedup.simhash16(table(spark, sf_dir, "documents"))
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h1"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h2"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= 2)
-        .orderBy("doc_a", "doc_b")
-    )
+    return dedup.simhash_hamming_pairs(sig, max_hamming=2).orderBy("doc_a", "doc_b")

@@ -68,6 +68,34 @@ def test_simhash_locality(spark, docs):
     assert avg_near <= 4.0
 
 
+def test_simhash_banded_pairs_plan_has_no_crossjoin(spark, docs):
+    """The hamming-radius pair finder must be a banded equi-join, never an
+    all-pairs product — the plan is audited, not just the result."""
+    from duckdb_routing_spark.plans import audit
+
+    pairs = dedup.simhash_hamming_pairs(dedup.simhash16(docs), max_hamming=2)
+    plan = audit.formatted_plan(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_simhash_banded_pairs_match_bruteforce(spark, docs):
+    """Pigeonhole recall check: banded equi-join finds exactly the pairs the
+    all-pairs definition finds (hamming <= 2)."""
+    sig = dedup.simhash16(docs.limit(200)).cache()
+    banded = dedup.simhash_hamming_pairs(sig, max_hamming=2)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h1"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h2"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= 2)
+    )
+    got = sorted(map(tuple, banded.collect()))
+    want = sorted(map(tuple, brute.collect()))
+    assert got == want
+
+
 def test_ann_recall_vs_exact(spark, emb):
     queries = emb.filter(F.col("vec_id") < 10)
     exact = similarity.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
