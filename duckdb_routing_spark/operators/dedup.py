@@ -78,38 +78,57 @@ def minhash_band_rows(
     n_hashes: int = 12,
     band_size: int = 3,
 ) -> DataFrame:
-    """(doc_id, band, band_sig) via explode + partial-aggregating groupBy.
+    """(doc_id, band, band_sig) via one hash pass + aggregating groupBy.
 
-    Uses NON-distinct shingles: min(md5) over a multiset equals min over the
+    Uses NON-distinct shingles: min(h) over a multiset equals min over the
     set, so MinHash semantics are unchanged and the dedup shuffle is saved
     (Jaccard, which needs set semantics, uses the distinct table)."""
     return bands_from_shingles(shingles(docs, id_col, text_col, k, distinct=False), n_hashes, band_size)
 
 
+# Carter-Wegman universal-hash prime. 30-bit modulus keeps every
+# intermediate (h1 + i*h2 with i < n_hashes) far below 2^63 in BOTH engines
+# (DuckDB raises on BIGINT overflow; Spark wraps silently — either would be
+# fatal to parity). Within-doc collision odds at ~1k shingles/doc are
+# ~5e-4 — noise for MinHash estimation.
+MH_PRIME = 1_000_000_007
+
+
 def bands_from_shingles(sh: DataFrame, n_hashes: int = 12, band_size: int = 3) -> DataFrame:
-    """Plan shape: explode shingle x seed rows (whole-stage codegen'd md5 —
-    a nested higher-order-function formulation evaluates interpreted and is
-    ~100x slower), then groupBy(doc, seed) with map-side MIN combine, so the
-    shuffle carries only n_docs x n_hashes rows, not the exploded set."""
-    sig = (
-        sh.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-            "shingle",
-        )
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    """MinHash signatures via Carter-Wegman derived hashes: ONE md5 per
+    shingle row, split into two 60-bit halves (h1, h2), and the i-th
+    permutation is (h1 + i*h2) mod p — engine-portable integer arithmetic,
+    so the DuckDB oracle can reproduce it bit-for-bit.
+
+    Plan shape: the n_hashes mins are n_hashes AGG COLUMNS of a single
+    groupBy (map-side combine; shuffle = n_docs rows x n_hashes longs).
+    The previous formulation exploded a seed dimension (n_hashes x the
+    shingle rows) and paid one md5 PER (shingle, seed) — ~12x the hashing
+    and ~12x the pre-combine rows for identical LSH behavior."""
+    p = MH_PRIME
+    h = F.md5(F.col("shingle"))
+    base = sh.select(
+        "doc_id",
+        (F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % p).alias("h1"),
+        (F.conv(F.substring(h, 17, 15), 16, 10).cast("long") % p).alias("h2"),
     )
-    banded = sig.withColumn("band", (F.col("seed") / band_size).cast("int"))
-    return banded.groupBy("doc_id", "band").agg(
-        F.array_join(
-            F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda x: x["mh"]), "|"
-        ).alias("band_sig")
+    aggs = [
+        F.min((F.col("h1") + F.lit(i) * F.col("h2")) % p).alias(f"mh{i}") for i in range(n_hashes)
+    ]
+    sig = base.groupBy("doc_id").agg(*aggs)
+    n_bands = (n_hashes + band_size - 1) // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{i}") for i in range(b * band_size, min((b + 1) * band_size, n_hashes))],
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig")
     )
 
 

@@ -8,33 +8,55 @@ Two tiers, matching how a 100 TB pipeline actually runs ANN:
     from md5 so runs are reproducible) bucket the corpus; queries probe only
     their bucket. Trades recall for touching ~1/2^bits of the data.
 
-Cosine math runs in Catalyst higher-order functions (zip_with + aggregate,
-element-wise double arithmetic, left-to-right sums — deterministic and
-oracle-matchable); no Python in the loop.
+Dot products run in an Arrow-batched pandas UDF over numpy. The kernel is
+vectorized ACROSS rows but accumulates sequentially ACROSS dimensions
+(left-to-right), so every sum is bit-identical to both the previous
+zip_with/aggregate formulation and DuckDB's list_dot_product — float32
+inputs cast to double make each product exact (24+24 < 53 mantissa bits),
+leaving summation order as the only parity risk, which the sequential loop
+removes. (The pure-Catalyst higher-order-function version this replaces
+evaluated INTERPRETED and was ~100x slower — ARCHITECTURE §3.)
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+# DoubleType() instance (not the DDL string "double"): the string form is
+# parsed via the active session at import time, and this module must be
+# importable before any SparkSession exists.
+@pandas_udf(DoubleType())
+def _dot_seq(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Row-wise dot product with left-to-right accumulation over dims.
+
+    np.dot / BLAS is NOT used on purpose: its pairwise/SIMD partial sums can
+    differ from sequential summation in the last ulp, which would break
+    hash-parity with the DuckDB oracle."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    va = np.vstack(a.to_numpy()).astype(np.float64, copy=False)
+    vb = np.vstack(b.to_numpy()).astype(np.float64, copy=False)
+    acc = np.zeros(va.shape[0], dtype=np.float64)
+    for j in range(va.shape[1]):
+        acc += va[:, j] * vb[:, j]
+    return pd.Series(acc)
 
 
-def _norm(a):
-    return F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
-    )
+def norm_col(vec_col) -> F.Column:
+    """L2 norm of an array column (sqrt applied JVM-side)."""
+    return F.sqrt(_dot_seq(vec_col, vec_col))
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity expression (kept for API compatibility; the top-k
+    paths precompute per-row norms instead of re-deriving them per pair)."""
+    return _dot_seq(a, b) / (norm_col(a) * norm_col(b))
 
 
 def cosine_topk(
@@ -46,14 +68,31 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, vec_id, cosine, rank).
 
-    queries is broadcast (assumed small); rank ties break by vec_id so the
-    result is total-ordered and hash-stable."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
+    queries is broadcast (assumed small); per-row norms are computed ONCE per
+    side before the join (linear) instead of once per pair (quadratic) — the
+    float result is bit-identical because norm(q) is the same value either
+    way and the divide happens after the same (nq * nc) product. rank ties
+    break by vec_id so the result is total-ordered and hash-stable."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm_col(F.col(vec_col)).alias("qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cvec"),
+        norm_col(F.col(vec_col)).alias("cnorm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cosine(F.col("qvec"), F.col("cvec")).alias("cosine"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot_seq(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
@@ -101,17 +140,25 @@ def ann_lsh_topk(
     sig_corpus = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
+        norm_col(F.col(vec_col)).alias("cnorm"),
         lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     sig_q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
+        norm_col(F.col(vec_col)).alias("qnorm"),
         lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
     )
     scored = (
         sig_corpus.join(F.broadcast(sig_q), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", cosine(F.col("qvec"), F.col("cvec")).alias("cosine"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot_seq(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias(
+                "cosine"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

@@ -27,16 +27,32 @@ sh AS (
 )
 """
 
+# Carter-Wegman MinHash mirror of dedup.bands_from_shingles: one md5 per
+# shingle, two 60-bit halves, permutation i = (h1 + i*h2) mod p. 30-bit p
+# keeps all integer arithmetic overflow-free in both engines.
+_MH_P = 1_000_000_007
+_MH_COLS = ",\n         ".join(f"min((h1 + {i} * h2) % {_MH_P}) AS mh{i}" for i in range(12))
+_BAND_SIGS = "\n              ".join(
+    f"WHEN {b} THEN mh{3*b} || '|' || mh{3*b+1} || '|' || mh{3*b+2}" for b in range(4)
+)
 MINHASH_BANDS_CTE = f"""
 {SHINGLES_CTE},
+hs AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MH_P} AS h1,
+         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {_MH_P} AS h2
+  FROM sh
+),
 mh AS (
-  SELECT doc_id, seed, min(md5(seed::varchar || ':' || shingle)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) seeds
-  GROUP BY doc_id, seed
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM hs GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, seed // 3 AS band, string_agg(mh, '|' ORDER BY seed) AS band_sig
-  FROM mh GROUP BY doc_id, seed // 3
+  SELECT doc_id, band,
+         CASE band {_BAND_SIGS}
+              END AS band_sig
+  FROM mh CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -291,12 +291,21 @@ def route_tile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_routing_spark.routing.osm_build import build_mode_graph_df, segments_from_ways
     from duckdb_routing_spark.testing import grid_nodes, grid_segments
 
+    import pandas as pd
+
     nrows = ncols = 60
     segs = grid_segments(nrows, ncols, island=False)
-    ways = spark.createDataFrame(
-        [(i, [int(r.src), int(r.dst)], r.highway, r.oneway) for i, r in enumerate(segs.itertuples(index=False))],
-        "way_id long, nodes array<long>, highway string, oneway string",
+    # pandas -> Arrow createDataFrame (batch transfer); the row-list path
+    # serializes 7k Python rows one by one (~0.8 s of pure driver overhead)
+    ways_pdf = pd.DataFrame(
+        {
+            "way_id": range(len(segs)),
+            "nodes": [[int(s), int(d)] for s, d in zip(segs["src"], segs["dst"])],
+            "highway": segs["highway"].to_numpy(),
+            "oneway": segs["oneway"].to_numpy(),
+        }
     )
+    ways = spark.createDataFrame(ways_pdf)
     osm_nodes = spark.createDataFrame(grid_nodes(nrows, ncols, island=False))
     nodes, edges = build_mode_graph_df(spark, segments_from_ways(ways), osm_nodes, "auto")
     return nodes.agg(F.count("*").alias("n_nodes")).crossJoin(edges.agg(F.count("*").alias("n_edges")))

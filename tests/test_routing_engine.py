@@ -170,6 +170,28 @@ def test_conf_bridge_and_artifact(spark, tmp_path):
     assert not eng.is_loaded("auto")
 
 
+def test_dense_rank_by_is_parallel_and_correct(spark):
+    """The dense-id remap must (a) produce exactly row_number()-1 ordered by
+    key, (b) run its big window partitioned (hashpartitioning on _pid), never
+    as one global single-partition window over the node set."""
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.plans import audit
+    from duckdb_routing_spark.routing.osm_build import dense_rank_by
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 7919 % 100_000).alias("osm_id")
+    ).distinct()
+    out = dense_rank_by(df, "osm_id", "node_id")
+    plan = audit.formatted_plan(out)
+    assert "hashpartitioning(_b" in plan, plan[:3000]
+    assert "Exchange SinglePartition" not in plan, plan[:3000]
+    rows = out.orderBy("osm_id").collect()
+    assert [r.node_id for r in rows] == list(range(len(rows)))
+    keys = [r.osm_id for r in rows]
+    assert keys == sorted(keys)
+
+
 def test_distributed_build_matches_pandas_build(spark, tmp_path):
     """The Spark 'tile build' pipeline must produce the same graph as the
     pandas fixture builder (same weights, same connectivity)."""
