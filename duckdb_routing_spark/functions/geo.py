@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 from duckdb_routing_spark.routing.geometry import (
     any_geometry_to_lonlat,
     build_wkb_point,
+    haversine_m_scalar,
     looks_like_wkb,
     parse_wkb_linestring,
 )
@@ -98,6 +99,40 @@ def register_geo_functions(spark: SparkSession) -> None:
             out.append(build_wkb_point(*c) if c else None)
         return pd.Series(out)
 
+    @F.pandas_udf(T.DoubleType())
+    def st_length(g: pd.Series) -> pd.Series:
+        """Geodesic length in meters: haversine sum over consecutive points
+        (the reference's route-length macro sums haversine over the WKB
+        linestring — README.md:27, ITALY.md:264-274). POINTs have length 0."""
+        out = []
+        for v in g:
+            pts = _geom_points(v)
+            if not pts:
+                out.append(None)
+            else:
+                out.append(
+                    float(
+                        sum(
+                            haversine_m_scalar(x1, y1, x2, y2)
+                            for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+                        )
+                    )
+                )
+        return pd.Series(out, dtype="float64")
+
+    @F.pandas_udf(T.BinaryType())
+    def st_geomfromwkb(g: pd.Series) -> pd.Series:
+        """Identity with validation: geometry IS WKB in this kit; non-WKB
+        bytes become NULL (mirrors the reference's typed-geometry boundary)."""
+        return pd.Series(
+            [bytes(v) if v is not None and looks_like_wkb(bytes(v)) else None for v in g]
+        )
+
+    @F.pandas_udf(T.BinaryType())
+    def st_aswkb(g: pd.Series) -> pd.Series:
+        """Identity: this kit's geometry representation already is WKB."""
+        return pd.Series([None if v is None else bytes(v) for v in g])
+
     @F.pandas_udf(T.StringType())
     def st_asgeojson(g: pd.Series) -> pd.Series:
         out = []
@@ -122,6 +157,8 @@ def register_geo_functions(spark: SparkSession) -> None:
         "st_endpoint": st_endpoint,
         "st_centroid": st_centroid,
         "st_asgeojson": st_asgeojson,
-        # ST_GeomFromWKB/ST_AsWKB are identities here (geometry IS WKB)
+        "st_length": st_length,
+        "st_geomfromwkb": st_geomfromwkb,
+        "st_aswkb": st_aswkb,
     }.items():
         spark.udf.register(name, fn)

@@ -51,6 +51,17 @@ def asof_join_backward(
 
     w = Window.partitionBy(by).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, 0)
     out = lhs.unionByName(rhs)
+    # carry the whole right ROW as one struct: a right row whose value
+    # columns are all NULL still produces a NON-null struct, so
+    # last(ignorenulls) picks the most recent right ROW — per-column
+    # last(_r_c) would skip legitimately-NULL values and resurrect an older
+    # non-NULL one, diverging from 'most recent right row' semantics.
+    row_struct = F.when(
+        F.col("_asof_tag") == 0, F.struct(*[F.col(f"_r_{c}").alias(c) for c in value_cols])
+    )
+    out = out.withColumn("_asof_row", F.last(row_struct, ignorenulls=True).over(w))
     for c in value_cols:
-        out = out.withColumn(f"{prefix}{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
-    return out.filter(F.col("_asof_tag") == 1).drop("_asof_tag", *[f"_r_{c}" for c in value_cols])
+        out = out.withColumn(f"{prefix}{c}", F.col(f"_asof_row.{c}"))
+    return out.filter(F.col("_asof_tag") == 1).drop(
+        "_asof_tag", "_asof_row", *[f"_r_{c}" for c in value_cols]
+    )

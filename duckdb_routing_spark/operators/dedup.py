@@ -146,9 +146,11 @@ def lsh_candidate_pairs(
     The self-join keys on (band, band_sig) — bucket-local, so the pair space
     never materializes globally. P(candidate) = 1-(1-J^band_size)^n_bands.
     Pass a (persisted) `sh` shingle table to share the scan with other
-    stages."""
+    stages; standalone, the NON-distinct shingle stream feeds the signature
+    directly (min over a multiset == min over the set), skipping a full
+    dedup shuffle of the shingle table."""
     if sh is None:
-        sh = shingles(docs, id_col, text_col, k)
+        sh = shingles(docs, id_col, text_col, k, distinct=False)
     bands = bands_from_shingles(sh, n_hashes, band_size)
     a = bands.select(F.col("band"), F.col("band_sig"), F.col("doc_id").alias("doc_a"))
     b = bands.select(F.col("band"), F.col("band_sig"), F.col("doc_id").alias("doc_b"))

@@ -7,8 +7,11 @@ correctness gate runs both sides at sf0.01 and hash-compares
 (row-count + schema + order-insensitive value hash), so:
 
   - every computed column is aliased identically on both sides;
-  - money aggregates round to 2 decimals, ratios/averages to 4-6, so
-    partition-order float non-associativity cannot flip the hash;
+  - NEVER round() an aggregate (Spark's HALF_UP-on-shortest-string and
+    DuckDB's value rounding diverge on .5 boundaries). Instead: cast each
+    per-row expression to DECIMAL(18,s), sum exactly, cast the final result
+    to double ONCE; averages = exact decimal sum / count; window totals are
+    summed in decimal too. Full rationale: ARCHITECTURE.md §4.
   - LIMIT/top-k queries carry a total deterministic ORDER BY (ties broken
     by a key column).
 """

@@ -122,12 +122,14 @@ SERVICE_LIMITS = {
 
 
 class RoutingEngine:
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, unlimited_matrix: bool = False):
         self.spark = spark
         self._broadcasts: dict = {}  # mode -> Broadcast[payload]
         self._local: dict[str, RoutingGraph] = {}  # driver-side copies
         self._tiles_path: str | None = None
         self._registered = False
+        # opt-out of the reference's max_matrix_location_pairs service limit
+        self.unlimited_matrix = unlimited_matrix
 
     # ------------------------------------------------------------------
     # loading / state  (#1, #2, #10, #11, #18, routing_free)
@@ -184,10 +186,18 @@ class RoutingEngine:
         return g.num_nodes if g is not None else -2
 
     def free(self, mode: str = "auto") -> None:
+        """routing_free analog. Destroys the broadcast and, mirroring
+        load_graph(), RE-REGISTERS the SQL surface so executor closures stop
+        holding the freed graph — otherwise travel_time('...') would keep
+        routing off a stale (re-shipped on access) broadcast while
+        travel_time_is_loaded says false, unlike the reference where
+        EnsureRouterLoaded raises once tiles are gone."""
         bc = self._broadcasts.pop(mode, None)
         self._local.pop(mode, None)
         if bc is not None:
-            bc.unpersist()
+            bc.destroy()
+        if self._registered:
+            self.register()
 
     # ------------------------------------------------------------------
     # scalar function surface (pandas UDFs)  (#3, #4, #5, #6, #16)
@@ -338,6 +348,18 @@ class RoutingEngine:
     # table operators  (#8 matrix, #17 isochrone)
     # ------------------------------------------------------------------
 
+    def _check_matrix_limit(self, n_pairs: int) -> None:
+        """Behavioral parity with the reference's service limit
+        max_matrix_location_pairs=2500; construct the engine with
+        unlimited_matrix=True (cluster runs) to opt out deliberately."""
+        limit = SERVICE_LIMITS["max_matrix_location_pairs"]
+        if not self.unlimited_matrix and n_pairs > limit:
+            raise ValueError(
+                f"matrix of {n_pairs} pairs exceeds the service limit {limit} "
+                "(reference parity); pass unlimited_matrix=True to RoutingEngine "
+                "for deliberate cluster-scale runs"
+            )
+
     def matrix(self, src_lats, src_lons, dst_lats, dst_lons, costing: str = "auto") -> DataFrame:
         """N x M travel-time matrix as a DataFrame(from_idx, to_idx,
         distance_m, duration_s), row order (from, to) like MatrixFunction
@@ -348,10 +370,12 @@ class RoutingEngine:
         the graph coming from the executor-cached broadcast."""
         if len(src_lats) != len(src_lons) or len(dst_lats) != len(dst_lons):
             raise ValueError("source/target lat and lon lists must have equal lengths")
-        if len(src_lats) * len(dst_lats) > SERVICE_LIMITS["max_matrix_location_pairs"] * 100:
-            raise ValueError("matrix too large; raise SERVICE_LIMITS deliberately for cluster runs")
+        self._check_matrix_limit(len(src_lats) * len(dst_lats))
         broadcasts = self._broadcasts
         dst = [(float(la), float(lo)) for la, lo in zip(dst_lats, dst_lons)]
+        if not src_lats or not dst:
+            # empty matrix: return an empty frame instead of repartition(0)
+            return self.spark.createDataFrame([], MATRIX_SCHEMA)
 
         # repartition (real shuffle), NOT coalesce: a Python kernel fed
         # directly from a LocalTableScan spawns a fresh Python worker per

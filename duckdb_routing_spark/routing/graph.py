@@ -122,11 +122,20 @@ class RoutingGraph:
         min_lat, max_lat = float(lats.min()), float(lats.max())
         span_lon = max(max_lon - min_lon, 1e-9)
         span_lat = max(max_lat - min_lat, 1e-9)
-        # target ~2 points per cell, clamp the grid to <= 4M cells
-        target_cells = max(1, min(m // 2 + 1, 4_000_000))
+        # target ~2 points per cell, clamp the REALIZED grid to <= 4M cells:
+        # the sqrt formula alone under-sizes `cell` for near-collinear point
+        # sets (tiny lat span, wide lon span floors nrows at 1 while ncols
+        # explodes), so rescale until ncols*nrows actually fits the clamp —
+        # cell_starts allocates int64[nrows*ncols+1] and must stay bounded.
+        max_cells = 4_000_000
+        target_cells = max(1, min(m // 2 + 1, max_cells))
         cell = max((span_lon * span_lat / target_cells) ** 0.5, 1e-9)
-        ncols = int(span_lon / cell) + 1
-        nrows = int(span_lat / cell) + 1
+        for _ in range(64):
+            ncols = int(span_lon / cell) + 1
+            nrows = int(span_lat / cell) + 1
+            if ncols * nrows <= max_cells:
+                break
+            cell *= max(((ncols * nrows) / max_cells) ** 0.5, 1.01)
         col = np.minimum(((lons - min_lon) / cell).astype(np.int64), ncols - 1)
         row = np.minimum(((lats - min_lat) / cell).astype(np.int64), nrows - 1)
         cell_id = row * ncols + col

@@ -89,13 +89,23 @@ def dense_rank_by(df: DataFrame, key: str, out_col: str) -> DataFrame:
 
 def segments_from_ways(ways: DataFrame) -> DataFrame:
     """ways(way_id, nodes array<long>, highway, oneway) -> one row per
-    consecutive node pair: (src_osm, dst_osm, highway, oneway)."""
-    w = Window.partitionBy("way_id").orderBy("pos")
+    consecutive node pair: (src_osm, dst_osm, highway, oneway).
+
+    Row-local arrays_zip of two shifted slices of the node array — ZERO
+    shuffles (the earlier posexplode + lead window paid a full shuffle on
+    way_id just to pair up neighbors that already sit in one row)."""
+    ws = F.col("nodes")
+    n = F.size(ws)
+    zipped = F.arrays_zip(F.slice(ws, 1, n - 1), F.slice(ws, 2, n - 1))
     return (
-        ways.select("way_id", "highway", "oneway", F.posexplode("nodes").alias("pos", "src_osm"))
-        .withColumn("dst_osm", F.lead("src_osm").over(w))
-        .filter(F.col("dst_osm").isNotNull())
-        .select("src_osm", "dst_osm", "highway", "oneway")
+        ways.filter(n >= 2)
+        .select("highway", "oneway", F.explode(zipped).alias("g"))
+        .select(
+            F.col("g.0").alias("src_osm"),
+            F.col("g.1").alias("dst_osm"),
+            "highway",
+            "oneway",
+        )
     )
 
 

@@ -1,0 +1,37 @@
+"""As-of join semantics: the documented contract is 'most recent right ROW
+wins', including when that row's value column is legitimately NULL."""
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from duckdb_routing_spark.operators.asof import asof_join_backward
+
+
+def test_asof_null_value_row_still_wins(spark):
+    left = spark.createDataFrame(
+        [(1, 100, 100, "p1"), (1, 50, 101, "p2"), (2, 10, 102, "p3")],
+        "user_id long, ts long, event_id long, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 20, 0, 5.0),   # older, non-NULL
+            (1, 90, 1, None),  # most recent before ts=100 — value is NULL
+            (2, 99, 2, 7.0),   # after left ts=10: not visible
+        ],
+        "user_id long, ts long, event_id long, value double",
+    )
+    out = asof_join_backward(left, right, on="ts", by="user_id", value_cols=["value"], seq_col="event_id")
+    got = {(r.user_id, r.ts): r.asof_value for r in out.collect()}
+    # ts=100 must see the NULL-valued row at ts=90, NOT resurrect 5.0 from ts=20
+    assert got[(1, 100)] is None
+    assert got[(1, 50)] == 5.0
+    assert got[(2, 10)] is None  # no prior right row at all
+
+
+def test_asof_exact_ts_visible_and_seq_tiebreak(spark):
+    left = spark.createDataFrame([(1, 10, 100, "p")], "user_id long, ts long, event_id long, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 0, 1.0), (1, 10, 1, 2.0)], "user_id long, ts long, event_id long, value double"
+    )
+    out = asof_join_backward(left, right, on="ts", by="user_id", value_cols=["value"], seq_col="event_id")
+    # exact-timestamp right rows are visible; highest seq wins the tie
+    assert out.first().asof_value == 2.0

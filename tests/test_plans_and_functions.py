@@ -59,6 +59,58 @@ def test_geo_function_kit(spark):
     assert row.pt == "POINT(7.42 43.73)"
 
 
+def test_st_length_and_wkb_identities(spark):
+    """ST_Length = haversine sum over the linestring (the reference macro's
+    semantics, ITALY.md:264-274); ST_GeomFromWKB/ST_AsWKB round-trip; and a
+    LIVE route's WKB has a plausible, positive length."""
+    import math
+
+    from duckdb_routing_spark.routing.geometry import haversine_m_scalar
+
+    register_geo_functions(spark)
+    ls = build_wkb_linestring([13.0, 13.001, 13.002], [52.0, 52.0, 52.001])
+    expect = haversine_m_scalar(13.0, 52.0, 13.001, 52.0) + haversine_m_scalar(
+        13.001, 52.0, 13.002, 52.001
+    )
+    df = spark.createDataFrame([(ls,)], "g binary")
+    row = df.selectExpr(
+        "st_length(g) AS L",
+        "st_length(st_geomfromwkb(st_aswkb(g))) AS L2",
+        "st_npoints(st_geomfromwkb(g)) AS n",
+        "st_length(st_point(13.0, 52.0)) AS pt_len",
+    ).first()
+    assert math.isclose(row.L, expect, rel_tol=1e-12)
+    assert row.L2 == row.L
+    assert row.n == 3
+    assert row.pt_len == 0.0
+    # registration surface includes the identities (catalog introspection;
+    # note SHOW USER FUNCTIONS omits names that shadow a builtin — Spark 4.1
+    # ships a builtin st_geomfromwkb — but listFunctions() and resolution
+    # both pick the session-registered UDF, as the BinaryType result proves)
+    names = {f.name for f in spark.catalog.listFunctions()}
+    assert {"st_length", "st_geomfromwkb", "st_aswkb"} <= names
+
+
+def test_st_length_on_live_route(spark):
+    """Drive a real routed WKB geometry through ST_Length: the path length
+    must be >= the straight-line haversine distance between its endpoints."""
+    from duckdb_routing_spark.routing.engine import RoutingEngine
+    from duckdb_routing_spark.routing.geometry import haversine_m_scalar
+    from duckdb_routing_spark.testing import build_grid_graph
+
+    eng = RoutingEngine(spark)
+    eng.load_graph(build_grid_graph("auto"), "auto")
+    eng.register()
+    register_geo_functions(spark)
+    row = spark.sql(
+        "SELECT travel_time_route_wkb('POINT(13.000 52.000)', 'POINT(13.009 52.009)', 'auto') AS r"
+    ).selectExpr("st_length(r.geometry) AS L", "st_npoints(r.geometry) AS n").first()
+    straight = haversine_m_scalar(13.0, 52.0, 13.009, 52.009)
+    assert row.n >= 2
+    assert row.L >= straight * 0.99
+    assert row.L < straight * 3.0
+
+
 def test_geo_functions_null_handling(spark):
     register_geo_functions(spark)
     row = spark.sql(

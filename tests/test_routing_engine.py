@@ -170,6 +170,63 @@ def test_conf_bridge_and_artifact(spark, tmp_path):
     assert not eng.is_loaded("auto")
 
 
+def test_free_reregisters_sql_surface(spark):
+    """After routing_free, the SQL surface must stop routing (fresh closures
+    see the emptied broadcasts dict) — not keep serving off a stale
+    broadcast. Mirrors the reference's EnsureRouterLoaded behavior."""
+    eng = RoutingEngine(spark)
+    eng.load_graph(build_grid_graph("auto"), "auto")
+    eng.register()
+    la1, lo1 = pt(0, 0)
+    la2, lo2 = pt(5, 5)
+    q = f"SELECT travel_time({la1}, {lo1}, {la2}, {lo2}, 'auto') AS s"
+    assert spark.sql(q).first().s > 0
+    eng.free("auto")
+    assert not eng.is_loaded("auto")
+    with pytest.raises(Exception, match="not loaded|no graph"):
+        spark.sql(q).collect()
+    # reload restores service (and re-registers again)
+    eng.load_graph(build_grid_graph("auto"), "auto")
+    assert spark.sql(q).first().s > 0
+
+
+def test_matrix_service_limit_and_empty(spark):
+    eng = RoutingEngine(spark)
+    eng.load_graph(build_grid_graph("auto"), "auto")
+    # 51 x 50 = 2550 pairs > the reference's 2500-pair service limit
+    lats = [52.0 + i * 1e-4 for i in range(51)]
+    lons = [13.0] * 51
+    with pytest.raises(ValueError, match="service limit"):
+        eng.matrix(lats, lons, lats[:50], lons[:50], "auto")
+    # explicit opt-out accepted (plan only — not executed here)
+    eng_unlimited = RoutingEngine(spark, unlimited_matrix=True)
+    eng_unlimited.load_graph(build_grid_graph("auto"), "auto")
+    assert eng_unlimited.matrix(lats, lons, lats[:50], lons[:50], "auto") is not None
+    # empty origin/target lists: empty DataFrame, not a repartition(0) crash
+    assert eng.matrix([], [], [], [], "auto").count() == 0
+    assert eng.matrix([52.0], [13.0], [], [], "auto").count() == 0
+
+
+def test_spatial_hash_clamp_near_collinear():
+    """Near-collinear main nodes (wide lon span, ~zero lat span) must not
+    blow up the snap grid allocation: realized ncols*nrows stays <= 4M."""
+    import numpy as np
+
+    from duckdb_routing_spark.routing.graph import RoutingGraph
+
+    n = 1000
+    lons = np.linspace(-180.0, 180.0, n)
+    lats = np.full(n, 45.0)  # exactly collinear
+    g = RoutingGraph.from_arrays(
+        lons, lats, np.array([0], dtype=np.int64), np.array([1], dtype=np.int64),
+        np.array([1000], dtype=np.int64), np.array([100.0]), np.arange(n, dtype=np.int64),
+    )
+    assert g.grid_ncols * g.grid_nrows <= 4_000_000
+    assert len(g.cell_starts) <= 4_000_001
+    # snapping still works
+    assert g.nearest_main_node(0.0, 45.0) >= 0
+
+
 def test_dense_rank_by_is_parallel_and_correct(spark):
     """The dense-id remap must (a) produce exactly row_number()-1 ordered by
     key, (b) run its big window partitioned (hashpartitioning on _pid), never
