@@ -271,7 +271,44 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
 
 
-@register("sim_ann_lsh", oracle=None, doc="LSH-bucketed ANN top-10 (rows-only check; oracle = exact variant's recall)")
+def _plane_comp_sql(p: int, j: int) -> str:
+    """DuckDB mirror of similarity._plane_component: md5-nibble - 7.5
+    (strpos is 1-based, so nibble-7.5 == strpos-8.5)."""
+    return f"(strpos('0123456789abcdef', substring(md5('plane:{p}:{j}'), 1, 1)) - 8.5)"
+
+
+def _bucket_sql(vcol: str, dim: int = 64, n_planes: int = 4) -> str:
+    """Hyperplane bucket id: bit p = (v . plane_p) > 0. The dot product is an
+    EXPLICIT left-associated addition chain starting at 0.0 — the exact
+    accumulation order of the Spark expression — so the sign test agrees
+    bit-for-bit."""
+    plane_bits = []
+    for p in range(n_planes):
+        terms = " + ".join(f"{vcol}[{j + 1}] * {_plane_comp_sql(p, j)}" for j in range(dim))
+        plane_bits.append(f"(CASE WHEN (0.0 + {terms}) > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(plane_bits)
+
+
+SIM_ANN_ORACLE = f"""
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM c),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+  FROM b JOIN q USING (bucket)
+  WHERE b.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_ann_lsh", oracle=SIM_ANN_ORACLE, doc="LSH-bucketed ANN top-10 (md5-derived hyperplanes, full value-hash oracle)")
 def sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     # 4 planes -> 16 buckets: ~n/16 candidates per query at this corpus size;
