@@ -15,6 +15,7 @@ relative assertions in tests/test_routing_engine.py instead).
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -250,24 +251,55 @@ def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_MODE = "batch40k"
+_BATCH_DIM = 200  # 200x200 = 40k nodes — the scale ARCHITECTURE §2b names
+_BATCH_GRID_CACHE: list = []
+
+
+def _batch_grid():
+    if not _BATCH_GRID_CACHE:
+        _BATCH_GRID_CACHE.append(build_grid_graph("auto", nrows=_BATCH_DIM, ncols=_BATCH_DIM, island=False))
+    return _BATCH_GRID_CACHE[0]
+
+
 @register("route_batch_throughput", oracle=None, headline=True,
-          doc="batch routing over 20k generated OD pairs (= routing_batch #15; rows-only)")
+          doc="batch routing: 20k OD pairs over a 40k-node grid (= routing_batch #15; rows-only)")
 def route_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The throughput shape of the reference's rayon routing_batch: a large
-    OD table routed by the vectorized travel_time kernel across all cores."""
-    _engine(spark)
-    n_grid = 100
+    """The throughput shape of the reference's rayon routing_batch
+    (rust/src/lib.rs:560-600): a large OD table over a COUNTRY-SIZED graph
+    (40k nodes — the scale where the pure-Python heap Dijkstra ceiling bit,
+    ARCHITECTURE §2b), routed by the vectorized frontier-SSSP kernel with
+    origins fanned across all cores. One SSSP serves every target of a
+    source, so 20k pairs cost ~100 kernel runs, not 20k."""
+    import pandas as pd
+
+    eng = _engine(spark)
+    g = _batch_grid()
+    if not eng.is_loaded(_BATCH_MODE):
+        eng.load_graph(g, _BATCH_MODE)
+    n_grid = g.num_nodes
     nodes = spark.createDataFrame(
-        [(int(i), float(_GRID.node_lat[i]), float(_GRID.node_lon[i])) for i in range(n_grid)],
-        "node_id long, lat double, lon double",
+        pd.DataFrame(
+            {
+                "node_id": np.arange(n_grid, dtype=np.int64),
+                "lat": g.node_lat.astype(np.float64),
+                "lon": g.node_lon.astype(np.float64),
+            }
+        )
     )
+    # 100 distinct origins x 200 targets each = 20k pairs spread grid-wide
     pairs = (
         spark.range(20_000)
-        .selectExpr(f"id % {n_grid} AS s_node", f"(id * 37 + 13) % {n_grid} AS d_node")
+        .selectExpr(f"(id % 100) * 397 % {n_grid} AS s_node", f"(id * 37 + 13) % {n_grid} AS d_node")
         .join(F.broadcast(nodes.selectExpr("node_id AS s_node", "lat AS lat1", "lon AS lon1")), "s_node")
         .join(F.broadcast(nodes.selectExpr("node_id AS d_node", "lat AS lat2", "lon AS lon2")), "d_node")
     )
-    routed = pairs.selectExpr("s_node", "d_node", "travel_time(lat1, lon1, lat2, lon2, 'auto') AS s")
+    # co-locate each origin's rows: the kernel runs ONE SSSP per distinct
+    # source PER PARTITION, so hash-partitioning on s_node turns
+    # (32 partitions x 100 sources) = 3200 kernel runs into exactly 100
+    routed = pairs.repartition(32, "s_node").selectExpr(
+        "s_node", "d_node", f"travel_time(lat1, lon1, lat2, lon2, '{_BATCH_MODE}') AS s"
+    )
     return routed.agg(
         F.count("*").alias("n_pairs"),
         F.count("s").alias("n_routed"),

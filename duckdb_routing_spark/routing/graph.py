@@ -199,10 +199,14 @@ class RoutingGraph:
             if len(cand):
                 nodes = self.main_nodes[cand]
                 d2 = (self.node_lon[nodes] - lon) ** 2 + (self.node_lat[nodes] - lat) ** 2
-                i = int(np.argmin(d2))
-                if d2[i] < best_d2:
-                    best_d2 = float(d2[i])
-                    best_pos = int(nodes[i])
+                dmin = float(d2.min())
+                # deterministic tie-break: lowest node id among equal minima
+                # (matches the oracle's ORDER BY dist, node_id and the
+                # vectorized batch snap)
+                nmin = int(nodes[d2 == dmin].min())
+                if dmin < best_d2 or (dmin == best_d2 and nmin < best_pos):
+                    best_d2 = dmin
+                    best_pos = nmin
                 if found_ring < 0:
                     found_ring = ring
             # after the first hit, one extra ring guarantees correctness for a
@@ -214,11 +218,64 @@ class RoutingGraph:
         return best_pos
 
     def nearest_main_nodes(self, lons: np.ndarray, lats: np.ndarray) -> np.ndarray:
-        return np.fromiter(
-            (self.nearest_main_node(float(lo), float(la)) for lo, la in zip(lons, lats)),
-            dtype=np.int64,
-            count=len(lons),
+        """Vectorized batch snap. Fast path: gather every candidate in each
+        query's 3x3 cell neighborhood with one ragged numpy pass and reduce
+        by (distance, node_id). A result is certain when its distance is
+        <= cell_size (a point two rings out is at least one full cell band
+        away); uncertain or empty queries fall back to the exact ring
+        search. Per-row Python snapping was the batch kernel's bottleneck
+        (~40k scalar calls per 20k-pair batch)."""
+        lons = np.asarray(lons, dtype=np.float64)
+        lats = np.asarray(lats, dtype=np.float64)
+        n = lons.size
+        out = np.full(n, -1, dtype=np.int64)
+        if len(self.main_nodes) == 0 or n == 0:
+            return out
+        col = np.clip(
+            ((lons - self.grid_min_lon) / self.cell_size).astype(np.int64), 0, self.grid_ncols - 1
         )
+        row = np.clip(
+            ((lats - self.grid_min_lat) / self.cell_size).astype(np.int64), 0, self.grid_nrows - 1
+        )
+        qq_all, mn_all, d2_all = [], [], []
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                r = row + dr
+                c = col + dc
+                valid = (r >= 0) & (r < self.grid_nrows) & (c >= 0) & (c < self.grid_ncols)
+                if not valid.any():
+                    continue
+                qidx = np.nonzero(valid)[0]
+                cid = r[qidx] * self.grid_ncols + c[qidx]
+                starts = self.cell_starts[cid]
+                counts = self.cell_starts[cid + 1] - starts
+                tot = int(counts.sum())
+                if tot == 0:
+                    continue
+                cum = np.cumsum(counts)
+                pidx = np.repeat(starts - (cum - counts), counts) + np.arange(tot, dtype=np.int64)
+                mn = self.main_nodes[self.cell_points[pidx]]
+                qq = np.repeat(qidx, counts)
+                dx = self.node_lon[mn] - lons[qq]
+                dy = self.node_lat[mn] - lats[qq]
+                qq_all.append(qq)
+                mn_all.append(mn)
+                d2_all.append(dx * dx + dy * dy)
+        best = np.full(n, np.inf)
+        if qq_all:
+            qq = np.concatenate(qq_all)
+            mn = np.concatenate(mn_all)
+            d2 = np.concatenate(d2_all)
+            order = np.lexsort((mn, d2, qq))  # per query: min distance, then min node id
+            qq_s, mn_s, d2_s = qq[order], mn[order], d2[order]
+            first = np.ones(len(qq_s), dtype=bool)
+            first[1:] = qq_s[1:] != qq_s[:-1]
+            out[qq_s[first]] = mn_s[first]
+            best[qq_s[first]] = d2_s[first]
+        unsure = (out < 0) | (np.sqrt(best) > self.cell_size)
+        for i in np.nonzero(unsure)[0]:
+            out[i] = self.nearest_main_node(float(lons[i]), float(lats[i]))
+        return out
 
     # ------------------------------------------------------------------
     # artifact persistence (the Parquet analog of the reference's bincode

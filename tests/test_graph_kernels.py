@@ -147,3 +147,53 @@ def test_artifact_roundtrip(tmp_path, g):
     assert g2.num_edges == g.num_edges
     assert kernels.dijkstra_p2p(g2, 0, 99) == kernels.dijkstra_p2p(g, 0, 99)
     np.testing.assert_array_equal(g2.main_nodes, g.main_nodes)
+
+
+def test_frontier_sssp_matches_dijkstra(g):
+    """The vectorized frontier kernel must produce EXACTLY the heap
+    Dijkstra distances for every (source, node) pair, island included."""
+    for src in (0, 37, 55, 99, 100):
+        dist = kernels.sssp_frontier_ms(g, src)
+        for dst in (0, 9, 42, 50, 99, 100, 101):
+            want = kernels.dijkstra_p2p(g, src, dst)
+            got = float(dist[dst]) if dist[dst] != kernels._INF else kernels.NO_ROUTE
+            assert got == want, f"{src}->{dst}: frontier {got} != dijkstra {want}"
+
+
+def test_frontier_sssp_matches_dijkstra_all_modes():
+    for mode in ("auto", "bicycle", "pedestrian"):
+        gm = build_grid_graph(mode)
+        dist = kernels.sssp_frontier_ms(gm, 11)
+        w, _ = kernels.dijkstra_multi_target(gm, 11, np.arange(gm.num_nodes, dtype=np.int64))
+        want = np.where(w < 0, np.float64(np.iinfo(np.int64).max), w)
+        assert (dist.astype(np.float64) == want).all()
+
+
+def test_batch_snap_matches_scalar(g):
+    """Vectorized 3x3 fast-path snap must agree with the exact ring search
+    everywhere: on-node, off-node, between-node, and far-outside points."""
+    rng = np.random.default_rng(7)
+    lons = BASE_LON + rng.uniform(-0.01, 0.02, 500)
+    lats = BASE_LAT + rng.uniform(-0.01, 0.02, 500)
+    # include exact nodes, midpoints (tie-break), and the island
+    lons = np.concatenate([lons, [BASE_LON, BASE_LON + 0.0005, BASE_LON + 0.5]])
+    lats = np.concatenate([lats, [BASE_LAT, BASE_LAT + 0.0005, BASE_LAT]])
+    got = g.nearest_main_nodes(lons, lats)
+    want = np.asarray([g.nearest_main_node(float(lo), float(la)) for lo, la in zip(lons, lats)])
+    assert (got == want).all(), np.nonzero(got != want)[0][:10]
+
+
+def test_batch_travel_time_vectorized_consistency(g):
+    """batch_travel_time_s (vectorized snap + frontier SSSP) must equal
+    per-pair scalar snap + dijkstra."""
+    rng = np.random.default_rng(11)
+    n = 200
+    la1 = BASE_LAT + rng.uniform(0, 0.009, n); lo1 = BASE_LON + rng.uniform(0, 0.009, n)
+    la2 = BASE_LAT + rng.uniform(0, 0.009, n); lo2 = BASE_LON + rng.uniform(0, 0.009, n)
+    got = kernels.batch_travel_time_s(g, la1, lo1, la2, lo2)
+    for i in range(n):
+        s = g.nearest_main_node(float(lo1[i]), float(la1[i]))
+        t = g.nearest_main_node(float(lo2[i]), float(la2[i]))
+        w = kernels.dijkstra_p2p(g, s, t)
+        want = w / 1000.0 if w >= 0 else np.nan
+        assert (np.isnan(got[i]) and np.isnan(want)) or got[i] == want
