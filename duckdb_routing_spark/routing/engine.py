@@ -150,18 +150,46 @@ class RoutingEngine:
         return True
 
     def load_config(self, dir_path: str, modes=("auto", "bicycle", "pedestrian")) -> bool:
-        """Load a graph artifact directory (the analog of
-        travel_time_load_config; idempotent for the same path)."""
+        """Load a graph source (the analog of travel_time_load_config /
+        travel_time_load; idempotent for the same path). Accepts:
+
+          - a directory of this engine's parquet artifacts (build_tiles output);
+          - a reference `<pbf>.<mode>.routing` bincode artifact file;
+          - an `.osm.pbf` path with reference cache artifacts next to it
+            (the reference's cache_path convention, rust/src/lib.rs:164-166) —
+            raw PBF decode itself stays gated on an OSM reader.
+        """
         if dir_path == self._tiles_path and self._broadcasts:
             return True
+        import os
+
+        from duckdb_routing_spark.routing.ref_artifact import read_reference_artifact
+
         loaded = False
-        for mode in modes:
-            try:
-                g = RoutingGraph.load(dir_path, mode)
-            except (FileNotFoundError, OSError):
-                continue
-            self.load_graph(g, mode)
+        if os.path.isfile(dir_path) and dir_path.endswith(".routing"):
+            # "<source>.<mode>.routing" — mode is the second-to-last suffix
+            parts = os.path.basename(dir_path).split(".")
+            mode = parts[-2] if len(parts) >= 3 else "auto"
+            self.load_graph(read_reference_artifact(dir_path), mode)
             loaded = True
+        elif dir_path.endswith(".pbf"):
+            for mode in modes:
+                cached = f"{dir_path}.{mode}.routing"
+                if os.path.exists(cached):
+                    self.load_graph(read_reference_artifact(cached), mode)
+                    loaded = True
+            if not loaded:
+                from duckdb_routing_spark.routing.osm_build import read_osm_pbf
+
+                read_osm_pbf(self.spark, dir_path)  # raises the documented gate
+        else:
+            for mode in modes:
+                try:
+                    g = RoutingGraph.load(dir_path, mode)
+                except (FileNotFoundError, OSError):
+                    continue
+                self.load_graph(g, mode)
+                loaded = True
         if loaded:
             self._tiles_path = dir_path
         return loaded

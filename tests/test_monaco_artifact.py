@@ -1,0 +1,84 @@
+"""Real-OSM interop: load the reference's cached Monaco graph artifact
+(bincode of RoutingData, rust/src/lib.rs:147-153) and run the same checks
+as the reference's own test/sql/monaco_routing.test — route Casino->Palace,
+positive distance/duration, WKB geometry round-trip, snap sanity."""
+
+import os
+
+import pytest
+
+MONACO = "/root/reference/test/data/monaco.osm.pbf.auto.routing"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(MONACO), reason="monaco artifact not present")
+
+
+@pytest.fixture(scope="module")
+def monaco_graph():
+    from duckdb_routing_spark.routing.ref_artifact import read_reference_artifact
+
+    return read_reference_artifact(MONACO)
+
+
+def test_artifact_parses_fully(monaco_graph):
+    g = monaco_graph
+    assert g.num_nodes == 7338  # header of the shipped artifact
+    assert g.num_edges > 10_000
+    assert len(g.main_nodes) == 7338  # every node is a snap candidate here
+    # Monaco bounding box sanity
+    assert 7.3 < g.node_lon.min() < g.node_lon.max() < 7.5
+    assert 43.6 < g.node_lat.min() < g.node_lat.max() < 43.8
+
+
+def test_casino_to_palace_route(monaco_graph):
+    """The reference's monaco_routing.test route: distance_km > 0 and
+    duration_minutes > 0 between Casino (7.4281, 43.7396) and Palace
+    (7.4197, 43.7312)."""
+    from duckdb_routing_spark.routing import kernels
+
+    g = monaco_graph
+    s = g.nearest_main_node(7.4281, 43.7396)
+    d = g.nearest_main_node(7.4197, 43.7312)
+    assert s >= 0 and d >= 0
+    w, path = kernels.dijkstra_p2p_path(g, s, d)
+    assert w > 0 and len(path) > 2
+    dist_km = kernels.path_distance_m(g, path) / 1000.0
+    minutes = w / 1000.0 / 60.0
+    assert 0.5 < dist_km < 10.0
+    assert 0.5 < minutes < 30.0
+    # the vectorized kernel agrees exactly
+    assert float(kernels.sssp_frontier_ms(g, s)[d]) == w
+
+
+def test_engine_sql_surface_on_monaco(spark):
+    """travel_time_load_config('<pbf>.auto.routing') + the SQL surface on
+    real OSM data, like examples/monaco_end_to_end.sql."""
+    from duckdb_routing_spark.routing.engine import RoutingEngine
+
+    eng = RoutingEngine(spark)
+    assert eng.load_config(MONACO)
+    assert eng.is_loaded("auto")
+    eng.register()
+    row = spark.sql(
+        "SELECT travel_time(43.7396, 7.4281, 43.7312, 7.4197, 'auto') AS s,"
+        " travel_time_route_wkb('POINT(7.4281 43.7396)', 'POINT(7.4197 43.7312)', 'auto') AS r"
+    ).first()
+    assert row.s > 0
+    assert row.r.distance_km > 0
+    assert row.r.duration_minutes > 0
+    assert row.r.geometry[:1] in (b"\x00", b"\x01")  # WKB byte order marker
+
+
+def test_pbf_cache_convention(spark, tmp_path):
+    """An .osm.pbf path picks up its sibling '<pbf>.<mode>.routing' caches,
+    the reference's cache_path convention."""
+    import shutil
+
+    from duckdb_routing_spark.routing.engine import RoutingEngine
+
+    pbf = tmp_path / "monaco.osm.pbf"
+    pbf.write_bytes(b"")  # placeholder; only the cache sibling is read
+    shutil.copy(MONACO, str(pbf) + ".auto.routing")
+    eng = RoutingEngine(spark)
+    assert eng.load_config(str(pbf))
+    assert eng.is_loaded("auto")
+    assert eng.node_count("auto") == 7338
