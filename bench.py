@@ -59,18 +59,23 @@ def main() -> None:
     # best-of-2 per query: measure steady-state throughput (second run reuses
     # compiled codegen / warmed workers), not JIT compile time or transient
     # host noise
-    # best-of-3: this host shows 3x single-run swings from outside noise;
-    # the best of three is a stable steady-state estimate
+    # best-of-3, INTERLEAVED: this host shows 3x single-run swings from
+    # outside noise in ~10-30s bursts. Running the whole suite per round
+    # (instead of 3 back-to-back runs per query) means a burst poisons one
+    # round of many queries rather than every run of one query — the
+    # per-query min is then a far more stable steady-state estimate.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name, spec in headline.items():
-        best, n = float("inf"), 0
-        for _ in range(runs):
+    for r in range(runs):
+        for name, spec in headline.items():
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+            dt = time.perf_counter() - t0
+            if dt < timings.get(name, float("inf")):
+                timings[name] = dt
+            if r == runs - 1:
+                print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    timings = {k: round(v, 4) for k, v in timings.items()}
 
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     out = {

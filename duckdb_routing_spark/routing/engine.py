@@ -130,6 +130,22 @@ class RoutingEngine:
         self._registered = False
         # opt-out of the reference's max_matrix_location_pairs service limit
         self.unlimited_matrix = unlimited_matrix
+        self._elevation: tuple | None = None  # (lats, lons, heights) arrays
+
+    def load_elevation(self, df) -> None:
+        """Load an elevation sample table (lat, lon, height_m) for the
+        `height` action — the analog of pointing Valhalla at DEM tiles.
+        Collected driver-side: DEM samples for a service area are bounded
+        (the reference's Europe build keeps elevation as a static sidecar
+        dataset too, scripts/BUILD_EUROPE_TILES.md)."""
+        import numpy as _np
+
+        pdf = df.toPandas() if hasattr(df, "toPandas") else df
+        self._elevation = (
+            pdf["lat"].to_numpy(_np.float64),
+            pdf["lon"].to_numpy(_np.float64),
+            pdf["height_m"].to_numpy(_np.float64),
+        )
 
     # ------------------------------------------------------------------
     # loading / state  (#1, #2, #10, #11, #18, routing_free)
@@ -164,6 +180,20 @@ class RoutingEngine:
         import os
 
         from duckdb_routing_spark.routing.ref_artifact import read_reference_artifact
+
+        if dir_path.startswith(("http://", "https://")):
+            # remote tiles at query-load time (examples/s3_tiles_example.sql,
+            # remote_tiles_example.sql): driver-side fetch + content cache,
+            # then the local-path logic below. Executors never fetch — the
+            # graph ships once via broadcast.
+            from duckdb_routing_spark.sources.readers import fetch_to_local
+
+            orig = dir_path
+            local = fetch_to_local(dir_path)
+            ok = self.load_config(local, modes)
+            if ok:
+                self._tiles_path = orig  # report the remote URL as the setting
+            return ok
 
         loaded = False
         if os.path.isfile(dir_path) and dir_path.endswith(".routing"):
@@ -635,11 +665,79 @@ class RoutingEngine:
             return json.dumps(
                 {"trip": {"summary": {"time": result["duration_s"]}, "location_order": result["order"]}}
             )
-        if action in ("trace_route", "trace_attributes", "height"):
-            # map-matching and elevation are out of scope v1: structured
-            # error, mirroring the reference's unknown-action handling
-            # (valhalla-wrapper/src/wrapper.cpp:450-452)
-            return json.dumps({"error": f"Action not implemented in this engine: {action}"})
+        if action in ("trace_route", "trace_attributes"):
+            # map matching (valhalla-wrapper/src/wrapper.cpp:440-443):
+            # nearest-node matching of the GPS shape, shortest paths chained
+            # between consecutive matched nodes. (Valhalla uses an HMM
+            # matcher; nearest-node is the documented approximation here —
+            # exact when the shape samples lie near intersections.)
+            shape = req.get("shape", locs)
+            if len(shape) < 2:
+                return json.dumps({"error": f"{action} requires a shape of at least 2 points"})
+            matched = [g.nearest_main_node(float(p["lon"]), float(p["lat"])) for p in shape]
+            if any(m < 0 for m in matched):
+                return json.dumps({"error": "could not match all shape points to the road network"})
+            full_path: list[int] = []
+            total_ms = 0.0
+            for a, b in zip(matched, matched[1:]):
+                if a == b:
+                    continue
+                w, path = kernels.dijkstra_p2p_path(g, a, b)
+                if w < 0:
+                    return json.dumps({"error": f"no route between matched points {a} and {b}"})
+                total_ms += w
+                full_path.extend(path if not full_path else path[1:])
+            if not full_path:
+                full_path = [matched[0]]
+            dist_m = kernels.path_distance_m(g, full_path)
+            if action == "trace_route":
+                return json.dumps(
+                    {
+                        "trip": {
+                            "summary": {"length": dist_m / 1000.0, "time": total_ms / 1000.0},
+                            "shape_points": len(full_path),
+                            "matched_points": len(matched),
+                        }
+                    }
+                )
+            edges = []
+            for a, b in zip(full_path, full_path[1:]):
+                w_ms = g.edge_weight_ms(a, b)
+                seg_m = float(
+                    kernels.path_distance_m(g, [a, b])
+                )
+                edges.append(
+                    {
+                        "from_node": int(a),
+                        "to_node": int(b),
+                        "length_m": seg_m,
+                        "time_s": (w_ms / 1000.0) if w_ms is not None else None,
+                        "speed_kmh": (seg_m / 1000.0) / (w_ms / 3_600_000.0)
+                        if w_ms
+                        else None,
+                    }
+                )
+            return json.dumps({"matched_points": len(matched), "edges": edges})
+        if action == "height":
+            # elevation lookup (wrapper.cpp:446-447). Valhalla reads DEM
+            # tiles; this engine reads a user-loaded elevation table
+            # (engine.load_elevation). Without one the action reports the
+            # missing data source — the same behavior as Valhalla built
+            # without elevation tiles.
+            if not locs and "shape" in req:
+                locs = req["shape"]
+            if not locs:
+                return json.dumps({"error": "height requires locations or shape"})
+            if self._elevation is None:
+                return json.dumps(
+                    {"error": "elevation data not loaded; call engine.load_elevation(df) with (lat, lon, height_m)"}
+                )
+            lats, lons, hts = self._elevation
+            out = []
+            for p in locs:
+                d2 = (lats - float(p["lat"])) ** 2 + (lons - float(p["lon"])) ** 2
+                out.append(float(hts[int(np.argmin(d2))]))
+            return json.dumps({"height": out})
         if action == "isochrone":
             if not locs:
                 return json.dumps({"error": "isochrone requires a location"})

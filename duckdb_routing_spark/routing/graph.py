@@ -217,6 +217,13 @@ class RoutingGraph:
             ring += 1
         return best_pos
 
+    def edge_weight_ms(self, src: int, dst: int):
+        """Weight of the (src, dst) edge in ms, or None if absent; parallel
+        edges resolve to the minimum (the one any shortest path uses)."""
+        lo, hi = self.indptr[src], self.indptr[src + 1]
+        hits = self.weights_ms[lo:hi][self.indices[lo:hi] == dst]
+        return int(hits.min()) if len(hits) else None
+
     def nearest_main_nodes(self, lons: np.ndarray, lats: np.ndarray) -> np.ndarray:
         """Vectorized batch snap. Fast path: gather every candidate in each
         query's 3x3 cell neighborhood with one ragged numpy pass and reduce

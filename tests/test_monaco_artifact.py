@@ -68,6 +68,42 @@ def test_engine_sql_surface_on_monaco(spark):
     assert row.r.geometry[:1] in (b"\x00", b"\x01")  # WKB byte order marker
 
 
+def test_remote_tiles_over_http(spark, tmp_path):
+    """load_config('http://...') fetches to the driver cache and loads —
+    the reference's remote_tiles_example.sql flow."""
+    import http.server
+    import shutil
+    import socketserver
+    import threading
+
+    from duckdb_routing_spark.routing.engine import RoutingEngine
+
+    serve_dir = tmp_path / "www"
+    serve_dir.mkdir()
+    shutil.copy(MONACO, serve_dir / "monaco.auto.routing")
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(serve_dir), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), Handler) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            eng = RoutingEngine(spark)
+            url = f"http://127.0.0.1:{port}/monaco.auto.routing"
+            assert eng.load_config(url)
+            assert eng.is_loaded("auto")
+            assert eng.tiles_path == url  # setting reports the remote source
+            assert eng.node_count("auto") == 7338
+        finally:
+            httpd.shutdown()
+
+
 def test_pbf_cache_convention(spark, tmp_path):
     """An .osm.pbf path picks up its sibling '<pbf>.<mode>.routing' caches,
     the reference's cache_path convention."""

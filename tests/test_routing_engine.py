@@ -150,10 +150,48 @@ def test_request_dispatcher(spark, engine):
     )
     assert len(iso["contours"][0]["points"]) > 1
 
-    err = json.loads(engine.request("trace_attributes", "{}"))
-    assert "not implemented" in err["error"].lower()
     err2 = json.loads(engine.request("launch_rockets", "{}"))
     assert "Unknown action" in err2["error"]
+
+
+def test_trace_and_height_actions(spark, engine):
+    """trace_route/trace_attributes: nearest-node map matching + chained
+    shortest paths; height: gated on a loaded elevation table."""
+    shape = [
+        {"lat": pt(0, 0)[0], "lon": pt(0, 0)[1]},
+        {"lat": pt(0, 5)[0], "lon": pt(0, 5)[1]},
+        {"lat": pt(5, 5)[0], "lon": pt(5, 5)[1]},
+    ]
+    tr = json.loads(engine.request("trace_route", json.dumps({"shape": shape, "costing": "auto"})))
+    assert tr["trip"]["summary"]["time"] > 0
+    assert tr["trip"]["summary"]["length"] > 0
+    assert tr["trip"]["shape_points"] >= 11  # 5 east + 5 south hops minimum
+    # trace time == route time along the same waypoints (piecewise shortest)
+    leg1 = json.loads(engine.request("route", json.dumps({"locations": shape[:2], "costing": "auto"})))
+    leg2 = json.loads(engine.request("route", json.dumps({"locations": shape[1:], "costing": "auto"})))
+    assert tr["trip"]["summary"]["time"] == pytest.approx(
+        leg1["trip"]["summary"]["time"] + leg2["trip"]["summary"]["time"]
+    )
+
+    ta = json.loads(engine.request("trace_attributes", json.dumps({"shape": shape, "costing": "auto"})))
+    assert ta["matched_points"] == 3
+    assert len(ta["edges"]) == tr["trip"]["shape_points"] - 1
+    for e in ta["edges"][:3]:
+        assert e["length_m"] > 0 and e["time_s"] > 0 and 1.0 < e["speed_kmh"] < 150.0
+    # edge times sum to the trace time
+    assert sum(e["time_s"] for e in ta["edges"]) == pytest.approx(tr["trip"]["summary"]["time"])
+
+    # height: structured gate without data, real lookup with it
+    h0 = json.loads(engine.request("height", json.dumps({"locations": shape[:1]})))
+    assert "elevation data not loaded" in h0["error"]
+    import pandas as pd
+
+    engine.load_elevation(
+        pd.DataFrame({"lat": [pt(0, 0)[0], pt(5, 5)[0]], "lon": [pt(0, 0)[1], pt(5, 5)[1]], "height_m": [34.0, 55.0]})
+    )
+    h1 = json.loads(engine.request("height", json.dumps({"locations": shape})))
+    assert h1["height"][0] == 34.0 and h1["height"][2] == 55.0
+    engine._elevation = None  # don't leak into other module-scoped tests
 
 
 def test_conf_bridge_and_artifact(spark, tmp_path):
