@@ -102,6 +102,44 @@ def cosine_topk(
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold), restricted to same-LSH-bucket candidates — the embedding
+    analog of MinHash+LSH text dedup. The self-join is bucket-local (an
+    equi-join on the hyperplane signature), so the pair space scales with
+    bucket occupancy, not n^2; recall follows the hyperplane collision
+    bound P(same bucket) = (1 - theta/pi)^n_planes."""
+    sig = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        norm_col(F.col(vec_col)).alias("nrm"),
+        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    a = sig.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"), "bucket"
+    )
+    b = sig.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (_dot_seq(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes, md5-derived => deterministic)
 # ---------------------------------------------------------------------------

@@ -99,3 +99,63 @@ def with_text_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint(t).alias("fp"),
         lang_id(t).alias("lang_pred"),
     )
+
+
+# Carter-Wegman-style portable hash modulus (see operators.dedup.MH_PRIME)
+FP_PRIME = 1_000_000_007
+
+
+def char_gram_hashes(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                     k: int = 8) -> DataFrame:
+    """(doc_id, pos, h, n_grams): rolling char k-gram hashes of the
+    lowercased text. Grams come from the arrays_zip-of-slices trick over the
+    char array (row-local, zero shuffle); the hash is the md5-derived 60-bit
+    integer mod FP_PRIME — portable to the DuckDB oracle."""
+    chars = F.split(F.lower(F.col(text_col)), "")
+    n = F.size(chars)
+    zipped = F.arrays_zip(*[F.slice(chars, j + 1, n - (k - 1)) for j in range(k)])
+    grams = (
+        docs.filter(n >= k)
+        .select(F.col(id_col).alias("doc_id"), (n - (k - 1)).alias("n_grams"), F.posexplode(zipped).alias("pos", "g"))
+        .select(
+            "doc_id",
+            "n_grams",
+            "pos",
+            F.concat_ws("", *[F.col(f"g.{j}") for j in range(k)]).alias("gram"),
+        )
+    )
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10).cast("long") % FP_PRIME
+    return grams.select("doc_id", "n_grams", "pos", h.alias("h"))
+
+
+def winnowed_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                          k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme of the
+    MOSS winnowing paper): for every complete window of w consecutive
+    k-gram hashes keep the minimum; the distinct kept hashes are the doc's
+    fingerprint set. Guarantees any shared substring of length >= k+w-1
+    contributes at least one common fingerprint. Returns DISTINCT
+    (doc_id, fp)."""
+    from pyspark.sql import Window
+
+    gh = char_gram_hashes(docs, id_col, text_col, k)
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        gh.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("n_grams") - w)  # complete windows only
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+# BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+# non-alphanumeric marks — the coarse segmentation BPE vocabularies are
+# trained over. Kept to a regex subset with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB) so counts oracle-match.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenization (JVM-side regexp_count
+    — no Python, no explode)."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long")

@@ -165,6 +165,59 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_STATS_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+       cast(length(text) AS BIGINT) AS n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("doc_token_stats", oracle=TOKEN_STATS_ORACLE, doc="whitespace + BPE-ish regex token counts per doc")
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(t).cast("long").alias("n_ws_tokens"),
+        text.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        F.length(t).cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+WINNOW_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, lower(text) AS t, length(text) AS n FROM documents WHERE length(text) >= 8
+),
+grams AS (
+  SELECT doc_id, n - 7 AS n_grams, i - 1 AS pos,
+         ('0x' || substr(md5(substring(t, i, 8)), 1, 15))::BIGINT % 1000000007 AS h
+  FROM chars, LATERAL (SELECT unnest(range(1, n - 6)) AS i)
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, n_grams, pos,
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM grams
+  ) WHERE pos <= n_grams - 4
+)
+SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+FROM fps GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("doc_winnow_fingerprints", oracle=WINNOW_ORACLE, doc="winnowed rolling-hash fingerprints (char 8-grams, window 4)")
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = text.winnowed_fingerprints(table(spark, sf_dir, "documents"), k=8, w=4)
+    return (
+        fps.groupBy("doc_id")
+        .agg(F.count("*").alias("n_fp"), F.min("fp").alias("min_fp"), F.max("fp").alias("max_fp"))
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -306,6 +359,29 @@ SELECT query_id, vec_id, cosine, rank FROM (
 ) WHERE rank <= 10
 ORDER BY query_id, rank
 """
+
+
+EMB_NEAR_DUP_ORACLE = f"""
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM c)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       list_dot_product(a.v, b2.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) AS cosine
+FROM b a JOIN b b2 USING (bucket)
+WHERE a.vec_id < b2.vec_id
+  AND list_dot_product(a.v, b2.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b2.v, b2.v))) >= 0.3
+ORDER BY id_a, id_b
+"""
+
+
+@register("dedup_embedding_cosine", oracle=EMB_NEAR_DUP_ORACLE, doc="embedding-cosine near-dup pairs via LSH buckets (cosine >= 0.3)")
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    # threshold 0.3: the synthetic embeddings are near-orthogonal (max
+    # pairwise cosine ~0.46), so a production-style 0.9 matches nothing;
+    # the operator itself takes the threshold as a parameter
+    return similarity.cosine_near_dup_pairs(emb, threshold=0.3, dim=64, n_planes=4).orderBy("id_a", "id_b")
 
 
 @register("sim_ann_lsh", oracle=SIM_ANN_ORACLE, doc="LSH-bucketed ANN top-10 (md5-derived hyperplanes, full value-hash oracle)")

@@ -50,3 +50,41 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return out
+
+
+# islands-technique mirror of session_window semantics: Spark's session is
+# [start, last+gap) — end-exclusive — so a gap of EXACTLY 30 min starts a
+# new session (>=, not >)
+STREAM_SESSION_WINDOW_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(cast(ts as timestamp)) AS us FROM events
+),
+flags AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+sess AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+)
+SELECT user_id, min(us) AS start_us, count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, start_us
+"""
+
+
+@register("stream_session_window", oracle=STREAM_SESSION_WINDOW_ORACLE,
+          doc="built-in session_window streaming agg == batch islands when drained")
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    name = f"stream_sesswin_{uuid.uuid4().hex[:8]}"
+    stream = ev.streaming_session_windows(ev.read_events_stream(spark, sf_dir))
+    q = ev.run_stream_to_memory(stream, name, output_mode="complete")
+    try:
+        out = spark.table(name).orderBy("user_id", "start_us").cache()
+        out.count()
+    finally:
+        q.stop()
+    return out

@@ -135,3 +135,34 @@ def run_stream_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
     q = df.writeStream.outputMode(output_mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     return q
+
+
+def streaming_session_windows(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session aggregation with Spark's built-in session_window
+    (the declarative counterpart of the applyInPandasWithState sessionizer):
+    one row per (user, session) with event count and bounds. Watermark
+    bounds session state; sessions close `gap` after their last event."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("win.start")).alias("start_us"),
+            F.col("n_events"),
+        )
+    )
+
+
+def run_stream_foreach_batch(df: DataFrame, out_dir: str, output_mode: str = "append"):
+    """foreachBatch parquet sink: each micro-batch lands as parquet under
+    out_dir/batch=<id> through ordinary batch writers — the idiomatic escape
+    hatch for sinks Structured Streaming lacks natively (upserts, JDBC,
+    multi-table fan-out). Returns the query handle after draining."""
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    q = df.writeStream.outputMode(output_mode).foreachBatch(_write).start()
+    q.processAllAvailable()
+    return q

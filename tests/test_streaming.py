@@ -27,3 +27,22 @@ def test_stateful_sessionizer_agrees_with_batch_windows(spark):
     for r in joined:
         # every user has exactly one open (unemitted) session at end of stream
         assert r.n_sessions == r.n_closed + 1, f"user {r.user_id}: {r.n_sessions} vs {r.n_closed}+1"
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    """foreachBatch sink: every micro-batch lands as parquet; the union of
+    batches equals the full source table."""
+    import os
+
+    from duckdb_routing_spark.streaming import events as ev
+    from tests.conftest import SF_ORACLE
+
+    out_dir = str(tmp_path / "sink")
+    stream = ev.read_events_stream(spark, SF_ORACLE).select("event_id", "user_id")
+    q = ev.run_stream_foreach_batch(stream, out_dir)
+    q.stop()
+    batches = [d for d in os.listdir(out_dir) if d.startswith("batch=")]
+    assert len(batches) >= 1
+    got = spark.read.parquet(os.path.join(out_dir, "batch=*")).count()
+    want = spark.read.parquet(f"{SF_ORACLE}/events.parquet").count()
+    assert got == want
