@@ -592,10 +592,10 @@ class RoutingEngine:
 
     def request(self, action: str, request_json: str) -> str:
         """Raw JSON request dispatcher, mirroring travel_time_request's nine
-        actions (valhalla-wrapper/src/wrapper.cpp:432-453). Implemented:
-        route, sources_to_targets/matrix, isochrone, locate, status; the
-        others return a structured error exactly like the reference does for
-        unknown actions (wrapper.cpp:450-452)."""
+        actions (valhalla-wrapper/src/wrapper.cpp:432-453) — all nine are
+        implemented: route, sources_to_targets/matrix, isochrone, locate,
+        status, optimized_route, trace_route, trace_attributes, height.
+        Unknown actions return the structured error of wrapper.cpp:450-452."""
         try:
             req = json.loads(request_json) if request_json else {}
         except json.JSONDecodeError as e:

@@ -3,9 +3,10 @@
 The reference uses contraction hierarchies (`fast_paths`, rust/src/lib.rs:260)
 for point-to-point queries and a plain binary-heap Dijkstra for isochrones
 (lib.rs:638-720). CH is a pure accelerator — weights and results are identical
-to Dijkstra — so the rebuild uses heap Dijkstra throughout (documented in
-SURVEY §4.1); weights are integer milliseconds, durations are ms/1000.0
-(lib.rs:421-427).
+to Dijkstra — so this rebuild's accelerator is a numpy-vectorized frontier
+SSSP (sssp_frontier_ms) for the batch path, with heap Dijkstra retained
+where predecessors/paths are needed; weights are integer milliseconds,
+durations are ms/1000.0 (lib.rs:421-427).
 
 These kernels run inside Arrow-batched pandas UDF / mapInPandas workers with
 the graph arrays coming from a Spark broadcast: one graph per executor

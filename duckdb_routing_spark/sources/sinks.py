@@ -64,3 +64,28 @@ def write_json_array(df: DataFrame, path: str) -> int:
     with open(path, "w") as f:
         json.dump(rows, f)
     return len(rows)
+
+
+def write_table_format(df: DataFrame, path: str, fmt: str = "delta", mode: str = "append", **options) -> None:
+    """Lakehouse table-format sink (Delta Lake / Apache Iceberg): the
+    100 TB-scale landing zone for pipeline outputs (ACID appends, compaction,
+    time travel). The format JARs are not in this image, so the call is
+    gated on the runtime actually knowing the format; the plumbing —
+    DataFrameWriter options, mode, partitioning via options — is real and
+    identical to a cluster run with the packages on the classpath."""
+    if fmt not in ("delta", "iceberg"):
+        raise ValueError(f"unsupported table format: {fmt}")
+    writer = df.write.format(fmt).mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    try:
+        writer.save(path)
+    except Exception as e:  # noqa: BLE001 — classify the classpath gate
+        msg = str(e)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg or "ClassNotFound" in msg:
+            raise NotImplementedError(
+                f"{fmt} writer requires the {fmt} runtime on the Spark classpath "
+                f"(e.g. spark-submit --packages io.delta:delta-spark_2.13:<ver> or "
+                f"org.apache.iceberg:iceberg-spark-runtime); not present in this image"
+            ) from e
+        raise
