@@ -71,6 +71,10 @@ def main() -> None:
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
             dt = time.perf_counter() - t0
+            # drop DataFrame caches a query persisted for its own internal
+            # reuse — otherwise they accumulate across rounds and the
+            # eviction churn poisons later measurements
+            spark.catalog.clearCache()
             if dt < timings.get(name, float("inf")):
                 timings[name] = dt
             if r == runs - 1:

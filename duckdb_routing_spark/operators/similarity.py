@@ -141,6 +141,80 @@ def cosine_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN (seeded coarse quantizer; deterministic, oracle-expressible)
+# ---------------------------------------------------------------------------
+
+def _cell_assignments(
+    vecs: DataFrame, seeds: DataFrame, id_alias: str, vec_alias: str, rank_limit: int
+) -> DataFrame:
+    """Distance-to-seed ranking: score = dot(s,s) - 2*dot(v,s) (== ||v-s||^2
+    minus the constant dot(v,v)), ties by seed id. rank_limit=1 assigns a
+    vector to its cell; >1 gives a query its probe list. Preserves the
+    input columns and adds `cell`."""
+    keep = [c for c in vecs.columns]
+    scored = vecs.crossJoin(F.broadcast(seeds)).select(
+        *keep,
+        "cell",
+        (
+            _dot_seq(F.col("svec"), F.col("svec"))
+            - F.lit(2.0) * _dot_seq(F.col(vec_alias), F.col("svec"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy(id_alias).orderBy(F.asc("score"), F.asc("cell"))
+    return (
+        scored.withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= rank_limit)
+        .drop("score", "crank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: the corpus is partitioned into `n_cells`
+    Voronoi cells around seed vectors (deterministically, the first
+    n_cells corpus vectors by id — a fixed codebook, the way production IVF
+    uses a trained-once quantizer), and each query probes its `n_probe`
+    nearest cells only. At scale the corpus is written cell-partitioned
+    once; a probe reads n_probe/n_cells of the data. Complements
+    ann_lsh_topk: IVF adapts to the data's density; LSH needs no training."""
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("svec"))
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
+                      norm_col(F.col(vec_col)).alias("cnorm"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                       norm_col(F.col(vec_col)).alias("qnorm"))
+    c_cells = _cell_assignments(c, seeds, "vec_id", "cvec", 1)
+    q_cells = _cell_assignments(q, seeds, "query_id", "qvec", n_probe)
+    # a vector lives in exactly one cell, so a (query, vector) pair meets at
+    # most once even with multi-probe — no dedup needed
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot_seq(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes, md5-derived => deterministic)
 # ---------------------------------------------------------------------------
 

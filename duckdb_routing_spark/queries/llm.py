@@ -384,6 +384,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb, threshold=0.3, dim=64, n_planes=4).orderBy("id_a", "id_b")
 
 
+SIM_IVF_ORACLE = """
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS cell, v AS sv FROM c WHERE vec_id < 8),
+cscore AS (
+  SELECT c.vec_id, c.v, s.cell,
+         list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(c.v, s.sv) AS score
+  FROM c CROSS JOIN seeds s
+),
+ccell AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS r FROM cscore
+  ) WHERE r = 1
+),
+qcell AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS r
+    FROM cscore WHERE vec_id < 3
+  ) WHERE r <= 2
+),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         list_dot_product(q.qv, b.v)
+           / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM ccell b JOIN qcell q USING (cell)
+  WHERE b.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_ivf_topk", oracle=SIM_IVF_ORACLE, doc="IVF ANN top-10: 8 seeded Voronoi cells, 2-probe (full value-hash oracle)")
+def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=10, n_cells=8, n_probe=2)
+
+
 @register("sim_ann_lsh", oracle=SIM_ANN_ORACLE, doc="LSH-bucketed ANN top-10 (md5-derived hyperplanes, full value-hash oracle)")
 def sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

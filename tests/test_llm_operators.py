@@ -108,6 +108,18 @@ def test_ann_recall_vs_exact(spark, emb):
     assert recall > 0.2, f"ANN recall suspiciously low: {recall}"
 
 
+def test_ivf_recall_vs_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = similarity.ivf_topk(emb, queries, k=10, n_cells=8, n_probe=2).select("query_id", "vec_id")
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    recall = hit / n_exact
+    # 2-of-8-cell probing touches ~1/4 of the corpus; near-random embeddings
+    # make that roughly the recall floor — require comfortably above it
+    assert recall > 0.2, f"IVF recall suspiciously low: {recall}"
+
+
 def test_cosine_topk_shape(spark, emb):
     out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10).collect()
     assert len(out) == 30
