@@ -436,3 +436,41 @@ def route_iso_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("origin_id", "seconds", "lat", "lon")
     )
+
+
+MONACO_ARTIFACT = "/root/reference/test/data/monaco.osm.pbf.auto.routing"
+_MONACO_ENGINES: dict = {}
+
+
+@register("route_monaco_real_osm", oracle=None,
+          doc="real-OSM end-to-end: the reference's Monaco graph artifact routed through the SQL surface (rows-only)")
+def route_monaco(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loads the reference engine's own cached Monaco graph (bincode
+    RoutingData, 7,338 real OSM nodes) via routing/ref_artifact.py and runs
+    the monaco_routing.test route set through travel_time_route_wkb.
+    Returns an empty frame with a stable schema when the artifact is not
+    present on the host."""
+    import os
+
+    schema = "name string, duration_minutes double, distance_km double"
+    if not os.path.exists(MONACO_ARTIFACT):
+        return spark.createDataFrame([], schema)
+    key = id(spark)
+    if key not in _MONACO_ENGINES:
+        eng = RoutingEngine(spark)
+        eng.load_config(MONACO_ARTIFACT)
+        eng.load_graph(eng._local["auto"], "monaco")  # isolate from the grid mode
+        _MONACO_ENGINES[key] = eng
+    _engine(spark)  # ensure the shared SQL surface (and grid modes) exist
+    _MONACO_ENGINES[key].register()
+    pairs = [
+        ("casino->palace", "POINT(7.4281 43.7396)", "POINT(7.4197 43.7312)"),
+        ("port->jardin", "POINT(7.4260 43.7350)", "POINT(7.4144 43.7311)"),
+        ("larvotto->fontvieille", "POINT(7.4326 43.7452)", "POINT(7.4172 43.7266)"),
+    ]
+    df = spark.createDataFrame(pairs, "name string, f string, t string").repartition(1)
+    return (
+        df.selectExpr("name", "travel_time_route_wkb(f, t, 'monaco') AS r")
+        .selectExpr("name", "r.duration_minutes AS duration_minutes", "r.distance_km AS distance_km")
+        .orderBy("name")
+    )

@@ -72,10 +72,16 @@ def test_optimized_route_via_request(spark, engine):
     assert out["trip"]["summary"]["time"] > 0
 
 
-def test_not_implemented_actions(spark, engine):
-    for action in ("trace_route", "trace_attributes", "height"):
+def test_actions_validate_empty_requests(spark, engine):
+    """All nine actions are implemented now; an empty request still gets a
+    structured validation error, never a raise."""
+    for action, needle in (
+        ("trace_route", "requires a shape"),
+        ("trace_attributes", "requires a shape"),
+        ("height", "requires locations"),
+    ):
         out = json.loads(engine.request(action, "{}"))
-        assert "not implemented" in out["error"].lower()
+        assert needle in out["error"]
 
 
 def test_isochrone_polygons_via_request(spark, engine):
