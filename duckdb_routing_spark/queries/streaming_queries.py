@@ -39,7 +39,39 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("stream_sessionize_stateful", oracle=None, doc="applyInPandasWithState sessionizer (closed sessions; rows-only)")
+# Closed sessions == every island except each user's LAST (still open in
+# state when the stream drains). The stateful operator breaks on a gap
+# STRICTLY greater than 30 min, so the islands flag uses > (compare the
+# session_window oracle, whose end-exclusive semantics use >=).
+STREAM_SESSIONIZE_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(cast(ts as timestamp)) AS us FROM events
+),
+flags AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+sess AS (
+  SELECT user_id, us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flags
+),
+agg AS (
+  SELECT user_id, sid, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+  FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, cast(sid + 1 AS INT) AS session_no, cast(n_events AS INT) AS n_events,
+       start_us, end_us
+FROM agg
+WHERE sid < (SELECT max(a2.sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+ORDER BY user_id, session_no
+"""
+
+
+@register("stream_sessionize_stateful", oracle=STREAM_SESSIONIZE_ORACLE,
+          doc="applyInPandasWithState sessionizer: closed sessions == all-but-last islands")
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     stream = ev.sessionize_stateful(ev.read_events_stream(spark, sf_dir))
