@@ -439,7 +439,6 @@ def route_iso_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MONACO_ARTIFACT = "/root/reference/test/data/monaco.osm.pbf.auto.routing"
-_MONACO_ENGINES: dict = {}
 
 
 @register("route_monaco_real_osm", oracle=None,
@@ -449,20 +448,22 @@ def route_monaco(spark: SparkSession, sf_dir: str) -> DataFrame:
     RoutingData, 7,338 real OSM nodes) via routing/ref_artifact.py and runs
     the monaco_routing.test route set through travel_time_route_wkb.
     Returns an empty frame with a stable schema when the artifact is not
-    present on the host."""
+    present on the host.
+
+    The Monaco graph loads into the SHARED session engine as its own
+    costing mode: registering a second engine would swap the SQL-surface
+    closures to that engine's broadcasts dict and silently re-point every
+    other mode (found by the shuffled double-run state-leak check)."""
     import os
 
     schema = "name string, duration_minutes double, distance_km double"
     if not os.path.exists(MONACO_ARTIFACT):
         return spark.createDataFrame([], schema)
-    key = id(spark)
-    if key not in _MONACO_ENGINES:
-        eng = RoutingEngine(spark)
-        eng.load_config(MONACO_ARTIFACT)
-        eng.load_graph(eng._local["auto"], "monaco")  # isolate from the grid mode
-        _MONACO_ENGINES[key] = eng
-    _engine(spark)  # ensure the shared SQL surface (and grid modes) exist
-    _MONACO_ENGINES[key].register()
+    eng = _engine(spark)
+    if not eng.is_loaded("monaco"):
+        from duckdb_routing_spark.routing.ref_artifact import read_reference_artifact
+
+        eng.load_graph(read_reference_artifact(MONACO_ARTIFACT), "monaco")
     pairs = [
         ("casino->palace", "POINT(7.4281 43.7396)", "POINT(7.4197 43.7312)"),
         ("port->jardin", "POINT(7.4260 43.7350)", "POINT(7.4144 43.7311)"),
