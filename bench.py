@@ -64,7 +64,7 @@ def main() -> None:
     # (instead of 3 back-to-back runs per query) means a burst poisons one
     # round of many queries rather than every run of one query — the
     # per-query min is then a far more stable steady-state estimate.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
     for r in range(runs):
         for name, spec in headline.items():
