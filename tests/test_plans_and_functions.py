@@ -117,3 +117,38 @@ def test_geo_functions_null_handling(spark):
         "SELECT st_astext(NULL) AS a, st_npoints(NULL) AS b, st_centroid(NULL) AS c"
     ).first()
     assert row.a is None and row.b is None and row.c is None
+
+
+def test_new_operator_plans_are_scale_shaped(spark):
+    """Plan audits for the round-2 operators: bucketed joins stay equi-joins
+    (no cartesian products), small sides broadcast, the pair space never
+    materializes globally."""
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.operators import dedup, similarity
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+    plans = {
+        "ivf_topk": audit.formatted_plan(
+            similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+        ),
+        "cosine_near_dup": audit.formatted_plan(
+            similarity.cosine_near_dup_pairs(emb, threshold=0.3, dim=64)
+        ),
+        "lsh_candidates": audit.formatted_plan(dedup.lsh_candidate_pairs(docs)),
+        "winnow": audit.formatted_plan(
+            __import__("duckdb_routing_spark.operators.text", fromlist=["text"]).winnowed_fingerprints(docs)
+        ),
+    }
+    for name, plan in plans.items():
+        if name == "ivf_topk":
+            # the ONLY cartesian allowed is vectors x the tiny seed table
+            # (8 rows, broadcast) for cell assignment
+            assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan, name
+            continue
+        assert "CartesianProduct" not in plan, f"{name} materializes the full pair space"
+    # the near-dup candidate joins are hash equi-joins on bucket keys
+    assert "SortMergeJoin" in plans["lsh_candidates"] or "ShuffledHashJoin" in plans["lsh_candidates"] or "BroadcastHashJoin" in plans["lsh_candidates"]
+    assert "hashpartitioning" in plans["winnow"] or "Window" in plans["winnow"]
