@@ -45,6 +45,7 @@ from duckdb_routing_spark.routing.geometry import (
     any_geometry_to_lonlat,
     build_wkb_linestring,
     build_wkb_polygon,
+    concave_hull_knn,
     convex_hull,
     haversine_m_scalar,
 )
@@ -519,11 +520,16 @@ class RoutingEngine:
     # contour isochrones + optimized route (wrapper-level ops, SURVEY §2.3)
     # ------------------------------------------------------------------
 
-    def isochrone_contours(self, lat: float, lon: float, contours_minutes, costing: str = "auto") -> DataFrame:
+    def isochrone_contours(
+        self, lat: float, lon: float, contours_minutes, costing: str = "auto", concave: bool = True
+    ) -> DataFrame:
         """Polygon contour isochrones (the valhalla_isochrone shape,
         valhalla-wrapper/src/wrapper.cpp:323-383): one polygon per contour
-        level, built as the convex hull of the reachable point cloud.
-        Returns DataFrame(minutes, n_points, geometry WKB POLYGON)."""
+        level over the reachable point cloud — a k-nearest-neighbors concave
+        hull by default (the generalized-contour shape Valhalla produces;
+        SURVEY §2.3), convex hull with concave=False or as the automatic
+        fallback. Returns DataFrame(minutes, n_points, geometry WKB
+        POLYGON)."""
         contours_minutes = sorted(float(m) for m in contours_minutes)
         if len(contours_minutes) > SERVICE_LIMITS["isochrone_max_contours"]:
             raise ValueError("too many contours (service limit 4)")
@@ -539,7 +545,12 @@ class RoutingEngine:
             for minutes in contours_minutes:
                 mask = costs <= minutes * 60_000
                 pts = np.column_stack([g.node_lon[nodes[mask]], g.node_lat[nodes[mask]]])
-                hull = convex_hull(pts) if len(pts) else []
+                if not len(pts):
+                    hull = []
+                elif concave:
+                    hull = concave_hull_knn(pts)
+                else:
+                    hull = convex_hull(pts)
                 rows.append((minutes, len(hull), build_wkb_polygon(hull) if len(hull) >= 3 else None))
         return self.spark.createDataFrame(rows, "minutes double, n_points int, geometry binary")
 

@@ -288,6 +288,15 @@ def build_wkb_polygon(ring: list[tuple[float, float]]) -> bytes | None:
     return bytes(out)
 
 
+def parse_wkb_polygon_ring(data: bytes) -> list[tuple[float, float]]:
+    """Exterior ring of a little-endian single-ring WKB POLYGON (the inverse
+    of build_wkb_polygon); closed (first == last)."""
+    byte_order, geom_type, n_rings, n_pts = struct.unpack_from("<BIII", data, 0)
+    if byte_order != 1 or (geom_type & 0x0FFFFFFF) != _WKB_POLYGON or n_rings < 1:
+        raise ValueError("not a little-endian single-ring WKB POLYGON")
+    return [struct.unpack_from("<dd", data, 13 + 16 * i) for i in range(n_pts)]
+
+
 def convex_hull(points: np.ndarray) -> list[tuple[float, float]]:
     """Andrew's monotone chain over an (n, 2) array of (lon, lat); returns
     the hull ring counter-clockwise (no numpy/scipy dependency beyond sort)."""
@@ -318,3 +327,106 @@ def parse_wkb_linestring(data: bytes) -> list[tuple[float, float]]:
     assert geom_type & 0x0FFFFFFF == _WKB_LINESTRING, "not a LINESTRING"
     pts, _ = _parse_wkb_points(data, 9, endian, n)
     return pts
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    """Proper intersection of open segments (p1,p2) and (p3,p4); shared
+    endpoints do not count."""
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if v == 0 else (1 if v > 0 else -1)
+
+    if p1 in (p3, p4) or p2 in (p3, p4):
+        return False
+    d1, d2 = orient(p3, p4, p1), orient(p3, p4, p2)
+    d3, d4 = orient(p1, p2, p3), orient(p1, p2, p4)
+    return d1 != d2 and d3 != d4 and 0 not in (d1, d2, d3, d4)
+
+
+def _on_segment(pt, a, b) -> bool:
+    (x, y), (x1, y1), (x2, y2) = pt, a, b
+    if (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) != 0:
+        return False
+    return min(x1, x2) <= x <= max(x1, x2) and min(y1, y2) <= y <= max(y1, y2)
+
+
+def _point_in_ring(pt, ring) -> bool:
+    """Ray-casting point-in-polygon; boundary counts as inside — including
+    points lying ON an edge between vertices (grid point clouds put many
+    collinear points on hull edges, which naive parity tests misclassify)."""
+    x, y = pt
+    inside = False
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        if _on_segment(pt, a, b):
+            return True
+        (x1, y1), (x2, y2) = a, b
+        if (y1 > y) != (y2 > y):
+            xs = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            if xs > x:
+                inside = not inside
+    return inside
+
+
+def concave_hull_knn(points: np.ndarray, k: int = 8) -> list[tuple[float, float]]:
+    """Moreira & Santos (2007) k-nearest-neighbors concave hull over an
+    (n, 2) array of (lon, lat): walk the boundary choosing, among the k
+    nearest unused points, the one making the sharpest clockwise turn that
+    does not self-intersect; grow k and retry until the ring closes AND
+    contains every input point. Falls back to the convex hull (which this
+    equals as k -> n) if construction fails. Deterministic: ties resolve by
+    angle then coordinate order."""
+    import math as _m
+
+    pts = [tuple(map(float, p)) for p in np.asarray(points, dtype=np.float64)]
+    pts = sorted(set(pts))
+    n = len(pts)
+    if n < 3:
+        return pts
+    k = max(3, min(k, n - 1))
+    start = min(pts, key=lambda p: (p[1], p[0]))  # lowest lat, then lon
+
+    while k < min(n, 64):
+        hull = [start]
+        used = {start}
+        cur = start
+        prev_angle = _m.pi  # incoming direction: pretend we arrived heading east
+        failed = False
+        for _ in range(4 * n):
+            if len(hull) > 3 and cur == start:
+                break
+            cands = sorted(
+                (p for p in pts if p not in used or (p == start and len(hull) > 2)),
+                key=lambda p: (p[0] - cur[0]) ** 2 + (p[1] - cur[1]) ** 2,
+            )[:k]
+            # sharpest clockwise turn from the incoming bearing
+            def turn(p):
+                ang = _m.atan2(p[1] - cur[1], p[0] - cur[0])
+                return (prev_angle - ang) % (2 * _m.pi)
+
+            cands.sort(key=lambda p: (-turn(p), p))
+            step = None
+            for cand in cands:
+                if any(
+                    _segments_intersect(cur, cand, hull[i], hull[i + 1])
+                    for i in range(len(hull) - 2)
+                ):
+                    continue
+                step = cand
+                break
+            if step is None:
+                failed = True
+                break
+            prev_angle = _m.atan2(cur[1] - step[1], cur[0] - step[0])
+            cur = step
+            if cur == start:
+                break
+            hull.append(cur)
+            used.add(cur)
+        else:
+            failed = True
+        if not failed and len(hull) >= 3 and all(_point_in_ring(p, hull) for p in pts):
+            return [(float(x), float(y)) for x, y in hull]
+        k += 2
+    return convex_hull(np.asarray(pts))

@@ -110,3 +110,33 @@ def test_request_sql_udf(spark, engine):
     assert json.loads(row.s)["loaded"] is True
     assert "engine.request" in json.loads(row.m)["error"]
     assert "Invalid JSON" in json.loads(row.bad)["error"]
+
+
+def test_concave_contours_contain_point_cloud(spark, engine):
+    """Concave contour polygons must contain every reachable point of their
+    level and be no larger than the convex hull."""
+    from duckdb_routing_spark.routing.geometry import (
+        _point_in_ring,
+        convex_hull,
+        parse_wkb_polygon_ring,
+    )
+
+    la, lo = pt(5, 5)
+    rows = engine.isochrone_contours(la, lo, [1.0, 2.0], "auto").collect()
+    pts_df = engine.isochrone(la, lo, 2.0 * 60.0, "auto").collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_points >= 3 and r.geometry is not None
+        ring = parse_wkb_polygon_ring(bytes(r.geometry))
+        level_pts = [(p.lon, p.lat) for p in pts_df if p.seconds <= r.minutes * 60.0]
+        assert all(_point_in_ring(q, ring[:-1]) for q in level_pts), f"contour {r.minutes} leaks points"
+
+    def area(ring):
+        s = 0.0
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+            s += x1 * y2 - x2 * y1
+        return abs(s) / 2
+
+    big = parse_wkb_polygon_ring(bytes(rows[-1].geometry))[:-1]
+    cx = convex_hull(__import__("numpy").asarray([(p.lon, p.lat) for p in pts_df]))
+    assert area(big) <= area(cx) * 1.0001
