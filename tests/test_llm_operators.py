@@ -134,6 +134,29 @@ def test_cosine_topk_shape(spark, emb):
         assert coss == sorted(coss, reverse=True)
 
 
+def test_winnowing_shared_substring_guarantee(spark):
+    """The MOSS winnowing guarantee: two documents sharing a substring of
+    length >= k + w - 1 (= 11 chars at k=8, w=4) share at least one
+    fingerprint."""
+    from duckdb_routing_spark.operators import text as text_ops
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [
+            (1, f"totally unrelated prefix AAAA {shared} BBBB suffix one"),
+            (2, f"zzz different start {shared} and a different ending entirely"),
+            (3, "no overlap here at all, completely disjoint content xyzw"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = text_ops.winnowed_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "docs sharing a 44-char substring share no fingerprint"
+    assert not (by_doc[1] & by_doc[3] and by_doc[2] & by_doc[3]) or True  # doc 3 may collide by chance; no assertion
+
+
 def test_multimodal_pipeline(spark, docs):
     media = multimodal.synthesize_media(docs.limit(50))
     assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()

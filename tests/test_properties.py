@@ -134,3 +134,47 @@ def test_isochrone_matches_bounded_shortest_paths(seed):
             assert reach.get(t) == d
         else:
             assert t not in reach
+
+
+# ---------------------------------------------------------------------------
+# round-2 kernels: frontier SSSP, concave hull, point-in-ring
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=2, max_value=40), st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=30, deadline=None)
+def test_frontier_sssp_equals_dijkstra_on_random_graphs(n, seed):
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(1, n * 3))
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if len(src) == 0:
+        return
+    w = rng.integers(1, 10_000, len(src)).astype(np.int64)
+    lons_a = rng.uniform(-1, 1, n)
+    lats_a = rng.uniform(-1, 1, n)
+    g = RoutingGraph.from_arrays(
+        lons_a, lats_a, src, dst, w, np.ones(len(src)), np.arange(n, dtype=np.int64)
+    )
+    s = int(rng.integers(0, n))
+    dist = kernels.sssp_frontier_ms(g, s)
+    for t in range(n):
+        want = kernels.dijkstra_p2p(g, s, t)
+        got = float(dist[t]) if dist[t] != kernels._INF else kernels.NO_ROUTE
+        assert got == want
+
+
+@given(st.lists(st.tuples(st.floats(0, 10, allow_nan=False), st.floats(0, 10, allow_nan=False)),
+                min_size=3, max_size=60, unique=True))
+@settings(max_examples=40, deadline=None)
+def test_concave_hull_contains_all_points(pts):
+    from duckdb_routing_spark.routing.geometry import _point_in_ring, concave_hull_knn
+
+    arr = np.asarray(pts)
+    ring = concave_hull_knn(arr)
+    if len(ring) < 3:
+        return  # degenerate (collinear) input
+    for p in pts:
+        assert _point_in_ring((float(p[0]), float(p[1])), ring)
