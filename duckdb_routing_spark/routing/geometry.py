@@ -343,11 +343,25 @@ def _segments_intersect(p1, p2, p3, p4) -> bool:
     return d1 != d2 and d3 != d4 and 0 not in (d1, d2, d3, d4)
 
 
-def _on_segment(pt, a, b) -> bool:
+def _on_segment(pt, a, b, eps: float = 1e-9) -> bool:
+    """Point-on-segment with a relative tolerance: a point whose
+    perpendicular distance to the segment is within eps * coordinate scale
+    counts as on it. Exact-zero cross tests misclassify inputs where a
+    vertex was dropped as 'collinear' by the hull but sits a few ulps
+    outside the surviving edge."""
     (x, y), (x1, y1), (x2, y2) = pt, a, b
-    if (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) != 0:
+    scale = max(abs(x), abs(y), abs(x1), abs(y1), abs(x2), abs(y2), 1.0)
+    tol = eps * scale
+    cross = (x2 - x1) * (y - y1) - (y2 - y1) * (x - x1)
+    seg = math.hypot(x2 - x1, y2 - y1)
+    if seg == 0.0:
+        return abs(x - x1) <= tol and abs(y - y1) <= tol
+    if abs(cross) / seg > tol:
         return False
-    return min(x1, x2) <= x <= max(x1, x2) and min(y1, y2) <= y <= max(y1, y2)
+    return (
+        min(x1, x2) - tol <= x <= max(x1, x2) + tol
+        and min(y1, y2) - tol <= y <= max(y1, y2) + tol
+    )
 
 
 def _point_in_ring(pt, ring) -> bool:
