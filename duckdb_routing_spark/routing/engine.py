@@ -456,16 +456,14 @@ class RoutingEngine:
                         for j in range(len(dst)):
                             out.append((int(r.from_idx), j, None, None))
                         continue
-                    w_ms, prev = kernels.dijkstra_multi_target(g, s, tgt_nodes)
+                    w_ms, pred = kernels.sssp_multi_target(g, s, tgt_nodes)
                     for j, t in enumerate(tgt_nodes):
                         if t < 0 or w_ms[j] < 0:
                             out.append((int(r.from_idx), j, None, None))
                             continue
                         # reconstruct path for the native distance semantics
-                        path = [int(t)]
-                        while path[-1] != s:
-                            path.append(prev[path[-1]])
-                        d_m = kernels.path_distance_m(g, path[::-1])
+                        path = kernels.path_from_pred(pred, s, int(t))
+                        d_m = kernels.path_distance_m(g, path)
                         out.append((int(r.from_idx), j, d_m, w_ms[j] / 1000.0))
                 yield pd.DataFrame(out, columns=["from_idx", "to_idx", "distance_m", "duration_s"])
 
@@ -570,7 +568,7 @@ class RoutingEngine:
             return {"error": "no road near location"}
         dur = np.full((n, n), np.inf)
         for i in range(n):
-            w, _ = kernels.dijkstra_multi_target(g, int(snapped[i]), snapped)
+            w, _ = kernels.sssp_multi_target(g, int(snapped[i]), snapped)
             dur[i] = np.where(w < 0, np.inf, w)
         order = [0]
         todo = set(range(1, n))

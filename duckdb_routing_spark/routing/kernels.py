@@ -196,6 +196,64 @@ def sssp_frontier_ms(g: RoutingGraph, src: int) -> np.ndarray:
     return dist
 
 
+def shortest_path_tree(g: RoutingGraph, dist: np.ndarray, src: int) -> np.ndarray:
+    """Derive a deterministic predecessor array from converged SSSP labels.
+
+    np.minimum.at in sssp_frontier_ms cannot track argmins, so instead of
+    threading predecessors through the scatter loop we recover them after
+    convergence in one vectorized pass: an edge (u -> v, w) is *tight* iff
+    dist[u] + w == dist[v]; every reachable non-source node has at least one
+    tight incoming edge, and picking the lowest-numbered tight edge per node
+    yields a valid shortest-path tree (same guarantee CH unpacking gives the
+    reference, rust/src/lib.rs:246-261 — any tight tree is a shortest path;
+    durations are tie-independent). Returns int64 pred with -1 for the
+    source and unreachable nodes."""
+    indptr, indices, weights = g.indptr, g.indices, g.weights_ms
+    n = g.num_nodes
+    usrc = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    reach = dist[usrc] != _INF
+    tight = np.zeros(len(indices), dtype=bool)
+    r = np.flatnonzero(reach)
+    tight[r] = dist[usrc[r]] + weights[r] == dist[indices[r]]
+    te = np.flatnonzero(tight)
+    tv = indices[te]
+    order = np.argsort(tv, kind="stable")  # edge index ascending within each target
+    tv_sorted = tv[order]
+    first = np.ones(len(tv_sorted), dtype=bool)
+    first[1:] = tv_sorted[1:] != tv_sorted[:-1]
+    pred = np.full(n, -1, dtype=np.int64)
+    sel = te[order][first]
+    pred[tv_sorted[first]] = usrc[sel]
+    pred[src] = -1
+    return pred
+
+
+def path_from_pred(pred: np.ndarray, src: int, dst: int) -> list[int] | None:
+    """Walk a predecessor array from dst back to src; None if disconnected."""
+    path = [int(dst)]
+    while path[-1] != src:
+        p = int(pred[path[-1]])
+        if p < 0:
+            return None
+        path.append(p)
+    path.reverse()
+    return path
+
+
+def sssp_multi_target(g: RoutingGraph, src: int, targets: np.ndarray):
+    """Vectorized replacement for dijkstra_multi_target on the matrix path:
+    one frontier SSSP + tight-edge tree serves every destination. Returns
+    (weights_ms float64[M] with -1.0 unreachable, pred int64[n])."""
+    dist = sssp_frontier_ms(g, src)
+    pred = shortest_path_tree(g, dist, src)
+    out = np.full(len(targets), NO_ROUTE, dtype=np.float64)
+    for i, t in enumerate(targets):
+        t = int(t)
+        if t >= 0 and dist[t] != _INF:
+            out[i] = float(dist[t])
+    return out, pred
+
+
 # ---------------------------------------------------------------------------
 # batch wrappers (the Arrow-batch entry points)
 # ---------------------------------------------------------------------------

@@ -166,6 +166,42 @@ def test_frontier_sssp_equals_dijkstra_on_random_graphs(n, seed):
         assert got == want
 
 
+@given(st.integers(min_value=2, max_value=40), st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=30, deadline=None)
+def test_tight_edge_tree_yields_valid_shortest_paths(n, seed):
+    """shortest_path_tree: every reachable node's pred-walk is a real path
+    whose edge-weight sum equals the SSSP label (i.e. the tree is a valid
+    shortest-path tree, not just label-consistent)."""
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(1, n * 3))
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if len(src) == 0:
+        return
+    w = rng.integers(1, 10_000, len(src)).astype(np.int64)
+    g = RoutingGraph.from_arrays(
+        rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), src, dst, w,
+        np.ones(len(src)), np.arange(n, dtype=np.int64),
+    )
+    s = int(rng.integers(0, n))
+    dist = kernels.sssp_frontier_ms(g, s)
+    pred = kernels.shortest_path_tree(g, dist, s)
+    edge_w = {}
+    for u, v, ww in zip(src, dst, w):
+        key = (int(u), int(v))
+        edge_w[key] = min(edge_w.get(key, np.inf), int(ww))
+    for t in range(n):
+        if dist[t] == kernels._INF:
+            assert pred[t] == -1
+            continue
+        path = kernels.path_from_pred(pred, s, t)
+        assert path is not None and path[0] == s and path[-1] == t
+        total = sum(edge_w[(path[i], path[i + 1])] for i in range(len(path) - 1))
+        assert total == int(dist[t])
+
+
 @given(st.lists(st.tuples(st.floats(0, 10, allow_nan=False), st.floats(0, 10, allow_nan=False)),
                 min_size=3, max_size=60, unique=True))
 @settings(max_examples=40, deadline=None)
