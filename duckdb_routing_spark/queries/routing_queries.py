@@ -15,12 +15,16 @@ relative assertions in tests/test_routing_engine.py instead).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_routing_spark.queries.registry import register
+from duckdb_routing_spark.routing import kernels
 from duckdb_routing_spark.routing.engine import RoutingEngine
+from duckdb_routing_spark.routing.graph import RoutingGraph
 from duckdb_routing_spark.testing import (
     build_grid_graph,
     grid_edge_values_sql,
@@ -341,6 +345,43 @@ def route_tile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     osm_nodes = spark.createDataFrame(grid_nodes(nrows, ncols, island=False))
     nodes, edges = build_mode_graph_df(spark, segments_from_ways(ways), osm_nodes, "auto")
     return nodes.agg(F.count("*").alias("n_nodes")).crossJoin(edges.agg(F.count("*").alias("n_edges")))
+
+
+# ---------------------------------------------------------------------------
+# raw .osm.pbf ingestion (#9 end-to-end): encode the grid as a real PBF,
+# decode it distributed, build the graph, route — oracled against the same
+# recursive-CTE shortest paths as route_travel_time (identical grid)
+# ---------------------------------------------------------------------------
+
+
+@register("route_pbf_build", oracle=TRAVEL_TIME_ORACLE,
+          doc="raw .osm.pbf -> distributed blob decode -> tile build -> routed durations")
+def route_pbf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from duckdb_routing_spark.routing.osm_build import build_mode_graph_df, segments_from_ways
+    from duckdb_routing_spark.sources.osm_pbf import read_osm_pbf, write_osm_pbf
+    from duckdb_routing_spark.testing import grid_nodes, grid_ways
+
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_grid.osm.pbf")
+    if not os.path.exists(path):
+        nodes_pdf = grid_nodes()
+        write_osm_pbf(
+            path,
+            [(int(r.node_id), float(r.lon), float(r.lat)) for r in nodes_pdf.itertuples(index=False)],
+            grid_ways(),
+            blob_nodes=32,  # several blobs -> the decode actually fans out
+        )
+    ways, osm_nodes = read_osm_pbf(spark, path)
+    nodes, edges = build_mode_graph_df(spark, segments_from_ways(ways), osm_nodes, "auto")
+    g = RoutingGraph.from_pandas(nodes.toPandas(), edges.toPandas())
+    rows = []
+    for pid, s, d in _OD_PAIRS:
+        la1, lo1 = _node_latlon(s)
+        la2, lo2 = _node_latlon(d)
+        dur = kernels.batch_travel_time_s(g, [la1], [lo1], [la2], [lo2])[0]
+        rows.append((pid, None if np.isnan(dur) else float(dur)))
+    return spark.createDataFrame(rows, "pair_id int, duration_s double").orderBy("pair_id")
 
 
 # ---------------------------------------------------------------------------

@@ -196,18 +196,17 @@ def build_tiles(
 
 
 def read_osm_pbf(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
-    """Parse an .osm.pbf into (ways, nodes) DataFrames.
+    """Parse an .osm.pbf into (ways, osm_nodes) DataFrames — the raw-file
+    entry point the reference CLI has (valhalla_build_tiles_simple.cpp:153).
+    Pure-Python distributed decoder (sources/osm_pbf.py): the driver scans
+    blob framing only; executors decode their own byte ranges in parallel."""
+    from duckdb_routing_spark.sources.osm_pbf import read_osm_pbf as _read
 
-    PBF decoding needs an OSM reader (osmium/pyrosm), which is not in this
-    image — gated behind an import-try; the rest of the pipeline is real and
-    tested via the DataFrame entry points above. Parquet/JSON-exported way
-    tables load directly with spark.read."""
-    try:
-        import osmium  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "OSM PBF decoding requires the 'osmium' package (not in this image). "
-            "Provide ways/nodes as DataFrames (way_id, nodes, highway, oneway) "
-            "and (node_id, lon, lat) instead — see build_tiles()."
-        ) from e
-    raise NotImplementedError("osmium-based reader: planned; DataFrame path is the supported route")
+    return _read(spark, path)
+
+
+def build_tiles_from_pbf(spark: SparkSession, pbf_path: str, out_dir: str, modes=MODES) -> str:
+    """One-call raw-PBF build: decode + graph build + artifact save (the
+    `valhalla_build_tiles <pbf> <out>` shape)."""
+    ways, nodes = read_osm_pbf(spark, pbf_path)
+    return build_tiles(spark, ways, nodes, out_dir, modes)

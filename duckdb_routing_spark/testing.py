@@ -55,6 +55,24 @@ def grid_segments(nrows: int = 10, ncols: int = 10, oneway_row: int = 1, island:
     return pd.DataFrame(rows, columns=["src", "dst", "highway", "oneway"])
 
 
+def grid_ways(nrows: int = 10, ncols: int = 10, oneway_row: int = 1, island: bool = True) -> list:
+    """The lattice as OSM-ish multi-node ways — one way per row / column
+    (exercises refs delta coding), same segment set as grid_segments():
+    [(way_id, refs, highway, oneway)]."""
+    ways, wid = [], 0
+    for r in range(nrows):
+        ways.append((wid, [r * ncols + c for c in range(ncols)], "residential",
+                     "yes" if r == oneway_row else "no"))
+        wid += 1
+    for c in range(ncols):
+        ways.append((wid, [r * ncols + c for r in range(nrows)], "secondary", None))
+        wid += 1
+    if island:
+        n = nrows * ncols
+        ways.append((wid, [n, n + 1], "residential", None))
+    return ways
+
+
 def build_grid_graph(
     mode: str = "auto", nrows: int = 10, ncols: int = 10, oneway_row: int = 1, island: bool = True
 ) -> RoutingGraph:

@@ -1,0 +1,61 @@
+"""Pure-Python OSM PBF codec: wire-level round-trip and end-to-end
+raw-PBF -> tile-build -> routing parity with the pandas fixture builder."""
+
+import pytest
+
+from duckdb_routing_spark.sources.osm_pbf import (
+    _enc_varint,
+    _enc_zigzag,
+    _read_varint,
+    _zigzag,
+    scan_blobs,
+    write_osm_pbf,
+)
+from duckdb_routing_spark.testing import build_grid_graph, grid_nodes, grid_ways as _grid_ways
+
+
+def test_varint_zigzag_roundtrip():
+    for v in [0, 1, 127, 128, 300, 2**35, -1, -128, -(2**35)]:
+        if v >= 0:
+            got, _ = _read_varint(_enc_varint(v), 0)
+            assert got == v
+        assert _zigzag(_enc_zigzag(v)) == v
+
+
+def test_pbf_roundtrip(spark, tmp_path):
+    nodes = grid_nodes()
+    node_tuples = [(int(r.node_id), float(r.lon), float(r.lat)) for r in nodes.itertuples(index=False)]
+    ways = _grid_ways()
+    path = str(tmp_path / "grid.osm.pbf")
+    write_osm_pbf(path, node_tuples, ways, blob_nodes=40)  # forces multiple blobs
+
+    kinds = [k for k, _, _ in scan_blobs(path)]
+    assert kinds[0] == "OSMHeader" and kinds.count("OSMData") >= 3
+
+    from duckdb_routing_spark.sources.osm_pbf import read_osm_pbf
+
+    ways_df, nodes_df = read_osm_pbf(spark, path)
+    got_nodes = {(r.node_id, r.lon, r.lat) for r in nodes_df.collect()}
+    # grid coords are multiples of 1e-3 deg — exact on the PBF 1e-7 grid
+    assert got_nodes == set(node_tuples)
+    got_ways = {(r.way_id, tuple(r.nodes), r.highway, r.oneway) for r in ways_df.collect()}
+    assert got_ways == {(w, tuple(refs), hw, ow) for w, refs, hw, ow in ways}
+
+
+def test_build_from_pbf_matches_pandas_build(spark, tmp_path):
+    from duckdb_routing_spark.routing import kernels
+    from duckdb_routing_spark.routing.graph import RoutingGraph
+    from duckdb_routing_spark.routing.osm_build import build_tiles_from_pbf
+
+    nodes = grid_nodes()
+    node_tuples = [(int(r.node_id), float(r.lon), float(r.lat)) for r in nodes.itertuples(index=False)]
+    path = str(tmp_path / "grid.osm.pbf")
+    write_osm_pbf(path, node_tuples, _grid_ways())
+    out = build_tiles_from_pbf(spark, path, str(tmp_path / "tiles"), modes=("auto",))
+    g = RoutingGraph.load(out, "auto")
+    g_ref = build_grid_graph("auto")
+    assert g.num_nodes == g_ref.num_nodes
+    assert g.num_edges == g_ref.num_edges
+    assert kernels.dijkstra_p2p(g, 0, 99) == pytest.approx(kernels.dijkstra_p2p(g_ref, 0, 99))
+    # oneway row: reverse edge suppressed in both builds
+    assert kernels.dijkstra_p2p(g, 11, 10) == pytest.approx(kernels.dijkstra_p2p(g_ref, 11, 10))
