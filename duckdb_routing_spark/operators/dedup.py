@@ -132,6 +132,76 @@ def bands_from_shingles(sh: DataFrame, n_hashes: int = 12, band_size: int = 3) -
     )
 
 
+def shingle_hash_base(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Distinct (doc_id, h1, h2): the two 60-bit md5 halves of each word
+    k-gram shingle — one shared representation serving BOTH MinHash bands
+    (min over the hashed set == min over the multiset) and exact Jaccard
+    (intersection joins key on two longs instead of shingle strings; the
+    string never crosses a shuffle). Collision odds are ~2^-120 per shingle
+    pair — Jaccard counts are exact in practice."""
+    h = F.md5(F.col("shingle"))
+    return (
+        shingles(docs, id_col, text_col, k, distinct=False)
+        .select(
+            "doc_id",
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("h2"),
+        )
+        .distinct()
+    )
+
+
+def bands_from_hashes(base: DataFrame, n_hashes: int = 12, band_size: int = 3) -> DataFrame:
+    """bands_from_shingles over a pre-hashed (doc_id, h1, h2) base — same
+    Carter-Wegman values ((h1%p + i*(h2%p)) % p == the string formulation),
+    zero additional hashing."""
+    p = MH_PRIME
+    aggs = [
+        F.min((F.col("h1") % p + F.lit(i) * (F.col("h2") % p)) % p).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sig = base.groupBy("doc_id").agg(*aggs)
+    n_bands = (n_hashes + band_size - 1) // band_size
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh{i}") for i in range(b * band_size, min((b + 1) * band_size, n_hashes))],
+            ).alias("band_sig"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig")
+    )
+
+
+def jaccard_from_hashes(base: DataFrame, pairs: DataFrame) -> DataFrame:
+    """jaccard_for_pairs over the hashed base: identical counts, long keys."""
+    sizes = base.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(base.select(F.col("doc_id").alias("doc_a"), "h1", "h2"), "doc_a")
+        .join(base.select(F.col("doc_id").alias("doc_b"), "h1", "h2"), ["doc_b", "h1", "h2"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -199,14 +269,23 @@ def near_dup_pairs(
     This is the 100 TB-shaped composition: the quadratic step only touches
     LSH survivors.
 
-    The shingle table and candidate set are persisted: the Jaccard stage
-    consumes each of them twice (two joins / two size lookups), and without
-    materialization Spark re-executes the full LSH DAG per consumer (~6x
-    wall-clock at sf0.1; at cluster scale these would be written to a
+    The hashed shingle base and candidate set are persisted: the Jaccard
+    stage consumes each of them twice (two joins / two size lookups), and
+    without materialization Spark re-executes the full LSH DAG per consumer
+    (~6x wall-clock at sf0.1; at cluster scale these would be written to a
     staging table between stages)."""
-    sh = shingles(docs, id_col, text_col, k).persist()
-    cands = lsh_candidate_pairs(docs, id_col, text_col, k, n_hashes, band_size, sh=sh).persist()
-    return jaccard_for_pairs(sh, cands).filter(F.col("jaccard") >= threshold)
+    base = shingle_hash_base(docs, id_col, text_col, k).persist()
+    bands = bands_from_hashes(base, n_hashes, band_size)
+    a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+    cands = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist()
+    )
+    return jaccard_from_hashes(base, cands).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -45,9 +45,9 @@ def haversine_col(lon1, lat1, lon2, lat2):
     return F.lit(2.0 * r) * F.asin(F.sqrt(a))
 
 
-def dense_rank_by(df: DataFrame, key: str, out_col: str) -> DataFrame:
+def dense_rank_by(df: DataFrame, key: str, out_col: str) -> tuple[DataFrame, int]:
     """Add a dense 0..N-1 id ordered by integer `key` (distinct values
-    assumed), WITHOUT a global single-partition window.
+    assumed), WITHOUT a global single-partition window. Returns (df, n_rows).
 
     Two-phase remap (the distributed zipWithIndex):
       1. split the key range into n ordered buckets (deterministic value
@@ -69,7 +69,7 @@ def dense_rank_by(df: DataFrame, key: str, out_col: str) -> DataFrame:
     df = df.persist()
     lo, hi = df.agg(F.min(key), F.max(key)).first()
     if lo is None:  # empty input
-        return df.withColumn(out_col, F.lit(None).cast("long"))
+        return df.withColumn(out_col, F.lit(None).cast("long")), 0
     span = max(1, int(hi) - int(lo) + 1)
     n_parts = min(n_parts, span)
     bucket = F.floor((F.col(key).cast("long") - F.lit(int(lo))) * n_parts / F.lit(span)).cast("int")
@@ -81,10 +81,10 @@ def dense_rank_by(df: DataFrame, key: str, out_col: str) -> DataFrame:
         cum += counts.get(i, 0)
     off_expr = F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("_b") + 1)
     w = Window.partitionBy("_b").orderBy(key)
-    return (
-        b.withColumn(out_col, (F.row_number().over(w) - 1 + off_expr).cast("long"))
-        .drop("_b")
-    )
+    out = b.withColumn(out_col, (F.row_number().over(w) - 1 + off_expr).cast("long")).drop("_b")
+    # cum == total rows — already known driver-side from the bucket counts,
+    # so callers can decide to broadcast the id map without another job
+    return out, cum
 
 
 def segments_from_ways(ways: DataFrame) -> DataFrame:
@@ -161,14 +161,23 @@ def build_mode_graph_df(
         .groupBy("osm_id")
         .agg(F.max("is_main").alias("main_road"))
     )
-    id_map = dense_rank_by(node_flags, "osm_id", "node_id").persist()
+    id_map, n_map = dense_rank_by(node_flags, "osm_id", "node_id")
+    id_map = id_map.persist()
+    # a country-sized id map (~10M rows x 16 B) broadcasts comfortably; the
+    # threshold keeps planet-scale builds on sort-merge joins
+    bcast = n_map <= 20_000_000
+    hint = F.broadcast if bcast else (lambda d: d)
     nodes = (
-        id_map.join(osm_nodes.withColumnRenamed("node_id", "osm_id"), "osm_id", "inner")
+        hint(id_map).join(osm_nodes.withColumnRenamed("node_id", "osm_id"), "osm_id", "inner")
         .select("node_id", "lon", "lat", "main_road")
     )
     m1 = id_map.select(F.col("osm_id").alias("src_osm"), F.col("node_id").alias("src"))
     m2 = id_map.select(F.col("osm_id").alias("dst_osm"), F.col("node_id").alias("dst"))
-    edges = directed.join(m1, "src_osm").join(m2, "dst_osm").select("src", "dst", "weight_ms", "length_m")
+    edges = (
+        directed.join(hint(m1), "src_osm")
+        .join(hint(m2), "dst_osm")
+        .select("src", "dst", "weight_ms", "length_m")
+    )
     return nodes, edges
 
 

@@ -277,7 +277,8 @@ def test_dense_rank_by_is_parallel_and_correct(spark):
     df = spark.range(0, 10_000).select(
         (F.col("id") * 7919 % 100_000).alias("osm_id")
     ).distinct()
-    out = dense_rank_by(df, "osm_id", "node_id")
+    out, n = dense_rank_by(df, "osm_id", "node_id")
+    assert n == df.count()
     plan = audit.formatted_plan(out)
     assert "hashpartitioning(_b" in plan, plan[:3000]
     assert "Exchange SinglePartition" not in plan, plan[:3000]
