@@ -1,0 +1,105 @@
+"""K-means (Lloyd) over an embedding column — the clustering step of a
+training-data curation pipeline (topic balancing, dedup-by-centroid,
+curriculum bucketing).
+
+Spark shape (the canonical distributed Lloyd): centroids are tiny (k x dim)
+and live on the driver; each iteration is ONE distributed pass — a
+broadcast-join assignment (corpus never shuffles for scoring) followed by a
+posexplode + exact-decimal centroid mean (one shuffle on (cluster, dim)).
+Iterations are a driver loop over collect()s of k*dim values — the only
+driver state is the centroid matrix itself.
+
+Oracle parity: every distance is expressed through dot products
+(x.x - 2 x.c + c.c) computed by the order-preserving sequential kernel
+(similarity._dot_seq), which is bit-identical to DuckDB's
+list_dot_product; centroid means use exact DECIMAL sums (the repo's
+no-round() policy), so a chained-CTE DuckDB oracle reproduces the full
+iteration history bit-for-bit. Deterministic init: the k lowest-id vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from duckdb_routing_spark.operators.similarity import _dot_seq
+
+# exact-mean formula copied from emb_label_centroids (proven oracle parity):
+# cast(sum(decimal(18,9)) as double) / count
+_DEC = "decimal(18,9)"
+
+
+def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]], id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, cluster_id): argmin_c ||x-c||^2 via x.x - 2 x.c + c.c with
+    ties broken by cluster id. x.x is constant per row -> dropped from the
+    argmin; c.c is a literal computed by the SAME sequential kernel (on a
+    one-row frame) so its value matches the oracle's list_dot_product."""
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "cluster_id int, cvec array<double>"
+    )
+    cdf = cdf.withColumn("cc", _dot_seq(F.col("cvec"), F.col("cvec")))
+    scored = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            "vec_id",
+            "cluster_id",
+            (F.lit(-2.0) * _dot_seq(F.col("v"), F.col("cvec")) + F.col("cc")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("score", "cluster_id")
+    return scored.withColumn("_rk", F.row_number().over(w)).filter("_rk = 1").select(
+        "vec_id", "cluster_id"
+    )
+
+
+def _update(
+    emb: DataFrame, assigned: DataFrame, prev: list, id_col: str, vec_col: str, dim: int
+) -> list:
+    """New centroids as exact-decimal per-dimension means, collected to the
+    driver (k x dim values). An empty cluster keeps its previous centroid
+    (the standard Lloyd convention — mirrored in the oracle by a LEFT JOIN
+    against the previous centroid set)."""
+    joined = assigned.join(
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")),
+        "vec_id",
+    )
+    means = (
+        joined.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster_id", "pos")
+        .agg(
+            (F.sum(F.col("val").cast("double").cast(_DEC)).cast("double") / F.count("*")).alias("m")
+        )
+    )
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in means.collect():
+        by_cid.setdefault(r.cluster_id, {})[r.pos] = r.m
+    return [
+        (cid, [by_cid[cid][p] for p in range(dim)] if cid in by_cid else pvec)
+        for cid, pvec in prev
+    ]
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run `iterations` Lloyd steps from the k lowest-id seed vectors;
+    returns the final (vec_id, cluster_id) assignment."""
+    dim = len(emb.select(vec_col).first()[0])
+    seeds = (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, list(r.v)) for i, r in enumerate(seeds)]
+    emb = emb.persist()
+    for _ in range(iterations - 1):
+        assigned = _assign(emb, centroids, id_col, vec_col)
+        centroids = _update(emb, assigned, centroids, id_col, vec_col, dim)
+    return _assign(emb, centroids, id_col, vec_col).orderBy("vec_id")

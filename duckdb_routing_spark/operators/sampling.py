@@ -1,0 +1,63 @@
+"""Deterministic sampling / splitting operators for training-data curation.
+
+Both operators avoid rand(): every decision is a pure function of the row
+key and a salt, so (a) re-runs and retries give identical output on a
+cluster (Spark tasks can re-execute — nondeterministic sampling silently
+duplicates or drops rows under retry), and (b) the DuckDB oracle reproduces
+them bit-for-bit with the same md5 arithmetic used by the MinHash pipeline.
+
+100 TB shape: hash_split is a stateless map (no shuffle at all); quota
+sample is one window per group key — the shuffle is on the group column,
+and per-group state is a counter, not a buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SPLIT_BUCKETS = 10_000
+
+
+def _hash_bucket(key_col, salt: str):
+    """60-bit md5 half of (key || ':' || salt), mod 10k — the same
+    engine-portable construction as dedup.MH_PRIME hashing; in DuckDB:
+    ('0x' || substr(md5(key || ':salt'), 1, 15))::BIGINT % 10000."""
+    h = F.md5(F.concat(key_col.cast("string"), F.lit(":" + salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % SPLIT_BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    fractions: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a `split` column ('train'/'val'/'test' by default) assigned by
+    hash bucket — deterministic, stateless, no shuffle; fractions hold in
+    expectation per 10k-bucket granularity."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    bucket = _hash_bucket(F.col(key_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        cum += fractions[name]
+        cond = bucket < int(round(cum * SPLIT_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])).alias("split")
+    return df.withColumn("split", expr)
+
+
+def quota_per_group(
+    df: DataFrame,
+    group_col: str,
+    quota: int,
+    key_col: str = "doc_id",
+    salt: str = "quota",
+) -> DataFrame:
+    """Keep at most `quota` rows per group, chosen by hash order (a
+    deterministic uniform subsample within each group, not head-of-file
+    bias); ties broken by key so the survivor set is total-ordered."""
+    w = Window.partitionBy(group_col).orderBy(_hash_bucket(F.col(key_col), salt), F.col(key_col))
+    return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= quota).drop("_rk")

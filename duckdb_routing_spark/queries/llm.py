@@ -504,3 +504,95 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all-pairs DEFINITION, so the hash match proves the banding is lossless.
     sig = dedup.simhash16(table(spark, sf_dir, "documents"))
     return dedup.simhash_hamming_pairs(sig, max_hamming=2).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# curation operators: deterministic split / quota sample / k-means
+# ---------------------------------------------------------------------------
+
+HASH_SPLIT_ORACLE = """
+SELECT split, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+         n_chars
+  FROM (SELECT ('0x' || substr(md5(doc_id || ':split'), 1, 15))::BIGINT % 10000 AS b, n_chars
+        FROM documents)
+)
+GROUP BY split ORDER BY split
+"""
+
+
+@register("doc_hash_split", oracle=HASH_SPLIT_ORACLE,
+          doc="deterministic 80/10/10 train/val/test split (hash-bucketed, retry-stable)")
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_routing_spark.operators import sampling
+
+    docs = sampling.hash_split(table(spark, sf_dir, "documents"))
+    return (
+        docs.groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("split")
+    )
+
+
+QUOTA_ORACLE = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(doc_id || ':quota'), 1, 15))::BIGINT % 10000, doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+ORDER BY source, doc_id
+"""
+
+
+@register("doc_quota_sample", oracle=QUOTA_ORACLE,
+          doc="per-source quota subsample (<=20 docs/source, hash-ordered — no head-of-file bias)")
+def doc_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_routing_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.quota_per_group(docs, "source", 20).orderBy("source", "doc_id")
+
+
+def _kmeans_oracle(k: int = 4, iters: int = 3) -> str:
+    """Chained-CTE mirror of clustering.kmeans_lloyd: every iteration's
+    assignment and exact-decimal centroid mean reproduced bit-for-bit
+    (distances via list_dot_product == the sequential Spark kernel)."""
+    parts = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS cvec\n"
+        f"       FROM e ORDER BY vec_id LIMIT {k})",
+    ]
+    for i in range(iters):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY -2.0 * list_dot_product(e.v, c.cvec) + list_dot_product(c.cvec, c.cvec),
+                      c.cluster_id) AS rk
+    FROM e CROSS JOIN c{i} c)
+  WHERE rk = 1)""")
+        if i < iters - 1:
+            parts.append(f"""m{i} AS (
+  SELECT cluster_id, pos, cast(sum(cast(val AS DECIMAL(18,9))) AS DOUBLE) / count(*) AS m
+  FROM (SELECT a.cluster_id, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS pos
+        FROM a{i} a JOIN e USING (vec_id))
+  GROUP BY cluster_id, pos),
+c{i + 1} AS (
+  SELECT c.cluster_id, coalesce(mm.cvec, c.cvec) AS cvec
+  FROM c{i} c LEFT JOIN (SELECT cluster_id, list(m ORDER BY pos) AS cvec
+                         FROM m{i} GROUP BY cluster_id) mm USING (cluster_id))""")
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT vec_id, cluster_id FROM a{iters - 1} ORDER BY vec_id"
+    )
+
+
+@register("emb_kmeans", oracle=_kmeans_oracle(),
+          doc="k-means (4 clusters, 3 Lloyd iterations) over embeddings; full iteration-history parity")
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_routing_spark.operators import clustering
+
+    return clustering.kmeans_lloyd(table(spark, sf_dir, "embeddings"), k=4, iterations=3)
