@@ -29,7 +29,25 @@ def main() -> None:
     # 4 shuffle partitions beat cores-many by ~8x wall-clock; scale this with
     # data volume on a real cluster, not with core count
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4"))
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=shuffle)
+    # AQE off for the bench (measured: near_dup_pairs 3.9s -> 2.2s at sf0.1):
+    # each adaptive shuffle stage waits for runtime stats and re-plans, and at
+    # benchmark scale that re-planning latency outweighs any plan improvement.
+    # Production sessions (get_spark default) keep AQE on — coalescing and
+    # skew-join handling are exactly what you want at cluster data volumes.
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle,
+        extra_conf={
+            "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
+            "spark.locality.wait": "0",
+            # lz4 setup cost per tiny shuffle block outweighs the bytes saved
+            # at sf0.1 (measured ~-1s on near_dups); a real cluster keeps
+            # compression on for network-bound shuffles
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+        },
+    )
 
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
 

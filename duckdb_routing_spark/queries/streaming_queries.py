@@ -120,3 +120,38 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return out
+
+
+# The stream is deliberately DOUBLED (each event exploded into two copies)
+# before the dedup operator, so the parity check proves real dedup work:
+# drained output == DISTINCT over the original events, not a no-op pass.
+STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(*) AS n_events
+FROM (SELECT DISTINCT user_id, cast(ts as timestamp) AS tsu, event_type FROM events)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("stream_dedup_exact", oracle=STREAM_DEDUP_ORACLE,
+          doc="watermark-bounded streaming dropDuplicates on a doubled stream == batch DISTINCT")
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    raw = ev.read_events_stream(spark, sf_dir)
+    doubled = raw.withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2)))).drop("_copy")
+    stream = ev.streaming_dedup_exact(doubled)
+    q = ev.run_stream_to_memory(stream, name, output_mode="append")
+    try:
+        out = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_events"))
+            .orderBy("event_type")
+            .cache()
+        )
+        out.count()
+    finally:
+        q.stop()
+    return out

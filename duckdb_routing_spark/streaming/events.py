@@ -154,6 +154,17 @@ def streaming_session_windows(events: DataFrame, gap: str = "30 minutes") -> Dat
     )
 
 
+def streaming_dedup_exact(events: DataFrame, keys=("user_id", "ts", "event_type")) -> DataFrame:
+    """Streaming exact deduplication: watermark-bounded dropDuplicates.
+
+    The 100 TB shape for continuous-ingest dedup (the streaming counterpart
+    of dedup.exact_dedup_keep_first): state holds ONE entry per key and the
+    watermark bounds how long each entry lives, so state size tracks the
+    duplicate-arrival horizon, not the stream's history. First occurrence
+    wins and emits immediately (append mode)."""
+    return events.withWatermark("ts", "2 hours").dropDuplicates(list(keys))
+
+
 def run_stream_foreach_batch(df: DataFrame, out_dir: str, output_mode: str = "append"):
     """foreachBatch parquet sink: each micro-batch lands as parquet under
     out_dir/batch=<id> through ordinary batch writers — the idiomatic escape

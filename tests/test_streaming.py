@@ -46,3 +46,30 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     got = spark.read.parquet(os.path.join(out_dir, "batch=*")).count()
     want = spark.read.parquet(f"{SF_ORACLE}/events.parquet").count()
     assert got == want
+
+
+def test_streaming_dedup_on_doubled_stream(spark):
+    """Watermarked dropDuplicates must collapse an exploded 2x stream back
+    to the batch DISTINCT cardinality."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.streaming import events as ev
+    from tests.conftest import SF_SMOKE
+
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    raw = ev.read_events_stream(spark, SF_SMOKE)
+    doubled = raw.withColumn("_c", F.explode(F.array(F.lit(1), F.lit(2)))).drop("_c")
+    q = ev.run_stream_to_memory(ev.streaming_dedup_exact(doubled), name)
+    try:
+        got = spark.table(name).count()
+    finally:
+        q.stop()
+    want = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .selectExpr("user_id", "timestamp_micros(ts div 1000) AS tsu", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got == want
