@@ -47,6 +47,11 @@ def get_spark(
         # the events table stores timestamp[ns]; Spark has no nanos timestamp,
         # so read as long and convert explicitly (see queries.registry.table)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # untagged parquet timestamp[us] (isAdjustedToUTC=false) would infer
+        # as TIMESTAMP_NTZ under Spark 4.x; with session tz pinned UTC the
+        # NTZ/LTZ distinction is vacuous, and the DuckDB oracle casts to
+        # plain TIMESTAMP — keep both sides on TIMESTAMP
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
@@ -75,7 +80,9 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
 
     Mirrors the oracle harness, which pre-registers the same names in DuckDB.
     """
+    from duckdb_routing_spark.queries.registry import table
+
     for name in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            table(spark, sf_dir, name).createOrReplaceTempView(name)

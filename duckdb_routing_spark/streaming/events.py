@@ -22,34 +22,43 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see queries.registry.table)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (1 file = 1 micro-batch
-    locally; swap for Kafka in production). Converts the nanos long to a
-    proper event-time column for watermarking."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # ns file
+    locally; swap for Kafka in production). Normalizes event time to a plain
+    TIMESTAMP column for watermarking, whatever the file's physical type
+    (timestamp[ns] → nanos-as-long → convert; untagged timestamp[us] → read
+    as TIMESTAMP directly — see queries.registry.table for the policy)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # probe the batch-read type once so the stream schema matches the file
+    probed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema["ts"].dataType
+    ns_long = isinstance(probed, T.LongType)
     # glob the events file specifically: the sf dir holds the OTHER fixture
     # tables too, and a schema-projected read of those yields all-null junk
     # rows (silently swallowed downstream by watermarking — a real trap).
     # The wildcard matters: the file-stream source requires a directory
     # basePath, which a bare file path breaks but a glob preserves.
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(T.LongType() if ns_long else T.TimestampType()))
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(sf_dir, "events*.parquet"))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ns_long:
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def streaming_hourly_counts(events: DataFrame) -> DataFrame:

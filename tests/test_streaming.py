@@ -66,9 +66,11 @@ def test_streaming_dedup_on_doubled_stream(spark):
         got = spark.table(name).count()
     finally:
         q.stop()
+    from duckdb_routing_spark.queries.registry import table
+
     want = (
-        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .selectExpr("user_id", "timestamp_micros(ts div 1000) AS tsu", "event_type")
+        table(spark, SF_SMOKE, "events")
+        .selectExpr("user_id", "ts AS tsu", "event_type")
         .distinct()
         .count()
     )
