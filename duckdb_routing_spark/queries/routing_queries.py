@@ -311,15 +311,43 @@ def route_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("route_isochrone_contours", oracle=None, doc="polygon contour isochrones (convex hull; rows-only)")
+_CONTOUR_LEVELS = [0.5, 1.0, 2.0]
+
+# The hull vertex count is algorithm-specific (covered by containment
+# property tests), but the reachable-node count per contour level is
+# path-independent — oracle it against the same recursive-CTE reach set the
+# other routing oracles use.
+CONTOURS_ORACLE = f"""
+WITH RECURSIVE {_reach_cte(f'(0, {_ISO_SOURCE})')},
+levels(minutes) AS (VALUES {', '.join(f'({m!r})' for m in _CONTOUR_LEVELS)}),
+best AS (SELECT node, min(cost) AS cost FROM reach GROUP BY node)
+SELECT cast(l.minutes AS DOUBLE) AS minutes, count(*) AS n_reach
+FROM levels l JOIN best b ON b.cost <= l.minutes * 60000
+GROUP BY l.minutes
+ORDER BY minutes
+"""
+
+
+@register("route_isochrone_contours", oracle=CONTOURS_ORACLE,
+          doc="polygon contour isochrones: reach count per level oracled; hull geometry property-tested")
 def route_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark)
     la, lo = _node_latlon(_ISO_SOURCE)
-    return eng.isochrone_contours(la, lo, [0.5, 1.0, 2.0], "auto").select("minutes", "n_points")
+    return (
+        eng.isochrone_contours(la, lo, _CONTOUR_LEVELS, "auto")
+        .select("minutes", "n_reach")
+        .orderBy("minutes")
+    )
 
 
-@register("route_tile_build", oracle=None, headline=True,
-          doc="distributed ways->graph 'tile build' on a 3.6k-node grid (rows-only)")
+# 60x60 lattice cardinalities are arithmetic facts of the builder's rules:
+# 3600 nodes; horizontal 60*59 segments with one oneway row (59 single-
+# direction edges) + vertical 59*60 bidirectional = (3540*2-59) + 3540*2.
+TILE_BUILD_ORACLE = "SELECT cast(3600 AS BIGINT) AS n_nodes, cast(14101 AS BIGINT) AS n_edges"
+
+
+@register("route_tile_build", oracle=TILE_BUILD_ORACLE, headline=True,
+          doc="distributed ways->graph 'tile build' on a 3.6k-node grid, oracled on exact cardinalities")
 def route_tile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ETL operator (#9/#11) at meaningful size: a 60x60 lattice built
     through the full Spark pipeline (segments -> speed join -> haversine
@@ -482,8 +510,29 @@ def route_iso_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 MONACO_ARTIFACT = "/root/reference/test/data/monaco.osm.pbf.auto.routing"
 
 
-@register("route_monaco_real_osm", oracle=None,
-          doc="real-OSM end-to-end: the reference's Monaco graph artifact routed through the SQL surface (rows-only)")
+# Frozen expectations for the reference's Monaco artifact. The cardinalities
+# come straight out of the bincode decode; the durations are shortest-path
+# costs, which are path-INDEPENDENT (unique minimum), so they are stable
+# constants of (artifact, speed table) — any kernel rewrite must reproduce
+# them exactly.
+_MONACO_EXPECT = [
+    ("edges", 11804.0),
+    ("nodes", 7338.0),
+    ("route:casino->palace", 198.148),
+    ("route:larvotto->fontvieille", 253.178),
+    ("route:port->jardin", 239.588),
+]
+
+MONACO_ORACLE = (
+    "SELECT metric, cast(value AS DOUBLE) AS value FROM (VALUES "
+    + ", ".join(f"('{m}', {v!r})" for m, v in _MONACO_EXPECT)
+    + ") AS t(metric, value) ORDER BY metric"
+)
+
+
+@register("route_monaco_real_osm", oracle=MONACO_ORACLE,
+          doc="real-OSM end-to-end: the reference's Monaco graph artifact routed through the SQL surface, "
+              "oracled against frozen graph cardinalities + path-independent route durations")
 def route_monaco(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Loads the reference engine's own cached Monaco graph (bincode
     RoutingData, 7,338 real OSM nodes) via routing/ref_artifact.py and runs
@@ -497,7 +546,7 @@ def route_monaco(spark: SparkSession, sf_dir: str) -> DataFrame:
     other mode (found by the shuffled double-run state-leak check)."""
     import os
 
-    schema = "name string, duration_minutes double, distance_km double"
+    schema = "metric string, value double"
     if not os.path.exists(MONACO_ARTIFACT):
         return spark.createDataFrame([], schema)
     eng = _engine(spark)
@@ -505,14 +554,18 @@ def route_monaco(spark: SparkSession, sf_dir: str) -> DataFrame:
         from duckdb_routing_spark.routing.ref_artifact import read_reference_artifact
 
         eng.load_graph(read_reference_artifact(MONACO_ARTIFACT), "monaco")
+    g = eng._local["monaco"]
     pairs = [
         ("casino->palace", "POINT(7.4281 43.7396)", "POINT(7.4197 43.7312)"),
         ("port->jardin", "POINT(7.4260 43.7350)", "POINT(7.4144 43.7311)"),
         ("larvotto->fontvieille", "POINT(7.4326 43.7452)", "POINT(7.4172 43.7266)"),
     ]
     df = spark.createDataFrame(pairs, "name string, f string, t string").repartition(1)
-    return (
-        df.selectExpr("name", "travel_time_route_wkb(f, t, 'monaco') AS r")
-        .selectExpr("name", "r.duration_minutes AS duration_minutes", "r.distance_km AS distance_km")
-        .orderBy("name")
+    routes = df.selectExpr(
+        "concat('route:', name) AS metric",
+        "travel_time_route_wkb(f, t, 'monaco').duration_minutes * 60.0 AS value",
     )
+    counts = spark.createDataFrame(
+        [("nodes", float(g.num_nodes)), ("edges", float(g.num_edges))], schema
+    )
+    return routes.unionByName(counts).orderBy("metric")

@@ -526,8 +526,10 @@ class RoutingEngine:
         level over the reachable point cloud — a k-nearest-neighbors concave
         hull by default (the generalized-contour shape Valhalla produces;
         SURVEY §2.3), convex hull with concave=False or as the automatic
-        fallback. Returns DataFrame(minutes, n_points, geometry WKB
-        POLYGON)."""
+        fallback. Returns DataFrame(minutes, n_reach, n_points, geometry WKB
+        POLYGON) — n_reach is the reachable-node count within the level
+        (path-independent, hence oracle-able); n_points the hull vertex
+        count."""
         contours_minutes = sorted(float(m) for m in contours_minutes)
         if len(contours_minutes) > SERVICE_LIMITS["isochrone_max_contours"]:
             raise ValueError("too many contours (service limit 4)")
@@ -549,8 +551,12 @@ class RoutingEngine:
                     hull = concave_hull_knn(pts)
                 else:
                     hull = convex_hull(pts)
-                rows.append((minutes, len(hull), build_wkb_polygon(hull) if len(hull) >= 3 else None))
-        return self.spark.createDataFrame(rows, "minutes double, n_points int, geometry binary")
+                rows.append(
+                    (minutes, int(mask.sum()), len(hull), build_wkb_polygon(hull) if len(hull) >= 3 else None)
+                )
+        return self.spark.createDataFrame(
+            rows, "minutes double, n_reach long, n_points int, geometry binary"
+        )
 
     def optimized_route(self, lats, lons, costing: str = "auto") -> dict:
         """TSP-style waypoint ordering (the reference's optimized_route

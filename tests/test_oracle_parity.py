@@ -61,3 +61,27 @@ def test_query_matches_oracle(name, spark, duck):
 
 def test_registry_nonempty():
     assert len(REGISTRY) >= 10
+
+
+def test_driver_exposed_set_fits_the_cap():
+    """The driver checks only the first DRIVER_QUERY_CAP sorted names from
+    __spark_entry__.queries(); every exposed query must fall inside the cap,
+    every hidden name must exist in the registry (no typo'd tombstones), and
+    the north-star families must all be exposed."""
+    import importlib.util
+
+    from duckdb_routing_spark.queries.registry import DRIVER_HIDDEN, DRIVER_QUERY_CAP
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(os.path.dirname(__file__), "..", "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    exposed = sorted(mod.queries())
+    assert len(exposed) <= DRIVER_QUERY_CAP, f"{len(exposed)} exposed > cap {DRIVER_QUERY_CAP}"
+    assert DRIVER_HIDDEN <= set(REGISTRY), DRIVER_HIDDEN - set(REGISTRY)
+    for family in ("sim_", "stream_", "window_", "route_travel_time", "route_tile_build"):
+        assert any(n.startswith(family) for n in exposed), f"{family} family not driver-exposed"
+    # every hidden query still has a local oracle (pytest parity coverage)
+    for n in DRIVER_HIDDEN:
+        assert REGISTRY[n].oracle is not None or n == "route_batch_throughput"
