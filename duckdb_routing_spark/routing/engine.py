@@ -47,7 +47,7 @@ from duckdb_routing_spark.routing.geometry import (
     build_wkb_polygon,
     concave_hull_knn,
     convex_hull,
-    haversine_m_scalar,
+    haversine_m,
 )
 from duckdb_routing_spark.routing.graph import RoutingGraph
 
@@ -281,21 +281,41 @@ class RoutingEngine:
                 )
             return pd.Series(out)
 
+        def _batch_snap(modes: pd.Series, lons: np.ndarray, lats: np.ndarray) -> np.ndarray:
+            """Snap a whole Arrow batch through the vectorized
+            nearest_main_nodes kernel (graph.py), grouped by costing mode —
+            one ragged numpy pass per mode instead of a Python call per row.
+            NaN coordinates return -1."""
+            idx = np.full(lons.size, -1, dtype=np.int64)
+            ok = np.isfinite(lons) & np.isfinite(lats)
+            for mode in modes[ok].unique():
+                g = _resolve(broadcasts, mode)
+                m = ok & (modes == mode).to_numpy()
+                idx[m] = g.nearest_main_nodes(lons[m], lats[m])
+            return idx
+
         def _route_rows(frm: pd.Series, to: pd.Series, costing: pd.Series) -> pd.DataFrame:
-            rows = []
-            for f, t, c in zip(frm, to, costing):
-                g = _resolve(broadcasts, c if isinstance(c, str) else "auto")
+            n = len(frm)
+            modes = costing.map(lambda c: c if isinstance(c, str) else "auto")
+            flon = np.full(n, np.nan)
+            flat = np.full(n, np.nan)
+            tlon = np.full(n, np.nan)
+            tlat = np.full(n, np.nan)
+            for i, (f, t) in enumerate(zip(frm, to)):
                 p1 = any_geometry_to_lonlat(f)
                 p2 = any_geometry_to_lonlat(t)
-                if p1 is None or p2 is None:
+                if p1 is not None and p2 is not None:
+                    flon[i], flat[i] = p1
+                    tlon[i], tlat[i] = p2
+            src = _batch_snap(modes, flon, flat)
+            dst = _batch_snap(modes, tlon, tlat)
+            rows = []
+            for i in range(n):
+                if src[i] < 0 or dst[i] < 0:
                     rows.append((None, None, None))
                     continue
-                s = g.nearest_main_node(p1[0], p1[1])
-                d = g.nearest_main_node(p2[0], p2[1])
-                if s < 0 or d < 0:
-                    rows.append((None, None, None))
-                    continue
-                w, path = kernels.dijkstra_p2p_path(g, s, d)
+                g = _resolve(broadcasts, modes.iat[i])
+                w, path = kernels.dijkstra_p2p_path(g, int(src[i]), int(dst[i]))
                 if w < 0 or path is None:
                     rows.append((None, None, None))
                     continue
@@ -309,36 +329,49 @@ class RoutingEngine:
         def travel_time_route_wkb(frm: pd.Series, to: pd.Series, costing: pd.Series) -> pd.DataFrame:
             return _route_rows(frm, to, costing)
 
+        def _snap_columns(lat: pd.Series, lon: pd.Series, costing: pd.Series):
+            """Shared batch-snap core for locate/snap: returns (modes, qlon,
+            qlat, idx) with idx = -1 for misses/invalid input. Null results
+            surface as pandas NA (→ SQL NULL), never NaN doubles."""
+            modes = costing.map(lambda c: c if isinstance(c, str) else "auto")
+            qlat = pd.to_numeric(lat, errors="coerce").to_numpy(np.float64)
+            qlon = pd.to_numeric(lon, errors="coerce").to_numpy(np.float64)
+            return modes, qlon, qlat, _batch_snap(modes, qlon, qlat)
+
+        def _node_coords(modes: pd.Series, idx: np.ndarray):
+            nlat = np.full(idx.size, np.nan)
+            nlon = np.full(idx.size, np.nan)
+            hit = idx >= 0
+            for mode in modes[hit].unique():
+                g = _resolve(broadcasts, mode)
+                m = hit & (modes == mode).to_numpy()
+                nlat[m] = g.node_lat[idx[m]]
+                nlon[m] = g.node_lon[idx[m]]
+            return nlat, nlon, hit
+
+        def _nullable(arr: np.ndarray, valid: np.ndarray) -> pd.array:
+            s = pd.array(arr, dtype="Float64")
+            s[~valid] = pd.NA
+            return s
+
         @F.pandas_udf(LOCATE_STRUCT)
         def travel_time_locate(lat: pd.Series, lon: pd.Series, costing: pd.Series) -> pd.DataFrame:
-            rows = []
-            for la, lo, c in zip(lat, lon, costing):
-                g = _resolve(broadcasts, c if isinstance(c, str) else "auto")
-                if la is None or lo is None or pd.isna(la) or pd.isna(lo):
-                    rows.append((None, None))
-                    continue
-                idx = g.nearest_main_node(float(lo), float(la))
-                if idx < 0:
-                    rows.append((None, None))
-                else:
-                    rows.append((float(g.node_lat[idx]), float(g.node_lon[idx])))
-            return pd.DataFrame(rows, columns=["lat", "lon"])
+            modes, _qlon, _qlat, idx = _snap_columns(lat, lon, costing)
+            nlat, nlon, hit = _node_coords(modes, idx)
+            return pd.DataFrame({"lat": _nullable(nlat, hit), "lon": _nullable(nlon, hit)})
 
         @F.pandas_udf(SNAP_STRUCT)
         def travel_time_snap(lat: pd.Series, lon: pd.Series, costing: pd.Series) -> pd.DataFrame:
-            rows = []
-            for la, lo, c in zip(lat, lon, costing):
-                g = _resolve(broadcasts, c if isinstance(c, str) else "auto")
-                if la is None or lo is None or pd.isna(la) or pd.isna(lo):
-                    rows.append((None, None, None))
-                    continue
-                idx = g.nearest_main_node(float(lo), float(la))
-                if idx < 0:
-                    rows.append((None, None, None))
-                    continue
-                nlat, nlon = float(g.node_lat[idx]), float(g.node_lon[idx])
-                rows.append((nlat, nlon, haversine_m_scalar(float(lo), float(la), nlon, nlat)))
-            return pd.DataFrame(rows, columns=["lat", "lon", "distance_m"])
+            modes, qlon, qlat, idx = _snap_columns(lat, lon, costing)
+            nlat, nlon, hit = _node_coords(modes, idx)
+            dist = haversine_m(qlon, qlat, np.where(hit, nlon, 0.0), np.where(hit, nlat, 0.0))
+            return pd.DataFrame(
+                {
+                    "lat": _nullable(nlat, hit),
+                    "lon": _nullable(nlon, hit),
+                    "distance_m": _nullable(dist, hit),
+                }
+            )
 
         @F.udf(T.StringType())
         def travel_time_request(action, request_json):

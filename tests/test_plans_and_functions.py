@@ -152,3 +152,24 @@ def test_new_operator_plans_are_scale_shaped(spark):
     # the near-dup candidate joins are hash equi-joins on bucket keys
     assert "SortMergeJoin" in plans["lsh_candidates"] or "ShuffledHashJoin" in plans["lsh_candidates"] or "BroadcastHashJoin" in plans["lsh_candidates"]
     assert "hashpartitioning" in plans["winnow"] or "Window" in plans["winnow"]
+
+
+def test_sql_udfs_use_batch_snap_not_scalar():
+    """The locate/snap/route_wkb UDFs must snap through the vectorized
+    nearest_main_nodes kernel — the per-row nearest_main_node loop was the
+    last row-at-a-time hot path (~40k scalar calls per 20k-row batch). The
+    scalar call remains legal only in the bounded JSON escape hatch
+    (travel_time_request) and in driver-side single-point entry points."""
+    import inspect
+
+    from duckdb_routing_spark.routing.engine import RoutingEngine
+
+    src = inspect.getsource(RoutingEngine.register)
+    # slice out the escape-hatch UDF, which is allowed to snap per row
+    start = src.index("def travel_time_request")
+    end = src.index("def travel_time_is_loaded")
+    vectorized_part = src[:start] + src[end:]
+    assert "nearest_main_node(" not in vectorized_part, (
+        "scalar nearest_main_node call found in a batch UDF path"
+    )
+    assert "nearest_main_nodes(" in src  # the batch kernel is actually wired
