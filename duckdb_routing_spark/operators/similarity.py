@@ -226,7 +226,12 @@ def _plane_component(p: int, j: int):
 
 
 def lsh_signature(vec_col, dim: int, n_planes: int = 8):
-    """Bit signature: bit p = (v . plane_p) > 0."""
+    """Bit signature: bit p = (v . plane_p) > 0.
+
+    Pure-Catalyst form: unrolls dim x n_planes expression nodes. Ideal for
+    the oracle (DuckDB can evaluate the same SQL) at toy dims, pathological
+    past ~32 dims (dim 768 -> ~6k expression nodes in one projection);
+    lsh_signature_batch_udf is the scale form with identical output."""
     sig = F.lit(0)
     v = vec_col
     for p in range(n_planes):
@@ -234,6 +239,48 @@ def lsh_signature(vec_col, dim: int, n_planes: int = 8):
         for j in range(dim):
             dot = dot + F.element_at(v, j + 1).cast("double") * _plane_component(p, j)
         sig = sig + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return sig
+
+
+def plane_matrix(dim: int, n_planes: int = 8) -> np.ndarray:
+    """The md5-derived hyperplane matrix (n_planes x dim) as numpy — the
+    exact values _plane_component produces in SQL (first md5 hex nibble,
+    centered to [-7.5, 7.5])."""
+    import hashlib
+
+    return np.array(
+        [
+            [int(hashlib.md5(f"plane:{p}:{j}".encode()).hexdigest()[0], 16) - 7.5 for j in range(dim)]
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )
+
+
+def lsh_signature_batch_udf(dim: int, n_planes: int = 8):
+    """Arrow-batched signature kernel for real embedding dims: one plan node
+    regardless of dim (vs dim x n_planes Catalyst nodes in lsh_signature).
+
+    BIT-IDENTICAL to the Catalyst form: the dot accumulates left-to-right
+    over dimensions (acc += v[j] * plane[:, j], vectorized across rows and
+    planes but sequential across dims — the same IEEE operation order as the
+    unrolled expression), so a near-zero dot can never flip a bucket bit
+    between the two forms."""
+    planes = plane_matrix(dim, n_planes)  # captured; ships with the closure
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("int")
+    def sig(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        # use exactly the first `dim` components, like the Catalyst form
+        # (vectors may be wider than the signature dimensionality)
+        mat = np.vstack(v.to_numpy()).astype(np.float64, copy=False)[:, : planes.shape[1]]
+        acc = np.zeros((mat.shape[0], planes.shape[0]), dtype=np.float64)
+        for j in range(planes.shape[1]):
+            acc += mat[:, j : j + 1] * planes[:, j]
+        return pd.Series(((acc > 0) @ weights).astype(np.int32))
+
     return sig
 
 
@@ -245,21 +292,32 @@ def ann_lsh_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    catalyst_signature: bool | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket by hyperplane signature, rank within the
     query's bucket only. At scale the corpus is written bucket-partitioned
-    once and probed many times."""
+    once and probed many times.
+
+    Signature form: Catalyst expressions at toy dims (SQL-oracle-able),
+    the Arrow-batched kernel past 32 dims (identical output, one plan node);
+    catalyst_signature forces a form."""
+    use_catalyst = catalyst_signature if catalyst_signature is not None else dim <= 32
+    if use_catalyst:
+        def sig_col(c):
+            return lsh_signature(c, dim, n_planes)
+    else:
+        sig_col = lsh_signature_batch_udf(dim, n_planes)
     sig_corpus = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
         norm_col(F.col(vec_col)).alias("cnorm"),
-        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+        sig_col(F.col(vec_col)).alias("bucket"),
     )
     sig_q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
         norm_col(F.col(vec_col)).alias("qnorm"),
-        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+        sig_col(F.col(vec_col)).alias("bucket"),
     )
     scored = (
         sig_corpus.join(F.broadcast(sig_q), "bucket")

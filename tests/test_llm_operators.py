@@ -190,3 +190,55 @@ def test_frame_sample(spark, docs):
         expect = (n_bytes[mid] + 63) // 64
         assert len(rows) == expect
         assert sorted(r.frame_no for r in rows) == list(range(expect))
+
+
+def test_batch_lsh_signature_bit_identical_to_catalyst(spark, emb):
+    """The Arrow-batched signature kernel must produce the SAME bucket for
+    every vector as the unrolled Catalyst expression (same md5 planes, same
+    left-to-right IEEE accumulation order), so the two forms are
+    interchangeable — the Catalyst form stays only because DuckDB can oracle
+    it at toy dims."""
+    dim = 8  # fixture embedding dim
+    cat = emb.select(
+        "vec_id", similarity.lsh_signature(F.col("embedding"), dim, 8).alias("sig")
+    )
+    batch = emb.select(
+        "vec_id", similarity.lsh_signature_batch_udf(dim, 8)(F.col("embedding")).alias("sig")
+    )
+    diff = cat.join(batch, "vec_id").filter(cat.sig != batch.sig).count()
+    assert diff == 0
+
+
+def test_ann_high_dim_plan_stays_bounded(spark):
+    """At dim 256 the Catalyst signature would unroll 256 x 8 x 2 expression
+    nodes into one projection; the batch kernel must keep the analyzed plan
+    small and carry no element_at unrolling."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n = 256, 200
+    pdf = __import__("pandas").DataFrame(
+        {"vec_id": range(n), "embedding": [rng.standard_normal(dim).tolist() for _ in range(n)]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = similarity.ann_lsh_topk(df, df.filter(F.col("vec_id") < 3), dim=dim, k=5)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "element_at" not in plan, "high-dim ANN fell back to the unrolled Catalyst signature"
+    assert len(plan) < 200_000
+    rows = out.collect()
+    assert len(rows) > 0
+    # sanity: buckets were computed by the batch kernel — recompute one
+    # signature driver-side from the same plane matrix and compare
+    planes = similarity.plane_matrix(dim, 8)
+    v = np.array(pdf.embedding.iloc[0])
+    acc = np.zeros(8)
+    for j in range(dim):
+        acc += v[j] * planes[:, j]
+    want = int(((acc > 0) @ (1 << np.arange(8))).item())
+    got = (
+        df.filter(F.col("vec_id") == 0)
+        .select(similarity.lsh_signature_batch_udf(dim, 8)(F.col("embedding")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert got == want
