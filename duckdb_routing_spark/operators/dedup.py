@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from duckdb_routing_spark.operators.common import spread_small_scan
+
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -59,6 +61,7 @@ def shingles(
     both measured: transform(sequence(...)) lambdas evaluate INTERPRETED,
     ~100x slower; posexplode + window lead works but pays a shuffle on
     doc_id, ~3x slower.)"""
+    docs = spread_small_scan(docs, id_col)
     ws = F.split(F.col(text_col), " ")
     n = F.size(ws)
     zipped = F.arrays_zip(*[F.slice(ws, j + 1, n - (k - 1)) for j in range(k)])
@@ -180,17 +183,38 @@ def bands_from_hashes(base: DataFrame, n_hashes: int = 12, band_size: int = 3) -
 
 
 def jaccard_from_hashes(base: DataFrame, pairs: DataFrame) -> DataFrame:
-    """jaccard_for_pairs over the hashed base: identical counts, long keys."""
-    sizes = base.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    """jaccard_for_pairs over the hashed base: identical counts, long keys.
+
+    Plan shape: LSH leaves the candidate set orders of magnitude smaller
+    than the corpus, so the pair list and its doc-id set are BROADCAST and
+    the full shingle base never shuffles — it is semi-joined down to the
+    candidate docs' shingles first, and only that slice flows through the
+    intersection join and size aggregate. (If a pathological corpus ever
+    produces a non-broadcastable candidate set, drop the hints and let AQE
+    pick the shuffle plan — values are identical either way.)"""
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sub = base.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = sub.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
-        pairs.join(base.select(F.col("doc_id").alias("doc_a"), "h1", "h2"), "doc_a")
-        .join(base.select(F.col("doc_id").alias("doc_b"), "h1", "h2"), ["doc_b", "h1", "h2"])
+        F.broadcast(pairs)
+        .join(sub.select(F.col("doc_id").alias("doc_a"), "h1", "h2"), "doc_a")
+        .join(sub.select(F.col("doc_id").alias("doc_b"), "h1", "h2"), ["doc_b", "h1", "h2"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        inter.join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
