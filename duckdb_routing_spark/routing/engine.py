@@ -315,7 +315,7 @@ class RoutingEngine:
                     rows.append((None, None, None))
                     continue
                 g = _resolve(broadcasts, modes.iat[i])
-                w, path = kernels.dijkstra_p2p_path(g, int(src[i]), int(dst[i]))
+                w, path = kernels.astar_p2p_path(g, int(src[i]), int(dst[i]))
                 if w < 0 or path is None:
                     rows.append((None, None, None))
                     continue
@@ -403,7 +403,7 @@ class RoutingEngine:
                 d = g.nearest_main_node(float(locs[1]["lon"]), float(locs[1]["lat"]))
                 if s < 0 or d < 0:
                     return _json.dumps({"error": "no road near location"})
-                w, path = kernels.dijkstra_p2p_path(g, s, d)
+                w, path = kernels.astar_p2p_path(g, s, d)
                 if w < 0:
                     return _json.dumps({"error": "no route found"})
                 dist_m = kernels.path_distance_m(g, path)
@@ -671,7 +671,7 @@ class RoutingEngine:
             d = g.nearest_main_node(float(locs[1]["lon"]), float(locs[1]["lat"]))
             if s < 0 or d < 0:
                 return json.dumps({"error": "no road near location"})
-            w, path = kernels.dijkstra_p2p_path(g, s, d)
+            w, path = kernels.astar_p2p_path(g, s, d)
             if w < 0:
                 return json.dumps({"error": "no route found"})
             dist_m = kernels.path_distance_m(g, path)
@@ -730,7 +730,7 @@ class RoutingEngine:
             for a, b in zip(matched, matched[1:]):
                 if a == b:
                     continue
-                w, path = kernels.dijkstra_p2p_path(g, a, b)
+                w, path = kernels.astar_p2p_path(g, a, b)
                 if w < 0:
                     return json.dumps({"error": f"no route between matched points {a} and {b}"})
                 total_ms += w

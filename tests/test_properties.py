@@ -214,3 +214,83 @@ def test_concave_hull_contains_all_points(pts):
         return  # degenerate (collinear) input
     for p in pts:
         assert _point_in_ring((float(p[0]), float(p[1])), ring)
+
+
+# ---------------------------------------------------------------------------
+# round-4 kernels: p2p accelerators (bidirectional Dijkstra, ALT A*)
+# ---------------------------------------------------------------------------
+
+
+def _p2p_accel_case(n, seed, accel):
+    """Shared harness: `accel` must return dijkstra_p2p's exact weight on
+    every pair of a random graph, and its path must be a REAL path whose
+    edge-weight sum equals the weight."""
+    rng = np.random.default_rng(seed)
+    m = int(rng.integers(1, n * 3))
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    if len(src) == 0:
+        return
+    w = rng.integers(1, 10_000, len(src)).astype(np.int64)
+    g = RoutingGraph.from_arrays(
+        rng.uniform(-1, 1, n), rng.uniform(-1, 1, n), src, dst, w,
+        np.ones(len(src)), np.arange(n, dtype=np.int64),
+    )
+    edge_w = {}
+    for u, v, ww in zip(src, dst, w):
+        key = (int(u), int(v))
+        edge_w[key] = min(edge_w.get(key, np.inf), int(ww))
+    for s in range(n):
+        for t in range(n):
+            want = kernels.dijkstra_p2p(g, s, t)
+            got, path = accel(g, s, t)
+            assert got == want
+            if want == kernels.NO_ROUTE:
+                assert path is None
+            else:
+                assert path[0] == s and path[-1] == t
+                total = sum(edge_w[(path[i], path[i + 1])] for i in range(len(path) - 1))
+                assert total == int(want)
+
+
+@given(st.integers(min_value=2, max_value=40), st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=40, deadline=None)
+def test_bidirectional_dijkstra_equals_dijkstra(n, seed):
+    _p2p_accel_case(n, seed, kernels.bidij_p2p_path)
+
+
+@given(st.integers(min_value=2, max_value=40), st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=40, deadline=None)
+def test_alt_astar_equals_dijkstra(n, seed):
+    _p2p_accel_case(n, seed, kernels.astar_p2p_path)
+
+
+def test_alt_astar_faster_on_long_grid_routes():
+    """Long p2p routes on the 40k-node grid: ALT A* (the engine's p2p
+    accelerator, the CH stand-in per rust/src/lib.rs:260) must beat plain
+    Dijkstra wall-clock while returning the identical weight — including
+    corner-to-corner diagonals, where bidirectional search degenerates
+    (boundary clipping) and great-circle A* degenerates (Manhattan
+    geometry). Measured typical: 3-8x; the bar is a generous 1.5x to stay
+    robust against host noise. ALT preprocessing runs once per graph and is
+    excluded (it is the per-executor warm-up, amortized across queries)."""
+    import time
+
+    from duckdb_routing_spark.testing import build_grid_graph
+
+    g = build_grid_graph("auto", 200, 200, island=False)
+    kernels._alt_data(g)  # warm the landmark cache (one-time, per process)
+    pairs = [(0, g.num_nodes - 1), (199, g.num_nodes - 200), (0, g.num_nodes // 2)]
+    t_uni = t_alt = 0.0
+    for s, t in pairs:
+        t0 = time.perf_counter()
+        w_uni, _ = kernels.dijkstra_p2p_path(g, s, t)
+        t_uni += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        w_alt, path = kernels.astar_p2p_path(g, s, t)
+        t_alt += time.perf_counter() - t0
+        assert w_alt == w_uni
+        assert path[0] == s and path[-1] == t
+    assert t_alt * 1.5 < t_uni, f"ALT A* {t_alt:.3f}s not faster than {t_uni:.3f}s"
