@@ -714,15 +714,24 @@ class RoutingEngine:
                 {"trip": {"summary": {"time": result["duration_s"]}, "location_order": result["order"]}}
             )
         if action in ("trace_route", "trace_attributes"):
-            # map matching (valhalla-wrapper/src/wrapper.cpp:440-443):
-            # nearest-node matching of the GPS shape, shortest paths chained
-            # between consecutive matched nodes. (Valhalla uses an HMM
-            # matcher; nearest-node is the documented approximation here —
-            # exact when the shape samples lie near intersections.)
+            # HMM map matching (valhalla-wrapper/src/wrapper.cpp:440-443
+            # delegates to Valhalla's meili matcher): Newson-Krumm Viterbi
+            # over k-nearest candidates per shape point, then shortest paths
+            # chained between consecutive matched nodes. Falls back to
+            # nearest-node matching if the trellis dies (e.g. disconnected
+            # candidate sets) — the pre-round-4 approximation.
+            from duckdb_routing_spark.routing.matching import hmm_match
+
             shape = req.get("shape", locs)
             if len(shape) < 2:
                 return json.dumps({"error": f"{action} requires a shape of at least 2 points"})
-            matched = [g.nearest_main_node(float(p["lon"]), float(p["lat"])) for p in shape]
+            matched = hmm_match(
+                g,
+                [float(p["lon"]) for p in shape],
+                [float(p["lat"]) for p in shape],
+            )
+            if matched is None:
+                matched = [g.nearest_main_node(float(p["lon"]), float(p["lat"])) for p in shape]
             if any(m < 0 for m in matched):
                 return json.dumps({"error": "could not match all shape points to the road network"})
             full_path: list[int] = []

@@ -217,6 +217,45 @@ class RoutingGraph:
             ring += 1
         return best_pos
 
+    def knearest_main_nodes(self, lon: float, lat: float, k: int = 5):
+        """Up to k nearest main-road nodes: (node_ids int64[k'], d2 degree²),
+        sorted by (distance, node_id). Ring search expands until k hits are
+        certain (one extra band past the k-th hit's radius), mirroring
+        nearest_main_node's termination rule — the candidate generator for
+        HMM map matching (Valhalla's matcher likewise pulls a candidate set
+        per trace point, valhalla-wrapper/src/wrapper.cpp:440-443)."""
+        if len(self.main_nodes) == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        ccol = int((lon - self.grid_min_lon) / self.cell_size)
+        crow = int((lat - self.grid_min_lat) / self.cell_size)
+        ccol = min(max(ccol, 0), self.grid_ncols - 1)
+        crow = min(max(crow, 0), self.grid_nrows - 1)
+        max_ring = max(self.grid_nrows, self.grid_ncols)
+        pos: list[np.ndarray] = []
+        found_ring = -1
+        ring = 0
+        kth_d = np.inf
+        while ring <= max_ring:
+            cand = self._cell_candidates(crow, ccol, ring)
+            if len(cand):
+                pos.append(cand)
+                if found_ring < 0:
+                    found_ring = ring
+                n_found = sum(len(p) for p in pos)
+                if n_found >= k:
+                    nodes = self.main_nodes[np.concatenate(pos)]
+                    d2 = (self.node_lon[nodes] - lon) ** 2 + (self.node_lat[nodes] - lat) ** 2
+                    kth_d = float(np.sqrt(np.partition(d2, k - 1)[k - 1]))
+            if found_ring >= 0 and ring >= found_ring + 1 + int(
+                (0.0 if kth_d == np.inf else kth_d) / self.cell_size
+            ) and sum(len(p) for p in pos) >= min(k, len(self.main_nodes)):
+                break
+            ring += 1
+        nodes = self.main_nodes[np.concatenate(pos)]
+        d2 = (self.node_lon[nodes] - lon) ** 2 + (self.node_lat[nodes] - lat) ** 2
+        order = np.lexsort((nodes, d2))[: min(k, len(nodes))]
+        return nodes[order].astype(np.int64), d2[order]
+
     def edge_weight_ms(self, src: int, dst: int):
         """Weight of the (src, dst) edge in ms, or None if absent; parallel
         edges resolve to the minimum (the one any shortest path uses)."""

@@ -441,6 +441,18 @@ def shortest_path_tree(g: RoutingGraph, dist: np.ndarray, src: int) -> np.ndarra
     return pred
 
 
+def path_from_pred_dict(prev: dict, src: int, dst: int) -> list[int] | None:
+    """Walk a predecessor DICT (dijkstra_multi_target's) from dst to src."""
+    path = [int(dst)]
+    while path[-1] != src:
+        p = prev.get(path[-1])
+        if p is None:
+            return None
+        path.append(int(p))
+    path.reverse()
+    return path
+
+
 def path_from_pred(pred: np.ndarray, src: int, dst: int) -> list[int] | None:
     """Walk a predecessor array from dst back to src; None if disconnected."""
     path = [int(dst)]
