@@ -197,6 +197,21 @@ class RoutingEngine:
             return ok
 
         loaded = False
+        if os.path.isfile(dir_path) and dir_path.endswith(".json"):
+            # valhalla_init_from_json parity: a real config file resolves
+            # through mjolnir.tile_dir (the field the reference both writes,
+            # valhalla_build_tiles_simple.cpp:74-94, and reads back). The
+            # loaded setting reports the CONFIG path, matching
+            # config_setting.cpp:75-83's getter semantics.
+            import json as _json
+
+            with open(dir_path) as f:
+                conf = _json.load(f)
+            tile_dir = (conf.get("mjolnir") or {}).get("tile_dir") or os.path.dirname(dir_path)
+            ok = self.load_config(tile_dir, modes)
+            if ok:
+                self._tiles_path = dir_path
+            return ok
         if os.path.isfile(dir_path) and dir_path.endswith(".routing"):
             # "<source>.<mode>.routing" — mode is the second-to-last suffix
             parts = os.path.basename(dir_path).split(".")
@@ -221,6 +236,19 @@ class RoutingEngine:
                     continue
                 self.load_graph(g, mode)
                 loaded = True
+            if not loaded:
+                # smart path detection (config_setting.cpp:31-39): a
+                # directory with no artifacts but a valhalla.json follows
+                # the config — unless its tile_dir points back here (then
+                # there is genuinely nothing to load).
+                cand = os.path.join(dir_path, "valhalla.json")
+                if os.path.isfile(cand):
+                    import json as _json
+
+                    with open(cand) as f:
+                        tile_dir = (_json.load(f).get("mjolnir") or {}).get("tile_dir")
+                    if tile_dir and os.path.abspath(tile_dir) != os.path.abspath(dir_path):
+                        return self.load_config(cand, modes)
         if loaded:
             self._tiles_path = dir_path
         return loaded

@@ -201,7 +201,30 @@ def build_tiles(
             g.save(out_dir, mode)
     finally:
         segments.unpersist()
+    write_valhalla_config(out_dir, modes)
     return out_dir
+
+
+def write_valhalla_config(out_dir: str, modes=MODES) -> str:
+    """Write a valhalla.json next to the artifacts, mirroring the config the
+    reference generates after its tile build (GenerateValhallaConfig,
+    src/valhalla_build_tiles_simple.cpp:16-146 — mjolnir.tile_dir is the
+    field every consumer reads). travel_time_load_config(<this file>) then
+    works on our artifacts exactly like the reference's flow: config json ->
+    tile_dir -> loaded graph."""
+    import json
+
+    cfg = {
+        "mjolnir": {"tile_dir": out_dir, "concurrency": os.cpu_count() or 4},
+        "loki": {"actions": ["locate", "route", "sources_to_targets", "isochrone",
+                             "trace_route", "trace_attributes", "optimized_route",
+                             "height", "status"]},
+        "engine": {"builder": "duckdb_routing_spark", "modes": list(modes)},
+    }
+    path = os.path.join(out_dir, "valhalla.json")
+    with open(path, "w") as f:
+        json.dump(cfg, f, indent=2)
+    return path
 
 
 def read_osm_pbf(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:

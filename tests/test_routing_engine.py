@@ -311,3 +311,41 @@ def test_distributed_build_matches_pandas_build(spark, tmp_path):
     w1 = kernels.dijkstra_p2p(g_spark, 0, 99)
     w2 = kernels.dijkstra_p2p(g_ref, 0, 99)
     assert w1 == pytest.approx(w2)
+
+
+def test_load_config_from_valhalla_json(spark, tmp_path):
+    """valhalla_init_from_json parity: build_tiles writes a valhalla.json
+    whose mjolnir.tile_dir resolves back to the artifacts; loading via the
+    CONFIG FILE, via the artifact DIR, and via a REDIRECTING dir (json
+    pointing elsewhere, config_setting.cpp:31-39 smart detection) must all
+    produce a routable engine reporting the given path."""
+    import json as _json
+
+    import pandas as pd
+
+    from duckdb_routing_spark.routing.engine import RoutingEngine
+    from duckdb_routing_spark.routing.osm_build import build_tiles
+    from duckdb_routing_spark.testing import grid_nodes, grid_ways
+
+    out = str(tmp_path / "tiles")
+    ways = spark.createDataFrame(
+        pd.DataFrame(grid_ways(4, 4, island=False), columns=["way_id", "nodes", "highway", "oneway"])
+    )
+    build_tiles(spark, ways, spark.createDataFrame(grid_nodes(4, 4, island=False)), out, modes=("auto",))
+    cfg = str(tmp_path / "tiles" / "valhalla.json")
+    with open(cfg) as f:
+        assert _json.load(f)["mjolnir"]["tile_dir"] == out
+
+    eng = RoutingEngine(spark)
+    assert eng.load_config(cfg, modes=("auto",))
+    assert eng.is_loaded("auto") and eng.tiles_path == cfg
+    assert eng.node_count("auto") == 16
+
+    # a bare dir with only a redirecting valhalla.json
+    redirect = tmp_path / "redirect"
+    redirect.mkdir()
+    with open(redirect / "valhalla.json", "w") as f:
+        _json.dump({"mjolnir": {"tile_dir": out}}, f)
+    eng2 = RoutingEngine(spark)
+    assert eng2.load_config(str(redirect), modes=("auto",))
+    assert eng2.node_count("auto") == 16
