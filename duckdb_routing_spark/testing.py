@@ -118,3 +118,29 @@ def grid_node_values_sql(g: RoutingGraph) -> str:
     return ", ".join(
         f"({i}, {lon!r}, {lat!r})" for i, (lon, lat) in enumerate(zip(g.node_lon, g.node_lat))
     )
+
+
+def build_big_grid_csr(nrows: int, ncols: int) -> RoutingGraph:
+    """Fully-vectorized lattice construction for scale tests: a 4-neighbor
+    grid with deterministic per-edge weight variation (so shortest paths
+    aren't degenerate), built straight into CSR arrays. The Python-loop
+    builder above is semantics-faithful but O(n) interpreted — this one
+    constructs a 1M-node graph in under a second."""
+    n = nrows * ncols
+    ids = np.arange(n, dtype=np.int64).reshape(nrows, ncols)
+    right_s, right_d = ids[:, :-1].ravel(), ids[:, 1:].ravel()
+    down_s, down_d = ids[:-1, :].ravel(), ids[1:, :].ravel()
+    src = np.concatenate([right_s, right_d, down_s, down_d])
+    dst = np.concatenate([right_d, right_s, down_d, down_s])
+    # weights 3000..9000 ms, deterministic in (src, dst)
+    w = 3000 + ((src * 31 + dst * 17) % 7) * 1000
+    rr, cc = np.divmod(np.arange(n, dtype=np.int64), ncols)
+    return RoutingGraph.from_arrays(
+        node_lon=BASE_LON + cc * SPACING_DEG,
+        node_lat=BASE_LAT + rr * SPACING_DEG,
+        src=src,
+        dst=dst,
+        weight_ms=w.astype(np.int64),
+        length_m=w.astype(np.float64),
+        main_nodes=np.arange(n, dtype=np.int64),
+    )
