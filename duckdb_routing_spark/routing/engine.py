@@ -132,21 +132,55 @@ class RoutingEngine:
         # opt-out of the reference's max_matrix_location_pairs service limit
         self.unlimited_matrix = unlimited_matrix
         self._elevation: tuple | None = None  # (lats, lons, heights) arrays
+        self._elev_grid: tuple | None = None  # (lat_axis, lon_axis, H) raster
 
     def load_elevation(self, df) -> None:
         """Load an elevation sample table (lat, lon, height_m) for the
         `height` action — the analog of pointing Valhalla at DEM tiles.
         Collected driver-side: DEM samples for a service area are bounded
         (the reference's Europe build keeps elevation as a static sidecar
-        dataset too, scripts/BUILD_EUROPE_TILES.md)."""
+        dataset too, scripts/BUILD_EUROPE_TILES.md).
+
+        If the samples form a complete regular lat/lon lattice (the shape a
+        DEM raster has), lookups BILINEARLY interpolate between the four
+        surrounding cells — Valhalla's DEM sampling behavior — with
+        coordinates clamped to the raster edge. Scattered samples fall back
+        to nearest-sample lookup."""
         import numpy as _np
 
         pdf = df.toPandas() if hasattr(df, "toPandas") else df
-        self._elevation = (
-            pdf["lat"].to_numpy(_np.float64),
-            pdf["lon"].to_numpy(_np.float64),
-            pdf["height_m"].to_numpy(_np.float64),
-        )
+        lats = pdf["lat"].to_numpy(_np.float64)
+        lons = pdf["lon"].to_numpy(_np.float64)
+        hts = pdf["height_m"].to_numpy(_np.float64)
+        self._elevation = (lats, lons, hts)
+        self._elev_grid = None
+        ulat, ulon = _np.unique(lats), _np.unique(lons)
+        if len(ulat) * len(ulon) == len(hts):
+            grid = _np.full((len(ulat), len(ulon)), _np.nan)
+            grid[_np.searchsorted(ulat, lats), _np.searchsorted(ulon, lons)] = hts
+            if not _np.isnan(grid).any():
+                self._elev_grid = (ulat, ulon, grid)
+
+    def _height_at(self, lat: float, lon: float) -> float:
+        """One elevation sample: bilinear on a gridded DEM, else nearest."""
+        if self._elev_grid is not None:
+            ulat, ulon, grid = self._elev_grid
+            lat = min(max(lat, float(ulat[0])), float(ulat[-1]))
+            lon = min(max(lon, float(ulon[0])), float(ulon[-1]))
+            i1 = int(np.clip(np.searchsorted(ulat, lat), 1, len(ulat) - 1)) if len(ulat) > 1 else 0
+            j1 = int(np.clip(np.searchsorted(ulon, lon), 1, len(ulon) - 1)) if len(ulon) > 1 else 0
+            i0, j0 = max(i1 - 1, 0), max(j1 - 1, 0)
+            t = (lat - ulat[i0]) / (ulat[i1] - ulat[i0]) if i1 > i0 else 0.0
+            u = (lon - ulon[j0]) / (ulon[j1] - ulon[j0]) if j1 > j0 else 0.0
+            return float(
+                grid[i0, j0] * (1 - t) * (1 - u)
+                + grid[i1, j0] * t * (1 - u)
+                + grid[i0, j1] * (1 - t) * u
+                + grid[i1, j1] * t * u
+            )
+        lats, lons, hts = self._elevation
+        d2 = (lats - lat) ** 2 + (lons - lon) ** 2
+        return float(hts[int(np.argmin(d2))])
 
     # ------------------------------------------------------------------
     # loading / state  (#1, #2, #10, #11, #18, routing_free)
@@ -834,11 +868,7 @@ class RoutingEngine:
                 return json.dumps(
                     {"error": "elevation data not loaded; call engine.load_elevation(df) with (lat, lon, height_m)"}
                 )
-            lats, lons, hts = self._elevation
-            out = []
-            for p in locs:
-                d2 = (lats - float(p["lat"])) ** 2 + (lons - float(p["lon"])) ** 2
-                out.append(float(hts[int(np.argmin(d2))]))
+            out = [self._height_at(float(p["lat"]), float(p["lon"])) for p in locs]
             return json.dumps({"height": out})
         if action == "isochrone":
             if not locs:

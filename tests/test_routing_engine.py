@@ -349,3 +349,35 @@ def test_load_config_from_valhalla_json(spark, tmp_path):
     eng2 = RoutingEngine(spark)
     assert eng2.load_config(str(redirect), modes=("auto",))
     assert eng2.node_count("auto") == 16
+
+
+def test_height_bilinear_on_gridded_dem(spark, engine):
+    """A complete lat/lon lattice triggers BILINEAR sampling (Valhalla's
+    DEM behavior): cell midpoints average the four corners, edge clamping
+    holds outside coverage, and scattered samples still use nearest."""
+    import json as _json
+
+    import pandas as pd
+
+    grid = pd.DataFrame(
+        [(la, lo, h) for (la, lo, h) in [
+            (0.0, 0.0, 100.0), (0.0, 1.0, 200.0),
+            (1.0, 0.0, 300.0), (1.0, 1.0, 400.0),
+        ]],
+        columns=["lat", "lon", "height_m"],
+    )
+    engine.load_elevation(grid)
+    r = _json.loads(engine.request("height", _json.dumps({"locations": [
+        {"lat": 0.0, "lon": 0.0},   # exact corner
+        {"lat": 0.5, "lon": 0.5},   # center: mean of all four
+        {"lat": 0.5, "lon": 0.0},   # edge midpoint
+        {"lat": -5.0, "lon": -5.0}, # clamped to (0,0)
+    ]})))
+    assert r["height"] == [100.0, 250.0, 200.0, 100.0]
+
+    scattered = pd.DataFrame(
+        {"lat": [0.0, 0.3, 0.9], "lon": [0.0, 0.7, 0.2], "height_m": [10.0, 20.0, 30.0]}
+    )
+    engine.load_elevation(scattered)
+    r2 = _json.loads(engine.request("height", _json.dumps({"locations": [{"lat": 0.31, "lon": 0.69}]})))
+    assert r2["height"] == [20.0]  # nearest-sample fallback
