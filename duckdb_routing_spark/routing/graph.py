@@ -344,6 +344,17 @@ class RoutingGraph:
         )
         nodes.to_parquet(os.path.join(dir_path, f"nodes_{mode}.parquet"), index=False)
         edges.to_parquet(os.path.join(dir_path, f"edges_{mode}.parquet"), index=False)
+        alt = getattr(self, "_alt", None)
+        if alt is not None:
+            # build-time ALT landmark tables (the CH-preprocessing analog):
+            # executors loading this artifact skip the 2k per-process SSSPs
+            from duckdb_routing_spark.routing.kernels import pack_alt
+
+            np.savez_compressed(
+                os.path.join(dir_path, f"alt_{mode}.npz"),
+                dist_from=pack_alt(alt[0]),
+                dist_to=pack_alt(alt[1]),
+            )
         manifest_path = os.path.join(dir_path, ARTIFACT_MANIFEST)
         manifest = {}
         if os.path.exists(manifest_path):
@@ -357,10 +368,29 @@ class RoutingGraph:
     def load(cls, dir_path: str, mode: str) -> "RoutingGraph":
         nodes = pd.read_parquet(os.path.join(dir_path, f"nodes_{mode}.parquet"))
         edges = pd.read_parquet(os.path.join(dir_path, f"edges_{mode}.parquet"))
-        return cls.from_pandas(nodes, edges)
+        g = cls.from_pandas(nodes, edges)
+        alt_path = os.path.join(dir_path, f"alt_{mode}.npz")
+        if os.path.exists(alt_path):
+            from duckdb_routing_spark.routing.kernels import unpack_alt
+
+            with np.load(alt_path) as z:
+                g._alt = (unpack_alt(z["dist_from"]), unpack_alt(z["dist_to"]))
+        return g
 
     # picklable payload for sc.broadcast (exclude nothing — all arrays useful)
     def to_payload(self) -> dict:
+        alt = getattr(self, "_alt", None)
+        if alt is not None:
+            from duckdb_routing_spark.routing.kernels import pack_alt
+
+            return {
+                **self._base_payload(),
+                "_alt_from_i32": pack_alt(alt[0]),
+                "_alt_to_i32": pack_alt(alt[1]),
+            }
+        return self._base_payload()
+
+    def _base_payload(self) -> dict:
         return {
             "node_lon": self.node_lon,
             "node_lat": self.node_lat,
@@ -380,4 +410,11 @@ class RoutingGraph:
 
     @classmethod
     def from_payload(cls, payload: dict) -> "RoutingGraph":
-        return cls(**payload)
+        alt_f = payload.pop("_alt_from_i32", None)
+        alt_t = payload.pop("_alt_to_i32", None)
+        g = cls(**payload)
+        if alt_f is not None:
+            from duckdb_routing_spark.routing.kernels import unpack_alt
+
+            g._alt = (unpack_alt(alt_f), unpack_alt(alt_t))
+        return g

@@ -185,6 +185,23 @@ def bidij_p2p_path(g: RoutingGraph, src: int, dst: int):
     return float(mu), fwd
 
 
+_ALT_I32_INF = np.iinfo(np.int32).max
+
+
+def pack_alt(dist: np.ndarray) -> np.ndarray:
+    """int64 landmark distances -> int32 for artifact/broadcast transport.
+    int32 ms caps at ~24.8 days of travel — far beyond any country-scale
+    route; _INF (unreachable) maps to the int32 sentinel. Halves the
+    shipped bytes (the stated 10M-node posture: k=4 / int32 ≈ 320 MB)."""
+    return np.where(dist == _INF, _ALT_I32_INF, np.minimum(dist, _ALT_I32_INF - 1)).astype(
+        np.int32
+    )
+
+
+def unpack_alt(packed: np.ndarray) -> np.ndarray:
+    return np.where(packed == _ALT_I32_INF, _INF, packed.astype(np.int64))
+
+
 def _alt_data(g: RoutingGraph, k: int = 8):
     """ALT (A*, Landmarks, Triangle inequality) preprocessing, cached on the
     graph object: exact SSSP distance arrays from/to up to `k` geometric

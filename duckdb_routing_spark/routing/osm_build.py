@@ -198,6 +198,13 @@ def build_tiles(
         for mode in modes:
             nodes, edges = build_mode_graph_df(spark, segments, osm_nodes, mode)
             g = RoutingGraph.from_pandas(nodes.toPandas(), edges.toPandas())
+            # ALT landmark preprocessing at BUILD time (the CH-preprocessing
+            # analog, rust/src/lib.rs:246-261): 2k vectorized SSSPs here save
+            # every future executor process the same work — the artifact
+            # ships the tables and warm p2p queries start immediately.
+            from duckdb_routing_spark.routing.kernels import _alt_data
+
+            _alt_data(g)
             g.save(out_dir, mode)
     finally:
         segments.unpersist()

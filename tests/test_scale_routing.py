@@ -33,3 +33,46 @@ def test_alt_astar_scales_to_quarter_million_nodes():
     # unaccelerated queries, and warm queries must win clearly
     assert t_alt * 1.5 < t_uni, f"ALT {t_alt:.2f}s vs uni {t_uni:.2f}s"
     assert prep < t_uni * 5, f"ALT preprocessing {prep:.2f}s too heavy vs {t_uni:.2f}s"
+
+
+def test_alt_tables_persist_through_artifact_and_payload():
+    """ALT landmark tables computed at build time survive BOTH transport
+    paths — the parquet artifact (save/load + int32 npz sidecar) and the
+    broadcast payload — and the restored tables drive an exact A*."""
+    import tempfile
+
+    import numpy as np
+
+    from duckdb_routing_spark.routing.graph import RoutingGraph
+    from duckdb_routing_spark.testing import build_grid_graph
+
+    g = build_grid_graph("auto", 20, 20, island=False)
+    kernels._alt_data(g)
+    want_f, want_t = g._alt
+
+    with tempfile.TemporaryDirectory() as d:
+        g.save(d, "auto")
+        g2 = RoutingGraph.load(d, "auto")
+    assert np.array_equal(g2._alt[0], want_f) and np.array_equal(g2._alt[1], want_t)
+
+    g3 = RoutingGraph.from_payload(g.to_payload())
+    assert np.array_equal(g3._alt[0], want_f) and np.array_equal(g3._alt[1], want_t)
+
+    # the restored tables are used, not recomputed: exactness check
+    for s, t in [(0, 399), (19, 380), (0, 1)]:
+        w_ref = kernels.dijkstra_p2p(g, s, t)
+        for gg in (g2, g3):
+            w, path = kernels.astar_p2p_path(gg, s, t)
+            assert w == w_ref and path[0] == s and path[-1] == t
+
+
+def test_alt_int32_packing_roundtrip():
+    import numpy as np
+
+    d = np.array([[0, 123456, kernels._INF, 2_000_000_000]], dtype=np.int64)
+    packed = kernels.pack_alt(d)
+    assert packed.dtype == np.int32
+    back = kernels.unpack_alt(packed)
+    assert back[0, 0] == 0 and back[0, 1] == 123456
+    assert back[0, 2] == kernels._INF  # sentinel restored
+    assert back[0, 3] == 2_000_000_000
