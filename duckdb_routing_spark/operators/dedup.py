@@ -337,6 +337,81 @@ def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     return sums.select("doc_id", sig.cast("long").alias("simhash"))
 
 
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as TWO 32-bit halves (doc_id, sim_hi, sim_lo) — the
+    planet-scale widening of :func:`simhash16` (16 bits collide too often
+    past ~1e6 docs; 64 is the standard production width, e.g. Google's
+    near-dup crawler setting).
+
+    Bit s*16+i is the majority vote of nibble i of md5('s<seed>:' || word)
+    over the document's words: four seeded md5 passes in ONE projection,
+    64 aggregate columns of a single groupBy. Two 32-bit halves keep every
+    value comfortably inside signed BIGINT in BOTH engines (a literal
+    1<<63 would overflow), which keeps the construction oracle-checkable."""
+    toks = F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+    base = docs.select(F.col(id_col).alias("doc_id"), toks)
+    for seed in range(4):
+        base = base.withColumn(f"h{seed}", F.md5(F.concat(F.lit(f"s{seed}:"), F.col("w"))))
+    aggs = []
+    for seed in range(4):
+        for i in range(16):
+            nibble = F.conv(F.substring(F.col(f"h{seed}"), i + 1, 1), 16, 10).cast("int")
+            aggs.append(F.sum(F.when(nibble >= 8, 1).otherwise(-1)).alias(f"s{seed}_{i}"))
+    sums = base.groupBy("doc_id").agg(*aggs)
+    half = []
+    for lohi in range(2):  # 0 -> lo (seeds 0,1), 1 -> hi (seeds 2,3)
+        sig = None
+        for seed in (2 * lohi, 2 * lohi + 1):
+            for i in range(16):
+                bit = F.when(F.col(f"s{seed}_{i}") > 0, F.lit(1 << ((seed % 2) * 16 + i))).otherwise(
+                    F.lit(0)
+                )
+                sig = bit if sig is None else sig + bit
+        half.append(sig.cast("long"))
+    return sums.select("doc_id", half[1].alias("sim_hi"), half[0].alias("sim_lo"))
+
+
+def simhash64_hamming_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a < doc_b, hamming) pairs within `max_hamming` (<= 3) of the
+    64-bit signature via a 4x16-bit banded equi-join — pigeonhole: a pair
+    differing in <= 3 bits differs in at most 3 of the 4 bands, so at
+    least one band matches exactly. No crossJoin; the pair space only
+    materializes inside shared-band buckets, exactly like
+    :func:`simhash_hamming_pairs` but with 2^64 signature space."""
+    if max_hamming > 3:
+        raise ValueError("4-band layout guarantees recall only for max_hamming <= 3")
+    lo, hi = F.col("sim_lo"), F.col("sim_hi")
+    mask = F.lit((1 << 16) - 1)
+    bands = F.array(
+        F.struct(F.lit(0).alias("band"), lo.bitwiseAND(mask).alias("bits")),
+        F.struct(F.lit(1).alias("band"), F.shiftright(lo, 16).bitwiseAND(mask).alias("bits")),
+        F.struct(F.lit(2).alias("band"), hi.bitwiseAND(mask).alias("bits")),
+        F.struct(F.lit(3).alias("band"), F.shiftright(hi, 16).bitwiseAND(mask).alias("bits")),
+    )
+    e = sig.select("doc_id", "sim_hi", "sim_lo", F.explode(bands).alias("b")).select(
+        "doc_id", "sim_hi", "sim_lo", F.col("b.band").alias("band"), F.col("b.bits").alias("bits")
+    )
+    a = e.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim_hi").alias("ha"), F.col("sim_lo").alias("la"),
+        "band", "bits",
+    )
+    b = e.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim_hi").alias("hb"), F.col("sim_lo").alias("lb"),
+        "band", "bits",
+    )
+    ham = (
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    ).cast("int")
+    return (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # band layout for the 16-bit signature: (shift, width) for 3 bands of 6/5/5.
 # Pigeonhole: a pair with hamming distance <= 2 differs in at most 2 bands,
 # so at least one band matches bit-exactly -> an equi-join on (band, bits)

@@ -506,6 +506,55 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_hamming_pairs(sig, max_hamming=2).orderBy("doc_a", "doc_b")
 
 
+def _nibble_sums64() -> str:
+    return ",\n       ".join(
+        f"sum(CASE WHEN strpos('0123456789abcdef', substring(h{seed}, {i + 1}, 1)) - 1 >= 8 "
+        f"THEN 1 ELSE -1 END) AS s{seed}_{i}"
+        for seed in range(4)
+        for i in range(16)
+    )
+
+
+def _half_sig64(lohi: int) -> str:
+    terms = []
+    for seed in (2 * lohi, 2 * lohi + 1):
+        for i in range(16):
+            terms.append(f"(CASE WHEN s{seed}_{i} > 0 THEN {1 << ((seed % 2) * 16 + i)} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+SIMHASH64_PAIRS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+h AS (
+  SELECT doc_id, md5('s0:' || w) AS h0, md5('s1:' || w) AS h1,
+         md5('s2:' || w) AS h2, md5('s3:' || w) AS h3 FROM w
+),
+sums AS (
+  SELECT doc_id,
+       {_nibble_sums64()}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, cast({_half_sig64(1)} AS BIGINT) AS sim_hi,
+                       cast({_half_sig64(0)} AS BIGINT) AS sim_lo FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       cast(bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_simhash64_pairs", oracle=SIMHASH64_PAIRS_ORACLE,
+          doc="64-bit SimHash (two 32-bit halves) hamming<=3 pairs via 4x16-bit banding")
+def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # planet-scale widening of dedup_simhash_pairs: 2^64 signature space,
+    # same lossless-banding proof against the all-pairs oracle definition.
+    sig = dedup.simhash64(table(spark, sf_dir, "documents"))
+    return dedup.simhash64_hamming_pairs(sig, max_hamming=3).orderBy("doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # curation operators: deterministic split / quota sample / k-means
 # ---------------------------------------------------------------------------

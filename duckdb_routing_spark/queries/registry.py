@@ -27,6 +27,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # exposes exactly the 50 most-informative ones. Each hidden name is a strict
 # variant of an exposed sibling:
 #   dedup_simhash            ⊂ dedup_simhash_pairs (same signature pipeline)
+#   dedup_simhash64_pairs    widened twin of dedup_simhash_pairs (same
+#                            banding proof at 64 bits; pytest-oracled)
 #   doc_stats                ⊂ doc_text_features / doc_token_stats
 #   q4_order_priority        EXISTS semi-join; anti/semi shapes also in
 #                            anti_join_quiet_customers + q22_dormant_rich
@@ -42,6 +44,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 DRIVER_HIDDEN: frozenset[str] = frozenset(
     {
         "dedup_simhash",
+        "dedup_simhash64_pairs",
         "doc_stats",
         "q14_promo_effect",
         "q18_large_orders",

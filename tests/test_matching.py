@@ -65,3 +65,15 @@ def test_hmm_exact_points_match_their_nodes():
     lats = [_pt(r, c)[0] for r, c in pts]
     lons = [_pt(r, c)[1] for r, c in pts]
     assert hmm_match(g, lons, lats) == [r * 10 + c for r, c in pts]
+
+
+def test_hmm_k1_degenerates_to_nearest_node():
+    """With a single candidate per point the trellis has one path: the HMM
+    must return exactly the nearest-node sequence (for connected
+    candidates) — pins the two matchers to the same snapping semantics."""
+    g = build_grid_graph("auto", 10, 10, island=False)
+    rng = np.random.default_rng(11)
+    lats = BASE_LAT + rng.uniform(0, 0.009, 6)
+    lons = BASE_LON + rng.uniform(0, 0.009, 6)
+    want = [g.nearest_main_node(lo, la) for lo, la in zip(lons, lats)]
+    assert hmm_match(g, lons, lats, k=1) == want
