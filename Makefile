@@ -1,6 +1,12 @@
 PY ?= python
 
-.PHONY: test test-fast parity parity-sf01 bench smoke
+.PHONY: test test-fast parity parity-sf01 bench smoke driver-check baseline
+
+driver-check:
+	$(PY) tools/driver_emulation.py
+
+baseline:
+	$(PY) baseline_duckdb.py
 
 test:
 	$(PY) -m pytest tests/ -q

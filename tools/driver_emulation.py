@@ -1,0 +1,79 @@
+"""Emulate the driver's correctness gate end to end, standalone.
+
+Loads `__spark_entry__.py` under a DEFAULT-config SparkSession (no UTC
+pinning, no nanosAsLong — the entry module must self-provision, exactly
+like the driver), runs every `queries()` entry at the given sf, and
+hash-compares each against its `oracle_sql()` through stock DuckDB the way
+the driver does: sort columns by name, sort rows, csv with
+float_format='%.17g', md5. Runs the whole set in SHUFFLED order (flag
+cross-query state leaks: temp views, persisted frames, engine broadcasts).
+
+Usage:
+    python tools/driver_emulation.py [sf_dir] [--seed N]
+Exit code 0 iff every oracled query matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon_hash(pdf) -> str:
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+    return hashlib.md5(pdf.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = args[0] if args else "/root/testdata/sf0.01"
+    seed = 4
+    if "--seed" in sys.argv:
+        seed = int(sys.argv[sys.argv.index("--seed") + 1])
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = SparkSession.builder.master(f"local[{os.cpu_count() or 8}]").getOrCreate()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    names = sorted(qs)
+    random.Random(seed).shuffle(names)
+    failures: list[str] = []
+    for name in names:
+        try:
+            spdf = qs[name](spark, sf).toPandas()
+            if name not in osql:
+                print(f"{name}: rows-only ({len(spdf)} rows)")
+                continue
+            opdf = con.execute(osql[name]).fetchdf()
+            ok = canon_hash(spdf) == canon_hash(opdf)
+            print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(spdf)}/{len(opdf)} rows)")
+            if not ok:
+                failures.append(name)
+        except Exception as e:  # noqa: BLE001 — report and continue like the driver
+            failures.append(name)
+            print(f"{name}: ERROR {str(e)[:160]}")
+    print(f"\n{len(names) - len(failures)}/{len(names)} ok; failures: {failures or 'none'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
