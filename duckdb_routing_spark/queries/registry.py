@@ -39,6 +39,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   route_isochrone          ⊂ route_isochrones_batch (same kernel)
 #   route_node_count         trivial; cardinalities oracled in
 #                            route_monaco_real_osm + route_tile_build
+#   stream_dedup_minhash     incremental-LSH twin of dedup_minhash_lsh +
+#                            stream_dedup_exact (pytest-oracled)
 #   stream_session_window    declarative twin of stream_sessionize_stateful
 #   union_buckets            plain UNION ALL set op
 DRIVER_HIDDEN: frozenset[str] = frozenset(
@@ -56,6 +58,7 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "route_batch_throughput",
         "route_isochrone",
         "route_node_count",
+        "stream_dedup_minhash",
         "stream_session_window",
         "union_buckets",
     }

@@ -155,3 +155,39 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return out
+
+
+def _minhash_cand_oracle() -> str:
+    from duckdb_routing_spark.queries.llm import MINHASH_BANDS_CTE
+
+    return f"WITH {MINHASH_BANDS_CTE} SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"
+
+
+@register("stream_dedup_minhash", oracle=_minhash_cand_oracle(),
+          doc="incremental MinHash-LSH index over a 4-micro-batch document stream == batch candidate set")
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup candidates (streaming/docs.py): documents split
+    into 4 micro-batches, each batch LSH-joined against the accumulated
+    signature index; the drained pair set must equal the batch LSH
+    candidate CTE exactly — batch-boundary-independence is the contract."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.streaming import docs as sd
+
+    work = tempfile.mkdtemp(prefix="stream_minhash_")
+    chunk_dir = sd.write_document_chunks(spark, sf_dir, os.path.join(work, "in"), chunks=4)
+    index_dir = os.path.join(work, "index")
+    pairs_dir = os.path.join(work, "pairs")
+    q = sd.streaming_minhash_candidates(
+        sd.read_documents_stream(spark, chunk_dir), index_dir, pairs_dir
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(pairs_dir).distinct().orderBy("doc_a", "doc_b").cache()
+    out.count()
+    return out

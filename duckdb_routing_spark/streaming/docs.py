@@ -1,0 +1,105 @@
+"""Streaming document curation: incremental MinHash-LSH near-dup candidates.
+
+The batch dedup family (operators/dedup.py) answers "which documents in
+this corpus are near-duplicates"; a continuously-ingesting training-data
+pipeline needs the STREAMING form — "is this new document a near-dup of
+anything seen so far" — without recomputing over the whole corpus per
+micro-batch. This module implements the standard incremental-LSH-index
+shape:
+
+  per micro-batch:
+    1. compute the batch's MinHash band signatures (same Carter-Wegman
+       construction as batch, so signatures are identical);
+    2. candidate pairs = batch x accumulated-index (cross-batch) plus
+       batch x batch (within-batch), equi-joined on (band, band_sig);
+    3. append the pairs to the output and the signatures to the index.
+
+Every unordered candidate pair is emitted exactly once — in the batch
+where its LATER document arrives — so a fully-drained stream produces
+exactly the batch `cand` set regardless of how documents were split into
+micro-batches (the oracle-checked contract, q:stream_dedup_minhash).
+
+Scale posture: the index is an append-only parquet table keyed by
+(band, band_sig) — at cluster scale a Delta/Iceberg table with the same
+key layout, compacted periodically; the per-batch join touches only
+shared-band buckets, exactly like the batch LSH join. State never lives
+in executor memory, so a restart resumes from the index table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_routing_spark.operators import dedup
+
+
+def write_document_chunks(spark: SparkSession, sf_dir: str, out_dir: str, chunks: int = 4) -> str:
+    """Split the documents table into `chunks` deterministic parquet files
+    (doc_id mod chunks) so the file-source stream replays it as `chunks`
+    micro-batches — the local stand-in for a Kafka/object-store feed."""
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .toPandas()
+    )
+    for b in range(chunks):
+        part = pdf[pdf["doc_id"] % chunks == b]
+        part.to_parquet(os.path.join(out_dir, f"chunk_{b}.parquet"), index=False)
+    return out_dir
+
+
+def read_documents_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(chunk_dir, "chunk_*.parquet"))
+    )
+
+
+def streaming_minhash_candidates(
+    stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    k: int = 3,
+    n_hashes: int = 12,
+    band_size: int = 3,
+):
+    """Start the incremental-LSH query (foreachBatch). Returns the handle;
+    callers drive it (processAllAvailable locally, triggers in production)
+    and read the accumulated pairs from `pairs_dir`."""
+    spark = stream.sparkSession
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        sigs = dedup.minhash_band_rows(
+            batch_df, id_col="doc_id", text_col="text", k=k, n_hashes=n_hashes, band_size=band_size
+        ).persist()
+        try:
+            a = sigs.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+            b = sigs.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+            within = a.join(b, ["band", "band_sig"]).filter(F.col("doc_a") < F.col("doc_b"))
+            pairs = within.select("doc_a", "doc_b")
+            index_exists = os.path.isdir(index_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(index_dir)
+            )
+            if index_exists:
+                old = spark.read.parquet(index_dir)
+                cross = (
+                    sigs.select("band", "band_sig", F.col("doc_id").alias("new_id"))
+                    .join(old.withColumnRenamed("doc_id", "old_id"), ["band", "band_sig"])
+                    .select(
+                        F.least("new_id", "old_id").alias("doc_a"),
+                        F.greatest("new_id", "old_id").alias("doc_b"),
+                    )
+                    .filter(F.col("doc_a") != F.col("doc_b"))
+                )
+                pairs = pairs.unionByName(cross)
+            pairs.distinct().write.mode("append").parquet(pairs_dir)
+            sigs.write.mode("append").parquet(index_dir)
+        finally:
+            sigs.unpersist()
+
+    return stream.writeStream.outputMode("append").foreachBatch(_step).start()
