@@ -459,9 +459,15 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Centroid parity policy: components quantize to 1e-9 via an EXPLICIT
+# floor(v*1e9 + 0.5) in double — both engines compute that bit-identically,
+# then sum exact BIGINTs. A decimal(18,9) cast instead leaves the
+# half-way rounding rule to the engine (Spark HALF_UP vs DuckDB's
+# double->decimal rule), which diverges on tie values — invisible at
+# sf0.01, ~0.16% of centroids at sf0.1.
 CENTROID_ORACLE = """
 SELECT label, pos - 1 AS pos,
-       cast(sum(cast(cast(v as double) as decimal(18,9))) as double) / count(*) AS centroid
+       cast(sum(cast(floor(cast(v as double) * 1e9 + 0.5) as bigint)) as double) / 1e9 / count(*) AS centroid
 FROM (SELECT label, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
       FROM embeddings)
 GROUP BY label, pos
@@ -469,13 +475,14 @@ ORDER BY label, pos
 """
 
 
-@register("emb_label_centroids", oracle=CENTROID_ORACLE, doc="per-label embedding centroids (exact decimal mean per dim)")
+@register("emb_label_centroids", oracle=CENTROID_ORACLE, doc="per-label embedding centroids (exact quantized-integer mean per dim)")
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    q = F.floor(F.col("v").cast("double") * F.lit(1e9) + F.lit(0.5)).cast("long")
     return (
         ex.groupBy("label", "pos")
-        .agg((F.sum(F.col("v").cast("double").cast("decimal(18,9)")).cast("double") / F.count("*")).alias("centroid"))
+        .agg(((F.sum(q).cast("double") / F.lit(1e9)) / F.count("*")).alias("centroid"))
         .orderBy("label", "pos")
     )
 
