@@ -455,3 +455,63 @@ def simhash_hamming_pairs(sig: DataFrame, max_hamming: int = 2) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster assignment (the final stage of a dedup pipeline: pairs -> groups)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id) where
+    cluster_id is the MINIMUM doc id of the component — the canonical
+    survivor every dedup pipeline keeps.
+
+    Iterative min-label propagation (the HashToMin shape): each round every
+    node takes the min of its own label and its neighbors' labels; converges
+    in O(component diameter) rounds — near-dup components are shallow
+    (pairs come from a similarity threshold), so typically 2-4 rounds. Each
+    round is one shuffle-on-doc_id join; the driver only ever sees a
+    convergence COUNT per round, never the data. 100 TB shape: labels and
+    edges partition by doc id; no component is ever driver-resident."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("cluster_id").alias("neigh_min"))
+            )
+            new_labels = (
+                labels.join(neigh, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
+                    ).alias("cluster_id"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("doc_id", "cluster_id")
+    finally:
+        edges.unpersist()

@@ -652,3 +652,47 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_routing_spark.operators import clustering
 
     return clustering.kmeans_lloyd(table(spark, sf_dir, "embeddings"), k=4, iterations=3)
+
+
+CLUSTER_ORACLE = f"""
+WITH RECURSIVE {MINHASH_BANDS_CTE},
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+nd AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+               JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE i.n_inter::DOUBLE / (sa.n + sb.n - i.n_inter) >= 0.8
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM nd
+  UNION
+  SELECT doc_b, doc_a FROM nd
+),
+reach(doc, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+)
+SELECT doc AS doc_id, min(lab) AS cluster_id
+FROM reach GROUP BY doc ORDER BY doc_id
+"""
+
+
+@register("dedup_cluster_assign", oracle=CLUSTER_ORACLE,
+          doc="connected components over near-dup pairs -> (doc_id, min-id cluster)")
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final dedup-pipeline stage: group near-dup pairs into components
+    and assign each doc its canonical (minimum-id) survivor. Spark side is
+    iterative min-label propagation (O(diameter) shuffle rounds); the
+    oracle is the transitive-closure recursive CTE — the hash match proves
+    the distributed propagation reaches the same fixpoint."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    return dedup.dedup_clusters(pairs).orderBy("doc_id")

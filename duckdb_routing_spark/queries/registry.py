@@ -26,6 +26,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 # tests/test_oracle_parity.py and available to bench.py), so __spark_entry__
 # exposes exactly the 50 most-informative ones. Each hidden name is a strict
 # variant of an exposed sibling:
+#   dedup_cluster_assign     downstream stage of dedup_near_dups
+#                            (pytest-oracled vs recursive-CTE components)
 #   dedup_simhash            ⊂ dedup_simhash_pairs (same signature pipeline)
 #   dedup_simhash64_pairs    widened twin of dedup_simhash_pairs (same
 #                            banding proof at 64 bits; pytest-oracled)
@@ -45,6 +47,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   union_buckets            plain UNION ALL set op
 DRIVER_HIDDEN: frozenset[str] = frozenset(
     {
+        "dedup_cluster_assign",
         "dedup_simhash",
         "dedup_simhash64_pairs",
         "doc_stats",

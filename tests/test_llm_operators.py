@@ -242,3 +242,15 @@ def test_ann_high_dim_plan_stays_bounded(spark):
         .s
     )
     assert got == want
+
+
+def test_dedup_clusters_merges_transitive_components(spark):
+    """A-B and B-C pairs (no direct A-C edge) must land in ONE component
+    with the min id as cluster_id; disjoint pairs stay separate."""
+    from duckdb_routing_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (20, 21), (40, 2)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 2: 2, 40: 2}
