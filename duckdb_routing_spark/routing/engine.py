@@ -52,6 +52,7 @@ from duckdb_routing_spark.routing.geometry import (
 from duckdb_routing_spark.routing.graph import RoutingGraph
 
 TILES_CONF_KEY = "spark.routing.tiles"
+BBOX_CONF_KEY = "spark.routing.bbox"
 
 # Executor-process cache: payload uuid -> RoutingGraph (rebuilt once per
 # worker process, shared across Arrow batches).
@@ -200,7 +201,9 @@ class RoutingEngine:
             self.register()
         return True
 
-    def load_config(self, dir_path: str, modes=("auto", "bicycle", "pedestrian")) -> bool:
+    def load_config(
+        self, dir_path: str, modes=("auto", "bicycle", "pedestrian"), bbox: tuple | None = None
+    ) -> bool:
         """Load a graph source (the analog of travel_time_load_config /
         travel_time_load; idempotent for the same path). Accepts:
 
@@ -209,8 +212,13 @@ class RoutingEngine:
           - an `.osm.pbf` path with reference cache artifacts next to it
             (the reference's cache_path convention, rust/src/lib.rs:164-166) —
             raw PBF decode itself stays gated on an OSM reader.
+
+        `bbox=(min_lon, min_lat, max_lon, max_lat)` loads only the windowed
+        subgraph from parquet artifacts (regional-tile analog; see
+        RoutingGraph.load) — a city service over a country artifact
+        broadcasts the city, not the country.
         """
-        if dir_path == self._tiles_path and self._broadcasts:
+        if dir_path == self._tiles_path and self._broadcasts and bbox is None:
             return True
         import os
 
@@ -265,7 +273,7 @@ class RoutingEngine:
         else:
             for mode in modes:
                 try:
-                    g = RoutingGraph.load(dir_path, mode)
+                    g = RoutingGraph.load(dir_path, mode, bbox=bbox)
                 except (FileNotFoundError, OSError):
                     continue
                 self.load_graph(g, mode)
@@ -289,10 +297,14 @@ class RoutingEngine:
 
     def ensure_conf(self) -> None:
         """Bridge for `SET spark.routing.tiles = path` — hot-swaps the
-        broadcasts when the conf changed (SURVEY §3.3 Spark rebuild)."""
+        broadcasts when the conf changed (SURVEY §3.3 Spark rebuild).
+        Optional `SET spark.routing.bbox = 'min_lon,min_lat,max_lon,max_lat'`
+        windows the load to a region of the artifact."""
         path = self.spark.conf.get(TILES_CONF_KEY, None)
         if path and path != self._tiles_path:
-            self.load_config(path)
+            raw = self.spark.conf.get(BBOX_CONF_KEY, None)
+            bbox = tuple(float(x) for x in raw.split(",")) if raw else None
+            self.load_config(path, bbox=bbox)
 
     @property
     def tiles_path(self) -> str | None:

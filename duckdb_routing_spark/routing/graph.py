@@ -365,9 +365,37 @@ class RoutingGraph:
             json.dump(manifest, f)
 
     @classmethod
-    def load(cls, dir_path: str, mode: str) -> "RoutingGraph":
-        nodes = pd.read_parquet(os.path.join(dir_path, f"nodes_{mode}.parquet"))
+    def load(cls, dir_path: str, mode: str, bbox: tuple | None = None) -> "RoutingGraph":
+        """Load an artifact; `bbox=(min_lon, min_lat, max_lon, max_lat)`
+        loads only the windowed SUBGRAPH — the partition-pruning analog of
+        Valhalla's regional tile loading (a city routing service over a
+        country artifact reads the city, not the country). The lon/lat
+        filter pushes into the parquet scan (row-group pruning via pyarrow
+        filters); surviving nodes are densely re-indexed and edges keep
+        only endpoints inside the window. Roads crossing the boundary are
+        cut — choose a bbox with margin, like any tile-based router.
+
+        Precomputed ALT tables are whole-graph; a windowed load skips them
+        (the lazy per-process fallback recomputes on the subgraph)."""
+        filters = None
+        if bbox is not None:
+            min_lon, min_lat, max_lon, max_lat = map(float, bbox)
+            filters = [
+                ("lon", ">=", min_lon), ("lon", "<=", max_lon),
+                ("lat", ">=", min_lat), ("lat", "<=", max_lat),
+            ]
+        nodes = pd.read_parquet(os.path.join(dir_path, f"nodes_{mode}.parquet"), filters=filters)
         edges = pd.read_parquet(os.path.join(dir_path, f"edges_{mode}.parquet"))
+        if bbox is not None:
+            old_ids = np.sort(nodes["node_id"].to_numpy(np.int64))
+            keep = pd.Series(np.arange(len(old_ids), dtype=np.int64), index=old_ids)
+            nodes = nodes.assign(node_id=keep.loc[nodes["node_id"]].to_numpy())
+            in_window = edges["src"].isin(keep.index) & edges["dst"].isin(keep.index)
+            edges = edges.loc[in_window]
+            edges = edges.assign(
+                src=keep.loc[edges["src"]].to_numpy(), dst=keep.loc[edges["dst"]].to_numpy()
+            )
+            return cls.from_pandas(nodes, edges)
         g = cls.from_pandas(nodes, edges)
         alt_path = os.path.join(dir_path, f"alt_{mode}.npz")
         if os.path.exists(alt_path):

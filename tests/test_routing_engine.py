@@ -381,3 +381,50 @@ def test_height_bilinear_on_gridded_dem(spark, engine):
     engine.load_elevation(scattered)
     r2 = _json.loads(engine.request("height", _json.dumps({"locations": [{"lat": 0.31, "lon": 0.69}]})))
     assert r2["height"] == [20.0]  # nearest-sample fallback
+
+
+def test_bbox_windowed_artifact_load(spark, tmp_path):
+    """Regional loading: a bbox covering the left half of the grid loads
+    only that subgraph (node count halves, ids dense), routes work inside
+    the window, and snaps near the cut boundary stay inside it. The SQL
+    conf bridge (SET spark.routing.bbox) drives the same path."""
+    import pandas as pd
+
+    from duckdb_routing_spark.routing.engine import RoutingEngine
+    from duckdb_routing_spark.routing.graph import RoutingGraph
+    from duckdb_routing_spark.routing.osm_build import build_tiles
+    from duckdb_routing_spark.testing import BASE_LAT, BASE_LON, SPACING_DEG, grid_nodes, grid_ways
+
+    out = str(tmp_path / "tiles")
+    ways = spark.createDataFrame(
+        pd.DataFrame(grid_ways(10, 10, island=False), columns=["way_id", "nodes", "highway", "oneway"])
+    )
+    build_tiles(spark, ways, spark.createDataFrame(grid_nodes(10, 10, island=False)), out, modes=("auto",))
+
+    # left half: columns 0..4 (lon window), all rows
+    bbox = (BASE_LON - 1e-6, BASE_LAT - 1e-6, BASE_LON + 4 * SPACING_DEG + 1e-6, BASE_LAT + 9 * SPACING_DEG + 1e-6)
+    g = RoutingGraph.load(out, "auto", bbox=bbox)
+    assert g.num_nodes == 50  # 10 rows x 5 cols
+    # dense reindex: ids are 0..49 and every edge endpoint is in range
+    assert g.indices.max() < 50
+    full = RoutingGraph.load(out, "auto")
+    assert full.num_nodes == 100
+
+    eng = RoutingEngine(spark)
+    spark.conf.set("spark.routing.tiles", out)
+    spark.conf.set("spark.routing.bbox", ",".join(str(v) for v in bbox))
+    eng.ensure_conf()
+    assert eng.node_count("auto") == 50
+    eng.register()
+    # a route fully inside the window works through SQL
+    s = spark.sql(
+        f"SELECT travel_time({BASE_LAT}, {BASE_LON}, {BASE_LAT + 3 * SPACING_DEG}, "
+        f"{BASE_LON + 2 * SPACING_DEG}, 'auto') AS s"
+    ).first().s
+    assert s is not None and s > 0
+    # a point beyond the window snaps to the boundary column, not outside
+    snapped = spark.sql(
+        f"SELECT travel_time_locate({BASE_LAT}, {BASE_LON + 9 * SPACING_DEG}, 'auto') AS p"
+    ).first().p
+    assert snapped is not None and snapped.lon <= BASE_LON + 4 * SPACING_DEG + 1e-9
+    spark.conf.unset("spark.routing.bbox")
