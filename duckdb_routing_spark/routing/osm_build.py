@@ -45,7 +45,9 @@ def haversine_col(lon1, lat1, lon2, lat2):
     return F.lit(2.0 * r) * F.asin(F.sqrt(a))
 
 
-def dense_rank_by(df: DataFrame, key: str, out_col: str) -> tuple[DataFrame, int]:
+def dense_rank_by(
+    df: DataFrame, key: str, out_col: str, key_range: tuple[int, int] | None = None
+) -> tuple[DataFrame, int]:
     """Add a dense 0..N-1 id ordered by integer `key` (distinct values
     assumed), WITHOUT a global single-partition window. Returns (df, n_rows).
 
@@ -67,7 +69,14 @@ def dense_rank_by(df: DataFrame, key: str, out_col: str) -> tuple[DataFrame, int
     spark = df.sparkSession
     n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     df = df.persist()
-    lo, hi = df.agg(F.min(key), F.max(key)).first()
+    if key_range is not None:
+        # caller-known bounds (any superset of the true range keeps the
+        # bucketing valid — empty buckets get zero-width offsets). Skips a
+        # full pass over `df`, which for the graph build means one fewer
+        # materialization of the whole segments->join DAG.
+        lo, hi = key_range
+    else:
+        lo, hi = df.agg(F.min(key), F.max(key)).first()
     if lo is None:  # empty input
         return df.withColumn(out_col, F.lit(None).cast("long")), 0
     span = max(1, int(hi) - int(lo) + 1)
@@ -161,21 +170,34 @@ def build_mode_graph_df(
         .groupBy("osm_id")
         .agg(F.max("is_main").alias("main_road"))
     )
-    id_map, n_map = dense_rank_by(node_flags, "osm_id", "node_id")
+    # range hint: edge endpoints are inner-joined against osm_nodes above, so
+    # min/max over the (small, pre-join) node table bounds every osm_id in
+    # node_flags — computing it there replaces a min/max pass over the whole
+    # segments->join DAG with a single-column scan of the node input
+    r = osm_nodes.agg(F.min("node_id"), F.max("node_id")).first()
+    key_range = (int(r[0]), int(r[1])) if r[0] is not None else None
+    id_map, n_map = dense_rank_by(node_flags, "osm_id", "node_id", key_range=key_range)
     id_map = id_map.persist()
     # a country-sized id map (~10M rows x 16 B) broadcasts comfortably; the
     # threshold keeps planet-scale builds on sort-merge joins
     bcast = n_map <= 20_000_000
     hint = F.broadcast if bcast else (lambda d: d)
+    # ONE broadcast relation serves all three remap joins: identical plan
+    # subtrees let Spark reuse the broadcast exchange (ReusedExchange), so
+    # the map is collected+built once instead of three times (carrying
+    # main_road into the edge joins costs a byte/row and is dropped by the
+    # projection)
+    bmap = hint(id_map.select("osm_id", "node_id", "main_road"))
     nodes = (
-        hint(id_map).join(osm_nodes.withColumnRenamed("node_id", "osm_id"), "osm_id", "inner")
+        bmap.join(osm_nodes.withColumnRenamed("node_id", "osm_id"), "osm_id", "inner")
         .select("node_id", "lon", "lat", "main_road")
     )
-    m1 = id_map.select(F.col("osm_id").alias("src_osm"), F.col("node_id").alias("src"))
-    m2 = id_map.select(F.col("osm_id").alias("dst_osm"), F.col("node_id").alias("dst"))
     edges = (
-        directed.join(hint(m1), "src_osm")
-        .join(hint(m2), "dst_osm")
+        directed.join(bmap.withColumnRenamed("osm_id", "src_osm"), "src_osm")
+        .withColumnRenamed("node_id", "src")
+        .drop("main_road")
+        .join(bmap.withColumnRenamed("osm_id", "dst_osm"), "dst_osm")
+        .withColumnRenamed("node_id", "dst")
         .select("src", "dst", "weight_ms", "length_m")
     )
     return nodes, edges
