@@ -36,6 +36,11 @@ REGISTRY: dict[str, QuerySpec] = {}
 #                            anti_join_quiet_customers + q22_dormant_rich
 #   q8/q9/q14/q18/q19        multi-join / subquery shapes covered by
 #                            q1,q3,q5,q6,q7,q10,q22
+#   q11/q13/q16/q17/q21      late-added decision-support shapes (scalar-
+#                            subquery HAVING, outer-join histogram, NOT IN +
+#                            count-distinct, correlated AVG, EXISTS+NOT
+#                            EXISTS); operator families already represented
+#                            among the exposed 50 (q22 anti/semi, q5 joins)
 #   rollup_revenue           ⊂ grouping_sets_revenue (ROLLUP is sugar)
 #   route_batch_throughput   rows-only throughput probe; bench.py measures it
 #   route_isochrone          ⊂ route_isochrones_batch (same kernel)
@@ -51,7 +56,12 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "dedup_simhash",
         "dedup_simhash64_pairs",
         "doc_stats",
+        "q11_important_stock",
+        "q13_order_histogram",
         "q14_promo_effect",
+        "q16_supplier_variety",
+        "q17_small_quantity_revenue",
+        "q21_sole_blame",
         "q18_large_orders",
         "q19_disjunctive_predicates",
         "q4_order_priority",

@@ -667,3 +667,138 @@ PERCENTILE_SPARK = PERCENTILE_ORACLE.replace("quantile_cont(o_totalprice,", "per
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders")
     return spark.sql(PERCENTILE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Decision-support shapes rounding out the TPC-H operator envelope
+# (adapted to the fixture's columns like the rest of this file; all
+# pytest-oracled, DRIVER_HIDDEN — each is a strict operator-shape variant
+# of an exposed sibling family)
+# ---------------------------------------------------------------------------
+
+Q11_ORACLE = f"""
+SELECT l_partkey, {dsum('l_extendedprice * (1 - l_discount)', 4)} AS part_value
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4)))
+     > (SELECT sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) * 0.0002
+        FROM lineitem)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("q11_important_stock", oracle=Q11_ORACLE,
+          doc="TPC-H Q11 shape: HAVING against an uncorrelated global scalar subquery")
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark plans the scalar subquery as its own stage and folds the result
+    into the HAVING filter; the fact table is scanned twice (once per agg) —
+    at cluster scale both scans prune to the 3 referenced columns."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(Q11_ORACLE)
+
+
+Q13_ORACLE = """
+SELECT n_orders, count(*) AS n_customers
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
+@register("q13_order_histogram", oracle=Q13_ORACLE,
+          doc="TPC-H Q13 shape: outer join with join-level predicate -> two-level count histogram")
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame form: the filter lives in the JOIN condition (not WHERE —
+    on an outer join those differ), then two cascaded counts. customer side
+    broadcasts; the orders scan prunes to (o_custkey, o_orderpriority)."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey")) & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#3'
+  AND p_size IN (1, 4, 9, 14, 19, 24)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_variety", oracle=Q16_ORACLE,
+          doc="TPC-H Q16 shape: NOT IN anti-subquery + count(DISTINCT) over a 3-key group")
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a non-nullable key plans as a broadcast null-aware anti
+    join (the 6-row exclusion set ships to every task); count(DISTINCT)
+    expands to a two-phase aggregate. Identical ANSI text in both engines."""
+    _views(spark, sf_dir, "lineitem", "part", "supplier")
+    return spark.sql(Q16_ORACLE)
+
+
+Q17_ORACLE = f"""
+SELECT {dsum('l_extendedprice', 2)} / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#5'
+  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=Q17_ORACLE,
+          doc="TPC-H Q17 shape: correlated scalar AVG subquery per part")
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst de-correlates the scalar subquery into an aggregate-then-join
+    (per-part avg joined back on p_partkey) — the same rewrite every MPP
+    engine applies; no per-row re-execution. avg(l_quantity) is DOUBLE in
+    both engines over the same operands (deterministic IEEE sum order after
+    the de-correlation groups per part), and the 0.2* threshold comparison
+    is exact-identical."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(Q17_ORACLE)
+
+
+Q21_ORACLE = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+"""
+
+
+@register("q21_sole_blame", oracle=Q21_ORACLE,
+          doc="TPC-H Q21 shape: correlated EXISTS + NOT EXISTS on the same fact table")
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blame query: suppliers alone at fault in multi-supplier orders.
+    Spark plans the EXISTS as a left-semi and the NOT EXISTS as a left-anti
+    join against the same lineitem scan (reused exchange), keyed on
+    l_orderkey — two shuffles over the fact table, no per-row subquery."""
+    _views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(Q21_ORACLE)
