@@ -48,6 +48,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #                            route_monaco_real_osm + route_tile_build
 #   stream_dedup_minhash     incremental-LSH twin of dedup_minhash_lsh +
 #                            stream_dedup_exact (pytest-oracled)
+#   stream_interval_join     stream-stream interval join; join family exposed
+#                            via asof/fanout, stream family via 3 stream_* rows
 #   stream_session_window    declarative twin of stream_sessionize_stateful
 #   union_buckets            plain UNION ALL set op
 DRIVER_HIDDEN: frozenset[str] = frozenset(
@@ -72,6 +74,7 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "route_isochrone",
         "route_node_count",
         "stream_dedup_minhash",
+        "stream_interval_join",
         "stream_session_window",
         "union_buckets",
     }

@@ -191,3 +191,34 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.read.parquet(pairs_dir).distinct().orderBy("doc_a", "doc_b").cache()
     out.count()
     return out
+
+
+STREAM_INTERVAL_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       epoch_us(cast(p.ts as timestamp)) - epoch_us(cast(v.ts as timestamp)) AS lag_us
+FROM events p JOIN events v ON v.user_id = p.user_id
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+  AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 1 HOUR
+ORDER BY purchase_id, view_id
+"""
+
+
+@register("stream_interval_join", oracle=STREAM_INTERVAL_JOIN_ORACLE,
+          doc="stream-stream event-time interval join (purchase<-views within 1h) == batch interval join when drained")
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two watermarked streams over the same file source, inner-joined on
+    user with a bounded event-time range — the drained append-mode output
+    must equal the batch interval join exactly."""
+    from pyspark.sql import functions as F
+
+    name = f"stream_ivj_{uuid.uuid4().hex[:8]}"
+    views = ev.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    purchases = ev.read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    stream = ev.streaming_view_purchase_join(views, purchases)
+    q = ev.run_stream_to_memory(stream, name, output_mode="append")
+    try:
+        out = spark.table(name).orderBy("purchase_id", "view_id").cache()
+        out.count()
+    finally:
+        q.stop()
+    return out

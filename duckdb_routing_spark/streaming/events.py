@@ -186,3 +186,41 @@ def run_stream_foreach_batch(df: DataFrame, out_dir: str, output_mode: str = "ap
     q = df.writeStream.outputMode(output_mode).foreachBatch(_write).start()
     q.processAllAvailable()
     return q
+
+
+def streaming_view_purchase_join(views: DataFrame, purchases: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream-stream event-time interval join: each purchase matched to every
+    view by the same user within `horizon` before it.
+
+    The canonical attribution shape (reference semantics source: the host
+    SQL's interval self-join surface, SURVEY §2.4 joins). Both sides carry
+    watermarks and the join condition bounds view_ts to a finite window
+    around purchase_ts, so Spark derives a state eviction horizon for BOTH
+    sides — state size tracks `watermark + horizon` of stream time, not
+    stream history; that is what makes the operator run forever at 100 TB
+    ingest. Inner join in append mode emits matches as both sides arrive."""
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", "2 hours")
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", "2 hours")
+    return (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") > F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+            "inner",
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            "user_id",
+            (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))).alias("lag_us"),
+        )
+    )
