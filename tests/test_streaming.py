@@ -75,3 +75,77 @@ def test_streaming_dedup_on_doubled_stream(spark):
         .count()
     )
     assert got == want
+
+
+def test_interval_join_multibatch_equals_batch(spark, tmp_path):
+    """Stream-stream interval join across 4 REAL micro-batches (chronological
+    file chunks) must equal the batch interval join: with chronologically
+    ordered input nothing is ever late, so watermark eviction may not drop a
+    single match — batch-boundary independence is the contract."""
+    import os
+    import time
+
+    from duckdb_routing_spark.queries.registry import table
+    from duckdb_routing_spark.streaming import events as ev
+
+    pdf = table(spark, SF_SMOKE, "events").toPandas().sort_values("ts").reset_index(drop=True)
+    chunk_dir = tmp_path / "chunks"
+    chunk_dir.mkdir()
+    n = len(pdf)
+    for b in range(4):
+        part = pdf.iloc[b * n // 4 : (b + 1) * n // 4]
+        p = str(chunk_dir / f"chunk_{b}.parquet")
+        # microsecond physical type: the session reads INT64-nanos as long
+        # (nanosAsLong), which would clash with the declared timestamp schema
+        part.to_parquet(p, index=False, coerce_timestamps="us")
+        # file-stream source orders files by mtime: force chronological replay
+        os.utime(p, (time.time() + b, time.time() + b))
+
+    def read_chunked():
+        raw = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(chunk_dir / "chunk_*.parquet"))
+        )
+        return raw
+
+    stream = ev.streaming_view_purchase_join(
+        read_chunked().filter(F.col("event_type") == "view"),
+        read_chunked().filter(F.col("event_type") == "purchase"),
+    )
+    q = ev.run_stream_to_memory(stream, "ivj_chunks", output_mode="append")
+    try:
+        got = spark.table("ivj_chunks").toPandas()
+    finally:
+        q.stop()
+    assert q.lastProgress is not None and q.lastProgress["batchId"] >= 3, "expected >= 4 micro-batches"
+
+    events = table(spark, SF_SMOKE, "events")
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    want = (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") > F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            "user_id",
+            (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))).alias("lag_us"),
+        )
+        .toPandas()
+    )
+    key = ["purchase_id", "view_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert got[key + ["user_id", "lag_us"]].equals(want[key + ["user_id", "lag_us"]])
