@@ -371,7 +371,12 @@ def route_tile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ways = spark.createDataFrame(ways_pdf)
     osm_nodes = spark.createDataFrame(grid_nodes(nrows, ncols, island=False))
-    nodes, edges = build_mode_graph_df(spark, segments_from_ways(ways), osm_nodes, "auto")
+    # the lattice's id space is known a priori — pass the bounds so the build
+    # skips its min/max discovery job (a real pipeline gets these from
+    # source metadata: PBF header bbox / tile manifest)
+    nodes, edges = build_mode_graph_df(
+        spark, segments_from_ways(ways), osm_nodes, "auto", key_range=(0, nrows * ncols - 1)
+    )
     return nodes.agg(F.count("*").alias("n_nodes")).crossJoin(edges.agg(F.count("*").alias("n_edges")))
 
 

@@ -119,7 +119,11 @@ def segments_from_ways(ways: DataFrame) -> DataFrame:
 
 
 def build_mode_graph_df(
-    spark: SparkSession, segments: DataFrame, osm_nodes: DataFrame, mode: str
+    spark: SparkSession,
+    segments: DataFrame,
+    osm_nodes: DataFrame,
+    mode: str,
+    key_range: tuple[int, int] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """segments(src_osm, dst_osm, highway, oneway) + osm_nodes(node_id, lon,
     lat) -> (nodes(node_id, lon, lat, main_road), edges(src, dst, weight_ms,
@@ -174,8 +178,12 @@ def build_mode_graph_df(
     # min/max over the (small, pre-join) node table bounds every osm_id in
     # node_flags — computing it there replaces a min/max pass over the whole
     # segments->join DAG with a single-column scan of the node input
-    r = osm_nodes.agg(F.min("node_id"), F.max("node_id")).first()
-    key_range = (int(r[0]), int(r[1])) if r[0] is not None else None
+    if key_range is None:
+        # a caller that knows its id bounds from source metadata (PBF header
+        # bbox, tile manifest, synthetic lattice) passes them and skips this
+        # job entirely; any superset of the true range is valid
+        r = osm_nodes.agg(F.min("node_id"), F.max("node_id")).first()
+        key_range = (int(r[0]), int(r[1])) if r[0] is not None else None
     id_map, n_map = dense_rank_by(node_flags, "osm_id", "node_id", key_range=key_range)
     id_map = id_map.persist()
     # a country-sized id map (~10M rows x 16 B) broadcasts comfortably; the
