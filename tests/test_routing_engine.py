@@ -428,3 +428,32 @@ def test_bbox_windowed_artifact_load(spark, tmp_path):
     ).first().p
     assert snapped is not None and snapped.lon <= BASE_LON + 4 * SPACING_DEG + 1e-9
     spark.conf.unset("spark.routing.bbox")
+
+
+def test_connect_one_call_surface(spark, tmp_path):
+    """connect(): ST_* + routing SQL + fixture views in one call (the
+    reference's LOAD travel_time; SET valhalla_tiles UX)."""
+    from duckdb_routing_spark import connect
+    from duckdb_routing_spark.routing.osm_build import build_tiles
+    from duckdb_routing_spark.testing import grid_nodes, grid_segments
+    from tests.conftest import SF_SMOKE
+
+    segs = grid_segments()
+    ways = spark.createDataFrame(
+        [(i, [int(r.src), int(r.dst)], r.highway, r.oneway) for i, r in enumerate(segs.itertuples(index=False))],
+        "way_id long, nodes array<long>, highway string, oneway string",
+    )
+    out = build_tiles(spark, ways, spark.createDataFrame(grid_nodes()), str(tmp_path / "tiles"), modes=("auto",))
+
+    s = connect(tiles=out, spark=spark, sf_dir=SF_SMOKE)
+    assert s is spark
+    # routing SQL registered + graph loaded
+    dur = s.sql("SELECT travel_time(52.0, 13.0, 52.005, 13.005, 'auto') AS d").first()["d"]
+    assert dur is not None and dur > 0
+    # engine handle exposed for the DataFrame-level APIs
+    assert s.routing_engine.is_loaded("auto")
+    # ST_* kit registered
+    wkt = s.sql("SELECT st_astext(st_point(13.0, 52.0)) AS w").first()["w"]
+    assert wkt == "POINT(13.0 52.0)"
+    # fixture views registered
+    assert s.sql("SELECT count(*) AS n FROM lineitem").first()["n"] > 0
