@@ -84,10 +84,23 @@ def main() -> None:
     # per-query min is then a far more stable steady-state estimate.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for r in range(runs):
         for name, spec in headline.items():
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            n = spec.fn(spark, sf_dir).count()
+            # one broken query must not zero out the whole bench (a driver
+            # environment change once crashed a single query and cost the
+            # round ALL its numbers): record the error, keep measuring the
+            # rest, and still print the JSON line
+            try:
+                n = spec.fn(spark, sf_dir).count()
+            except Exception as exc:  # noqa: BLE001 — fault isolation by design
+                errors[name] = str(exc).splitlines()[0][:200]
+                timings.pop(name, None)
+                print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+                continue
             dt = time.perf_counter() - t0
             # drop DataFrame caches a query persisted for its own internal
             # reuse — otherwise they accumulate across rounds and the
@@ -107,6 +120,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 
