@@ -31,11 +31,13 @@ def connect(tiles: str | None = None, spark=None, sf_dir: str | None = None, **s
     ``spark.routing_engine`` for DataFrame-level APIs (matrix, isochrone,
     request)."""
     from duckdb_routing_spark.functions.geo import register_geo_functions
+    from duckdb_routing_spark.functions.text import register_text_functions
     from duckdb_routing_spark.session import register_testdata_views
 
     if spark is None:
         spark = get_spark(**session_kwargs)
     register_geo_functions(spark)
+    register_text_functions(spark)
     if tiles is not None:
         from duckdb_routing_spark.routing import RoutingEngine
 

@@ -173,3 +173,55 @@ def test_sql_udfs_use_batch_snap_not_scalar():
         "scalar nearest_main_node call found in a batch UDF path"
     )
     assert "nearest_main_nodes(" in src  # the batch kernel is actually wired
+
+
+def test_sql_text_function_kit_matches_dataframe_forms(spark):
+    """The SQL-defined text functions (functions/text.py) must agree exactly
+    with the DataFrame column forms they mirror (operators/text.py) — same
+    marker profiles, same constants, one source of truth; and they must stay
+    JVM-side (no BatchEvalPython / ArrowEvalPython in the plan)."""
+    from duckdb_routing_spark.functions.text import register_text_functions
+    from duckdb_routing_spark.operators import text as T
+
+    register_text_functions(spark)
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").limit(300).cache()
+    docs.createOrReplaceTempView("docs_sqlkit")
+
+    via_sql = spark.sql(
+        """
+        SELECT doc_id,
+               tok_count(text)        AS n_tokens,
+               unique_tok_count(text) AS n_unique_tokens,
+               avg_token_len(text)    AS avg_token_len,
+               stopword_ratio(text)   AS stop_ratio,
+               quality_score(text)    AS quality,
+               doc_fingerprint(text)  AS fp,
+               lang_id(text)          AS lang_pred,
+               bpe_tok_count(text)    AS n_bpe
+        FROM docs_sqlkit
+        """
+    )
+    assert "EvalPython" not in via_sql._jdf.queryExecution().executedPlan().toString()
+    got = via_sql.orderBy("doc_id").toPandas()
+
+    t = F.col("text")
+    want = (
+        docs.select(
+            "doc_id",
+            T.token_count(t).alias("n_tokens"),
+            T.unique_token_count(t).alias("n_unique_tokens"),
+            T.avg_token_len(t).alias("avg_token_len"),
+            T.stopword_ratio(t).alias("stop_ratio"),
+            T.quality_score(t).alias("quality"),
+            T.fingerprint(t).alias("fp"),
+            T.lang_id(t).alias("lang_pred"),
+            T.bpe_ish_token_count(t).alias("n_bpe"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    docs.unpersist()
+    assert len(got) == len(want) > 0
+    assert (got["lang_pred"] != "und").any()  # classifier actually fires
+    for c in got.columns:
+        assert got[c].equals(want[c]), f"column {c} differs between SQL and DataFrame forms"
