@@ -32,12 +32,14 @@ def connect(tiles: str | None = None, spark=None, sf_dir: str | None = None, **s
     request)."""
     from duckdb_routing_spark.functions.geo import register_geo_functions
     from duckdb_routing_spark.functions.text import register_text_functions
+    from duckdb_routing_spark.functions.vector import register_vector_functions
     from duckdb_routing_spark.session import register_testdata_views
 
     if spark is None:
         spark = get_spark(**session_kwargs)
     register_geo_functions(spark)
     register_text_functions(spark)
+    register_vector_functions(spark)
     if tiles is not None:
         from duckdb_routing_spark.routing import RoutingEngine
 

@@ -225,3 +225,45 @@ def test_sql_text_function_kit_matches_dataframe_forms(spark):
     assert (got["lang_pred"] != "und").any()  # classifier actually fires
     for c in got.columns:
         assert got[c].equals(want[c]), f"column {c} differs between SQL and DataFrame forms"
+
+
+def test_sql_vector_function_kit(spark):
+    """dot/cosine/l2/norm SQL functions: JVM-side, agree with numpy to
+    float64 tolerance, and satisfy exact identities (cos(a,a)=1 within eps,
+    l2(a,a)=0, dot(a,a)=norm(a)^2 exactly — same fold order)."""
+    import numpy as np
+
+    from duckdb_routing_spark.functions.vector import register_vector_functions
+
+    register_vector_functions(spark)
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").limit(64).cache()
+    emb.createOrReplaceTempView("emb_sqlkit")
+    df = spark.sql(
+        """
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               dot_product(a.embedding, b.embedding) AS dp,
+               cosine_sim(a.embedding, b.embedding)  AS cs,
+               l2_dist(a.embedding, b.embedding)     AS l2,
+               vec_norm(a.embedding)                 AS na
+        FROM emb_sqlkit a JOIN emb_sqlkit b ON b.vec_id = (a.vec_id + 1)
+        """
+    )
+    assert "EvalPython" not in df._jdf.queryExecution().executedPlan().toString()
+    got = df.orderBy("ia").toPandas()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    emb.unpersist()
+    assert len(got) > 10
+    for _, r in got.iterrows():
+        va, vb = vecs[r.ia], vecs[r.ib]
+        assert abs(r.dp - float(va @ vb)) < 1e-9
+        assert abs(r.cs - float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))) < 1e-9
+        assert abs(r.l2 - float(np.linalg.norm(va - vb))) < 1e-9
+        assert abs(r.na - float(np.linalg.norm(va))) < 1e-9
+    # identities on the self-pair
+    ident = spark.sql(
+        "SELECT max(abs(cosine_sim(embedding, embedding) - 1.0)) AS ce, "
+        "       max(l2_dist(embedding, embedding)) AS le, "
+        "       max(abs(dot_product(embedding, embedding) - vec_norm(embedding) * vec_norm(embedding))) AS de "
+        "FROM emb_sqlkit"
+    ).first()
+    assert ident["ce"] < 1e-12 and ident["le"] == 0.0 and ident["de"] < 1e-12
