@@ -1,0 +1,91 @@
+"""Composed end-to-end pipelines over the operator library.
+
+`build_pretraining_dataset` is the canonical 100 TB training-data flow —
+quality filter -> language filter -> exact dedup -> near-dup cluster
+dedup -> deterministic split -> partitioned parquet — each stage the
+already-oracled operator, chained the way a production run would chain
+them. Every stage is shuffle-bounded the same way its standalone operator
+is (documented per stage below); nothing in the pipeline collects data
+driver-side.
+
+Run it standalone:
+    python -m duckdb_routing_spark.pipelines <sf_dir> <out_dir>
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from duckdb_routing_spark.operators import dedup, text
+from duckdb_routing_spark.operators.sampling import hash_split
+
+
+def build_pretraining_dataset(
+    docs: DataFrame,
+    out_dir: str | None = None,
+    quality_min: float = 0.5,
+    jaccard_threshold: float = 0.8,
+    fractions: dict[str, float] | None = None,
+) -> DataFrame:
+    """documents(doc_id, text, ...) -> cleaned, deduped, split corpus.
+
+    Stages (shuffle budget per stage in parens):
+      1. feature block: tokens/quality/lang — pure projection (0 shuffles)
+      2. keep quality >= quality_min and identified language (0)
+      3. exact dedup, first doc_id per md5(text) wins (1: groupBy fp)
+      4. near-dup removal: LSH candidates -> exact Jaccard >= threshold ->
+         connected components -> keep each cluster's minimum doc_id
+         (bounded: banded self-join + O(diameter) label-propagation rounds)
+      5. deterministic hash split train/val/test (0 — stateless bucketing)
+      6. optional write, partitioned by split (files land split=train/...)
+
+    Returns the final DataFrame (doc_id, text, lang_pred, quality, split).
+    """
+    # 1-2: features + filters stay one narrow projection over the scan
+    feats = text.with_text_features(docs).filter(
+        (F.col("quality") >= quality_min) & (F.col("lang_pred") != "und")
+    )
+
+    # 3: exact dedup — keep the minimum doc_id per fingerprint. Reuses the
+    # fp column the feature block already computed (dedup.exact_dedup_
+    # keep_first would recompute it from text).
+    w_min = F.min("doc_id").over(Window.partitionBy("fp"))
+    exact = feats.withColumn("_keep", F.col("doc_id") == w_min).filter("_keep").drop("_keep")
+
+    # 4: near-dup clusters over the exact-deduped survivors; drop every
+    # cluster member except its canonical minimum. Docs in no pair keep
+    # themselves (left anti join against the non-survivor set).
+    pairs = dedup.near_dup_pairs(exact, threshold=jaccard_threshold)
+    clusters = dedup.dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = exact.join(losers, "doc_id", "left_anti")
+
+    # 5: deterministic split
+    out = hash_split(kept, fractions=fractions).select(
+        "doc_id", "text", "lang_pred", "quality", "split"
+    )
+
+    # 6: partitioned write — split is the partition column so downstream
+    # training jobs prune to their split at the file-listing level
+    if out_dir is not None:
+        out.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    return out
+
+
+def main() -> None:
+    import sys
+
+    from duckdb_routing_spark.queries.registry import table
+    from duckdb_routing_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pretraining_dataset"
+    spark = get_spark(app_name="pretraining_pipeline")
+    result = build_pretraining_dataset(table(spark, sf_dir, "documents"), out_dir)
+    result.groupBy("split").count().orderBy("split").show()
+
+
+if __name__ == "__main__":
+    main()
