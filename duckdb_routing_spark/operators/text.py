@@ -148,6 +148,120 @@ def winnowed_fingerprints(docs: DataFrame, id_col: str = "doc_id", text_col: str
     )
 
 
+def _word_kgrams(ws: Column, k: int) -> Column:
+    """Array of word k-grams from a token array — the arrays_zip-of-slices
+    trick (row-local, zero shuffle; see operators.dedup.shingles for the
+    rejected alternatives and why)."""
+    n = F.size(ws)
+    zipped = F.arrays_zip(*[F.slice(ws, j + 1, n - (k - 1)) for j in range(k)])
+    return F.transform(zipped, lambda g: F.concat_ws(" ", *[g[str(j)] for j in range(k)]))
+
+
+def repetition_signals(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 — the published repetition filters), on
+    word n-grams:
+
+      - dup_2gram_frac / dup_3gram_frac: fraction of k-gram occurrences that
+        are repeats of an earlier occurrence (1 - distinct/total).
+      - top_2gram_frac: fraction of 2-gram occurrences taken by the single
+        most frequent 2-gram (the "fraction of characters in the most common
+        n-gram" signal, occurrence-weighted).
+      - repeated_word_frac: fraction of adjacent token pairs that are the
+        same token twice ("aaa aaa" stutter).
+
+    Everything is row-local Catalyst (no shuffle, no Python): distinct via
+    array_distinct; the top-2-gram count is the longest equal run of the
+    SORTED gram array, folded with one aggregate() pass. The higher-order
+    lambdas evaluate interpreted (not codegen), but stay JVM-side and
+    per-row — at cluster scale this keeps the operator shuffle-free, which
+    beats the exploded groupBy formulation by the width of a full shuffle
+    of every n-gram occurrence."""
+    ws = tokens(F.col(text_col))
+    n = F.size(ws)
+    g2 = _word_kgrams(ws, 2)
+    g3 = _word_kgrams(ws, 3)
+
+    def dup_frac(g: Column) -> Column:
+        total = F.size(g)
+        return F.when(
+            total > 0,
+            (total - F.size(F.array_distinct(g))).cast("double") / total,
+        ).otherwise(F.lit(0.0))
+
+    # longest equal run of the sorted array == max occurrence count
+    sorted_g2 = F.array_sort(g2)
+    run_state = F.aggregate(
+        sorted_g2,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top2 = F.when(
+        F.size(g2) > 0, run_state["best"].cast("double") / F.size(g2)
+    ).otherwise(F.lit(0.0))
+
+    pairs = F.arrays_zip(F.slice(ws, 1, n - 1), F.slice(ws, 2, n - 1))
+    rep_word = F.when(
+        n > 1,
+        F.size(F.filter(pairs, lambda p: p["0"] == p["1"])).cast("double") / (n - 1),
+    ).otherwise(F.lit(0.0))
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        dup_frac(g2).alias("dup_2gram_frac"),
+        dup_frac(g3).alias("dup_3gram_frac"),
+        top2.alias("top_2gram_frac"),
+        rep_word.alias("repeated_word_frac"),
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: for every candidate document, how many
+    of its distinct word k-grams appear anywhere in the benchmark/eval set
+    (the n-gram-overlap decontamination used for pretraining corpora, e.g.
+    GPT-3 appendix C / PaLM §C — published methodology).
+
+    Scale shape: the benchmark side is tiny relative to the corpus, so its
+    distinct-gram set is BROADCAST and the corpus-side gram stream is
+    semi-join-counted against it — the 100 TB corpus never shuffles on gram;
+    the only aggregation is the per-doc count, partial-aggregated map-side.
+    Returns (doc_id, n_grams, n_overlap) per candidate doc."""
+    cand_grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(_word_kgrams(tokens(F.col(text_col)), k))).alias("gram"),
+        )
+    )
+    bench_grams = (
+        bench.select(F.explode(_word_kgrams(tokens(F.col(text_col)), k)).alias("gram")).distinct()
+    )
+    hit = F.broadcast(bench_grams.withColumn("hit", F.lit(1)))
+    return (
+        cand_grams.join(hit, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_overlap"),
+        )
+    )
+
+
 # BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
 # non-alphanumeric marks — the coarse segmentation BPE vocabularies are
 # trained over. Kept to a regex subset with identical semantics in Java

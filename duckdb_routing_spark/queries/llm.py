@@ -696,3 +696,83 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = dedup.near_dup_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# repetition signals + benchmark contamination
+# ---------------------------------------------------------------------------
+
+REPETITION_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+base AS (
+  SELECT doc_id, len(ws) AS n,
+         list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1]) AS g2,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3,
+         len(list_filter(range(1, len(ws)), i -> ws[i] = ws[i+1])) AS n_rep
+  FROM t
+),
+top AS (
+  SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_2gram_frac
+  FROM (SELECT doc_id, gram, count(*) AS c
+        FROM (SELECT doc_id, unnest(g2) AS gram FROM base)
+        GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       n::BIGINT AS n_tokens,
+       CASE WHEN len(g2) > 0
+            THEN (len(g2) - len(list_distinct(g2)))::DOUBLE / len(g2)
+            ELSE 0.0 END AS dup_2gram_frac,
+       CASE WHEN len(g3) > 0
+            THEN (len(g3) - len(list_distinct(g3)))::DOUBLE / len(g3)
+            ELSE 0.0 END AS dup_3gram_frac,
+       coalesce(top.top_2gram_frac, 0.0) AS top_2gram_frac,
+       CASE WHEN n > 1 THEN n_rep::DOUBLE / (n - 1) ELSE 0.0 END AS repeated_word_frac
+FROM base b LEFT JOIN top USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@register("doc_repetition", oracle=REPETITION_ORACLE,
+          doc="Gopher-style repetition signals: dup/top n-gram fractions, stutter")
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filters (dup-2/3-gram fraction, top-2-gram share,
+    repeated-word stutter) — row-local Catalyst, zero shuffle; the oracle
+    recomputes the top-gram share via the exploded groupBy formulation, so
+    the hash match also proves sorted-run-max == max occurrence count."""
+    return text.repetition_signals(table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+CONTAMINATION_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3
+  FROM t
+),
+bench AS (SELECT DISTINCT unnest(g3) AS gram FROM g WHERE doc_id % 23 = 0),
+cand AS (
+  SELECT doc_id, unnest(list_distinct(g3)) AS gram FROM g WHERE doc_id % 23 <> 0
+)
+SELECT c.doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_overlap
+FROM cand c LEFT JOIN bench b USING (gram)
+GROUP BY c.doc_id
+ORDER BY doc_id
+"""
+
+
+@register("doc_contamination", oracle=CONTAMINATION_ORACLE,
+          doc="benchmark-contamination: word-3-gram overlap vs a held-out eval slice")
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: distinct word-3-gram overlap of every candidate
+    doc against the eval slice (doc_id % 23 == 0 stands in for the benchmark
+    set). The eval gram set is broadcast — the corpus side never shuffles on
+    gram, which is the shape that survives a 100 TB corpus."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    cand = docs.filter(F.col("doc_id") % 23 != 0)
+    return text.contamination_overlap(cand, bench).orderBy("doc_id")

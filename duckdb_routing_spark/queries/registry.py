@@ -31,6 +31,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   dedup_simhash            ⊂ dedup_simhash_pairs (same signature pipeline)
 #   dedup_simhash64_pairs    widened twin of dedup_simhash_pairs (same
 #                            banding proof at 64 bits; pytest-oracled)
+#   doc_contamination        word-n-gram overlap vs an eval slice; text family
+#                            exposed via doc_text_features/doc_token_stats
+#   doc_repetition           Gopher repetition signals; same family
 #   doc_stats                ⊂ doc_text_features / doc_token_stats
 #   q4_order_priority        EXISTS semi-join; anti/semi shapes also in
 #                            anti_join_quiet_customers + q22_dormant_rich
@@ -57,6 +60,8 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "dedup_cluster_assign",
         "dedup_simhash",
         "dedup_simhash64_pairs",
+        "doc_contamination",
+        "doc_repetition",
         "doc_stats",
         "q11_important_stock",
         "q13_order_histogram",
