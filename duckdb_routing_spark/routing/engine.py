@@ -53,6 +53,10 @@ from duckdb_routing_spark.routing.graph import RoutingGraph
 
 TILES_CONF_KEY = "spark.routing.tiles"
 BBOX_CONF_KEY = "spark.routing.bbox"
+# `SET spark.routing.p2p = alt|ch|bidij|dijkstra` picks the single-pair
+# accelerator (kernels.p2p_path); the choice ships inside the graph
+# broadcast so executors honor it without a separate conf read
+P2P_CONF_KEY = "spark.routing.p2p"
 
 # Executor-process cache: payload uuid -> RoutingGraph (rebuilt once per
 # worker process, shared across Arrow batches).
@@ -189,6 +193,7 @@ class RoutingEngine:
 
     def load_graph(self, graph: RoutingGraph, mode: str = "auto") -> bool:
         old = self._broadcasts.pop(mode, None)
+        graph.p2p_accelerator = self.spark.conf.get(P2P_CONF_KEY, "alt")
         payload = graph.to_payload()
         payload["_uuid"] = str(uuid.uuid4())
         self._broadcasts[mode] = self.spark.sparkContext.broadcast(payload)
@@ -305,6 +310,12 @@ class RoutingEngine:
             raw = self.spark.conf.get(BBOX_CONF_KEY, None)
             bbox = tuple(float(x) for x in raw.split(",")) if raw else None
             self.load_config(path, bbox=bbox)
+        # hot-swap the p2p accelerator when the conf changed (re-broadcasts
+        # the graph with the new choice baked into the payload)
+        p2p = self.spark.conf.get(P2P_CONF_KEY, "alt")
+        for mode, g in list(self._local.items()):
+            if getattr(g, "p2p_accelerator", "alt") != p2p:
+                self.load_graph(g, mode)
 
     @property
     def tiles_path(self) -> str | None:
@@ -389,7 +400,7 @@ class RoutingEngine:
                     rows.append((None, None, None))
                     continue
                 g = _resolve(broadcasts, modes.iat[i])
-                w, path = kernels.astar_p2p_path(g, int(src[i]), int(dst[i]))
+                w, path = kernels.p2p_path(g, int(src[i]), int(dst[i]))
                 if w < 0 or path is None:
                     rows.append((None, None, None))
                     continue
@@ -477,7 +488,7 @@ class RoutingEngine:
                 d = g.nearest_main_node(float(locs[1]["lon"]), float(locs[1]["lat"]))
                 if s < 0 or d < 0:
                     return _json.dumps({"error": "no road near location"})
-                w, path = kernels.astar_p2p_path(g, s, d)
+                w, path = kernels.p2p_path(g, s, d)
                 if w < 0:
                     return _json.dumps({"error": "no route found"})
                 dist_m = kernels.path_distance_m(g, path)
@@ -762,7 +773,7 @@ class RoutingEngine:
             d = g.nearest_main_node(float(locs[1]["lon"]), float(locs[1]["lat"]))
             if s < 0 or d < 0:
                 return json.dumps({"error": "no road near location"})
-            w, path = kernels.astar_p2p_path(g, s, d)
+            w, path = kernels.p2p_path(g, s, d)
             if w < 0:
                 return json.dumps({"error": "no route found"})
             dist_m = kernels.path_distance_m(g, path)
@@ -830,7 +841,7 @@ class RoutingEngine:
             for a, b in zip(matched, matched[1:]):
                 if a == b:
                     continue
-                w, path = kernels.astar_p2p_path(g, a, b)
+                w, path = kernels.p2p_path(g, a, b)
                 if w < 0:
                     return json.dumps({"error": f"no route between matched points {a} and {b}"})
                 total_ms += w

@@ -355,6 +355,12 @@ class RoutingGraph:
                 dist_from=pack_alt(alt[0]),
                 dist_to=pack_alt(alt[1]),
             )
+        chx = getattr(self, "_ch", None)
+        if chx is not None:
+            # build-time contraction-hierarchy index (the reference persists
+            # its prepared fast_paths index inside the .routing artifact the
+            # same way): loaders skip the node-ordering build entirely
+            np.savez_compressed(os.path.join(dir_path, f"ch_{mode}.npz"), **chx.to_arrays())
         manifest_path = os.path.join(dir_path, ARTIFACT_MANIFEST)
         manifest = {}
         if os.path.exists(manifest_path):
@@ -403,23 +409,33 @@ class RoutingGraph:
 
             with np.load(alt_path) as z:
                 g._alt = (unpack_alt(z["dist_from"]), unpack_alt(z["dist_to"]))
+        ch_path = os.path.join(dir_path, f"ch_{mode}.npz")
+        if os.path.exists(ch_path):
+            from duckdb_routing_spark.routing.ch import CHIndex
+
+            with np.load(ch_path) as z:
+                g._ch = CHIndex.from_arrays(z)
         return g
 
     # picklable payload for sc.broadcast (exclude nothing — all arrays useful)
     def to_payload(self) -> dict:
+        payload = self._base_payload()
         alt = getattr(self, "_alt", None)
         if alt is not None:
             from duckdb_routing_spark.routing.kernels import pack_alt
 
-            return {
-                **self._base_payload(),
-                "_alt_from_i32": pack_alt(alt[0]),
-                "_alt_to_i32": pack_alt(alt[1]),
-            }
-        return self._base_payload()
+            payload["_alt_from_i32"] = pack_alt(alt[0])
+            payload["_alt_to_i32"] = pack_alt(alt[1])
+        chx = getattr(self, "_ch", None)
+        if chx is not None:
+            # ship the prepared CH index with the broadcast (built once,
+            # driver-side or from the artifact sidecar — never per executor)
+            payload["_ch_arrays"] = chx.to_arrays()
+        return payload
 
     def _base_payload(self) -> dict:
         return {
+            "_p2p": getattr(self, "p2p_accelerator", "alt"),
             "node_lon": self.node_lon,
             "node_lat": self.node_lat,
             "indptr": self.indptr,
@@ -440,9 +456,16 @@ class RoutingGraph:
     def from_payload(cls, payload: dict) -> "RoutingGraph":
         alt_f = payload.pop("_alt_from_i32", None)
         alt_t = payload.pop("_alt_to_i32", None)
+        p2p = payload.pop("_p2p", "alt")
+        ch_arrays = payload.pop("_ch_arrays", None)
         g = cls(**payload)
+        g.p2p_accelerator = p2p
         if alt_f is not None:
             from duckdb_routing_spark.routing.kernels import unpack_alt
 
             g._alt = (unpack_alt(alt_f), unpack_alt(alt_t))
+        if ch_arrays is not None:
+            from duckdb_routing_spark.routing.ch import CHIndex
+
+            g._ch = CHIndex.from_arrays(ch_arrays)
         return g

@@ -554,3 +554,23 @@ def batch_travel_time_s(g: RoutingGraph, lat1, lon1, lat2, lon2) -> np.ndarray:
         w[w == float(_INF)] = np.nan
         out[m] = w / 1000.0
     return out
+
+
+def p2p_path(g: RoutingGraph, src: int, dst: int):
+    """Single-pair (weight_ms, path) through the graph's selected
+    accelerator. Default is ALT A* (astar_p2p_path — light preprocessing,
+    strong at test scale); ``g.p2p_accelerator`` picks an alternative:
+    'ch' (contraction hierarchies, the reference's own accelerator — heavy
+    one-time build, fastest warm queries on long-lived services), 'bidij'
+    (zero preprocessing), or 'dijkstra' (the plain baseline). All four are
+    exact — identical weights, property-tested."""
+    acc = getattr(g, "p2p_accelerator", "alt")
+    if acc == "ch":
+        from duckdb_routing_spark.routing import ch
+
+        return ch.ch_p2p_path(g, src, dst)
+    if acc == "bidij":
+        return bidij_p2p_path(g, src, dst)
+    if acc == "dijkstra":
+        return dijkstra_p2p_path(g, src, dst)
+    return astar_p2p_path(g, src, dst)

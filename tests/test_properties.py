@@ -294,3 +294,39 @@ def test_alt_astar_faster_on_long_grid_routes():
         assert w_alt == w_uni
         assert path[0] == s and path[-1] == t
     assert t_alt * 1.5 < t_uni, f"ALT A* {t_alt:.3f}s not faster than {t_uni:.3f}s"
+
+
+@given(st.integers(min_value=2, max_value=40), st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=40, deadline=None)
+def test_contraction_hierarchy_equals_dijkstra(n, seed):
+    from duckdb_routing_spark.routing import ch
+
+    _p2p_accel_case(n, seed, ch.ch_p2p_path)
+
+
+def test_ch_warm_queries_fast_on_grid():
+    """CH on a 2.5k-node grid: warm queries must return Dijkstra-exact
+    weights and beat plain Dijkstra wall-clock by a wide margin (the
+    preprocessing trade CH exists for). Build time is excluded — it is the
+    once-per-executor warm-up, like ALT's landmark SSSPs."""
+    import time
+
+    from duckdb_routing_spark.routing import ch
+    from duckdb_routing_spark.testing import build_grid_graph
+
+    g = build_grid_graph("auto", 50, 50, island=False)
+    idx = ch.build_ch(g)
+    g._ch = idx
+    assert idx.n_shortcuts > 0  # a grid genuinely needs shortcuts
+    pairs = [(0, g.num_nodes - 1), (49, g.num_nodes - 50), (0, g.num_nodes // 2), (7, 2020)]
+    t_uni = t_ch = 0.0
+    for s, t in pairs:
+        t0 = time.perf_counter()
+        w_uni, _ = kernels.dijkstra_p2p_path(g, s, t)
+        t_uni += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        w_ch, path = ch.ch_p2p_path(g, s, t)
+        t_ch += time.perf_counter() - t0
+        assert w_ch == w_uni
+        assert path[0] == s and path[-1] == t
+    assert t_ch * 1.5 < t_uni, f"CH {t_ch:.4f}s not faster than Dijkstra {t_uni:.4f}s"
