@@ -262,6 +262,34 @@ def contamination_overlap(
     )
 
 
+# PII patterns kept to the regex subset with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): plain classes, counted repeats, no
+# backrefs/lookarounds. Replacement order matters: emails first (an email's
+# host part must not be half-eaten by the IP pattern), then phones, then IPs.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}"),
+)
+
+
+def scrub_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4s with typed placeholders and
+    count what was removed — the standard pre-training PII scrub, entirely
+    JVM-side (regexp_count + chained regexp_replace; no Python in the path,
+    row-local, zero shuffle — the shape that survives a 100 TB corpus).
+
+    Returns (doc_id, n_email, n_phone, n_ip, scrubbed)."""
+    t = F.col(text_col)
+    cols = [F.col(id_col).alias("doc_id")]
+    scrubbed = t
+    for name, pat in PII_PATTERNS:
+        cols.append(F.regexp_count(t, F.lit(pat)).cast("long").alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    cols.append(scrubbed.alias("scrubbed"))
+    return docs.select(*cols)
+
+
 # BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
 # non-alphanumeric marks — the coarse segmentation BPE vocabularies are
 # trained over. Kept to a regex subset with identical semantics in Java

@@ -776,3 +776,49 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 23 == 0)
     cand = docs.filter(F.col("doc_id") % 23 != 0)
     return text.contamination_overlap(cand, bench).orderBy("doc_id")
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+PII_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com call 555-867-5309 from 10.0.0.'
+              || (doc_id % 256) AS s
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(s, '{_PII_EMAIL}'))::BIGINT AS n_email,
+       len(regexp_extract_all(s, '{_PII_PHONE}'))::BIGINT AS n_phone,
+       len(regexp_extract_all(s, '{_PII_IP}'))::BIGINT   AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(s,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g')) AS scrub_fp
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("doc_pii_scrub", oracle=PII_ORACLE,
+          doc="PII redaction (emails/phones/IPv4) with per-kind counts")
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text with deterministic planted PII (derived from
+    doc_id so both engines synthesize the identical input): counts per kind
+    plus an md5 of the scrubbed text, proving the redactions byte-match."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-867-5309 from 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = text.scrub_pii(docs)
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ip", F.md5(F.col("scrubbed")).alias("scrub_fp")
+    ).orderBy("doc_id")

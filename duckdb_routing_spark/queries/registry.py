@@ -33,6 +33,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 #                            banding proof at 64 bits; pytest-oracled)
 #   doc_contamination        word-n-gram overlap vs an eval slice; text family
 #                            exposed via doc_text_features/doc_token_stats
+#   doc_pii_scrub            regex PII redaction; same family
 #   doc_repetition           Gopher repetition signals; same family
 #   doc_stats                ⊂ doc_text_features / doc_token_stats
 #   q4_order_priority        EXISTS semi-join; anti/semi shapes also in
@@ -61,6 +62,7 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "dedup_simhash",
         "dedup_simhash64_pairs",
         "doc_contamination",
+        "doc_pii_scrub",
         "doc_repetition",
         "doc_stats",
         "q11_important_stock",
