@@ -160,6 +160,23 @@ class RoutingEngine:
         self._elevation = (lats, lons, hts)
         self._elev_grid = None
         ulat, ulon = _np.unique(lats), _np.unique(lons)
+        self._finish_elevation_load(ulat, ulon, lats, lons, hts)
+
+    def load_elevation_hgt(self, path: str, stride: int = 1) -> None:
+        """Point the height action at real DEM tiles: a single SRTM `.hgt`
+        file or a directory of them (routing/elevation.py reads the public
+        NASA format). Equivalent to load_elevation over the decoded sample
+        table — full tiles form a regular lattice, so lookups bilinearly
+        interpolate exactly like Valhalla's DEM sampling."""
+        import os as _os
+
+        from duckdb_routing_spark.routing.elevation import read_hgt, read_hgt_dir
+
+        pdf = read_hgt_dir(path, stride) if _os.path.isdir(path) else read_hgt(path, stride)
+        self.load_elevation(pdf)
+
+    def _finish_elevation_load(self, ulat, ulon, lats, lons, hts) -> None:
+        import numpy as _np
         if len(ulat) * len(ulon) == len(hts):
             grid = _np.full((len(ulat), len(ulon)), _np.nan)
             grid[_np.searchsorted(ulat, lats), _np.searchsorted(ulon, lons)] = hts
