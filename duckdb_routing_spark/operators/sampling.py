@@ -61,3 +61,34 @@ def quota_per_group(
     bias); ties broken by key so the survivor set is total-ordered."""
     w = Window.partitionBy(group_col).orderBy(_hash_bucket(F.col(key_col), salt), F.col(key_col))
     return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= quota).drop("_rk")
+
+
+def temperature_sample(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.7,
+    key_col: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature/mixture resampling across sources (the pretraining-corpus
+    rebalancing where p(source) is flattened to count^alpha, alpha < 1):
+    each source keeps rows at rate (n_s / n_min)^(alpha-1), so the SMALLEST
+    source keeps everything and larger sources downsample toward balance —
+    the downsample-only formulation (no row duplication, retry-safe).
+
+    Per-row keep decisions are the same md5-bucket construction as
+    hash_split — deterministic and oracle-reproducible. Scale shape: one
+    tiny per-source count aggregate broadcast back; the corpus itself is
+    touched by a stateless filter (no shuffle of the data)."""
+    counts = df.groupBy(source_col).agg(F.count("*").alias("_n_src"))
+    n_min = counts.agg(F.min("_n_src").alias("_n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        source_col,
+        F.pow(F.col("_n_src").cast("double") / F.col("_n_min"), F.lit(alpha - 1.0)).alias("_rate"),
+    )
+    bucket = _hash_bucket(F.col(key_col), salt)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(bucket.cast("double") < F.col("_rate") * SPLIT_BUCKETS)
+        .drop("_rate")
+    )

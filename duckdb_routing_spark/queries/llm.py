@@ -822,3 +822,104 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "n_email", "n_phone", "n_ip", F.md5(F.col("scrubbed")).alias("scrub_fp")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# chunking, sequence packing, mixture sampling
+# ---------------------------------------------------------------------------
+
+CHUNKS_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+s AS (SELECT doc_id, ws, len(ws) AS n, unnest(range(0, len(ws), 48)) AS start FROM t)
+SELECT doc_id,
+       (start // 48)::BIGINT AS chunk_id,
+       least(64, n - start)::BIGINT AS n_tokens,
+       array_to_string(ws[start+1 : start+64], ' ') AS chunk_text
+FROM s
+ORDER BY doc_id, chunk_id
+"""
+
+
+@register("doc_chunks", oracle=CHUNKS_ORACLE,
+          doc="sliding-window chunking: 64-token chunks, 16-token overlap")
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunks per document — row-local flat map
+    (sequence + posexplode), zero shuffle."""
+    from duckdb_routing_spark.operators import chunking
+
+    return chunking.chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_id")
+
+
+PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         ('0x' || substr(md5(doc_id || ':pack'), 1, 15))::BIGINT % 10000 AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY h % 32, h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, n_tokens, ((cum - n_tokens) // 256)::BIGINT AS bin
+FROM c
+ORDER BY doc_id
+"""
+
+
+@register("doc_pack_bins", oracle=PACK_ORACLE,
+          doc="sequence packing: docs -> fixed-capacity training bins by hash order")
+def doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed streaming first-fit packing into 256-token bins. The
+    oracle computes the same global prefix sum with ONE window ordered by
+    (bucket, hash, doc_id) — the hash match proves the two-phase
+    (per-bucket cumsum + broadcast offsets) scan equals the global scan."""
+    from duckdb_routing_spark.operators import chunking
+
+    return chunking.pack_sequences(
+        table(spark, sf_dir, "documents"), capacity=256
+    ).orderBy("doc_id")
+
+
+TEMPERATURE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id || ':temp'), 1, 15))::BIGINT % 10000 AS b
+  FROM documents
+),
+cnt AS (SELECT source, count(*)::BIGINT AS n FROM t GROUP BY source),
+r AS (
+  SELECT source, n,
+         pow(n::DOUBLE / (SELECT min(n) FROM cnt), 0.7 - 1.0) AS rate
+  FROM cnt
+)
+SELECT t.source,
+       r.n AS n_docs,
+       (count(*) FILTER (WHERE t.b < r.rate * 10000))::BIGINT AS n_kept
+FROM t JOIN r USING (source)
+GROUP BY t.source, r.n
+ORDER BY source
+"""
+
+
+@register("doc_temperature_sample", oracle=TEMPERATURE_ORACLE,
+          doc="temperature (count^alpha) mixture resampling across sources")
+def doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source kept counts under alpha=0.7 temperature resampling — the
+    smallest source keeps all rows, larger sources downsample toward
+    balance; decisions are md5-deterministic (retry-safe)."""
+    from duckdb_routing_spark.operators.sampling import temperature_sample
+
+    docs = table(spark, sf_dir, "documents")
+    kept = temperature_sample(docs, alpha=0.7)
+    n_docs = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_docs"))
+    n_kept = kept.groupBy("source").agg(F.count("*").cast("long").alias("n_kept"))
+    return (
+        n_docs.join(n_kept, "source", "left")
+        .select("source", "n_docs", F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"))
+        .orderBy("source")
+    )

@@ -31,8 +31,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   dedup_simhash            ⊂ dedup_simhash_pairs (same signature pipeline)
 #   dedup_simhash64_pairs    widened twin of dedup_simhash_pairs (same
 #                            banding proof at 64 bits; pytest-oracled)
-#   doc_contamination        word-n-gram overlap vs an eval slice; text family
-#                            exposed via doc_text_features/doc_token_stats
+#   doc_chunks               sliding-window chunking; text family exposed via
+#                            doc_text_features/doc_token_stats
+#   doc_contamination        word-n-gram overlap vs an eval slice; same family
+#   doc_pack_bins            sequence packing (two-phase prefix scan)
+#   doc_temperature_sample   count^alpha mixture resampling; sampling family
+#                            exposed via doc_hash_split/doc_quota_sample
 #   doc_pii_scrub            regex PII redaction; same family
 #   doc_repetition           Gopher repetition signals; same family
 #   doc_stats                ⊂ doc_text_features / doc_token_stats
@@ -61,8 +65,11 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "dedup_cluster_assign",
         "dedup_simhash",
         "dedup_simhash64_pairs",
+        "doc_chunks",
         "doc_contamination",
+        "doc_pack_bins",
         "doc_pii_scrub",
+        "doc_temperature_sample",
         "doc_repetition",
         "doc_stats",
         "q11_important_stock",
