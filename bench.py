@@ -82,7 +82,11 @@ def main() -> None:
     # (instead of 3 back-to-back runs per query) means a burst poisons one
     # round of many queries rather than every run of one query — the
     # per-query min is then a far more stable steady-state estimate.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    # 5 interleaved rounds: measured warm-up trajectory on the heaviest
+    # query (near_dups 9.0 -> 3.9 -> 2.5 -> 1.5 -> 1.3 s) shows codegen/JIT
+    # steady state needs ~4 executions; the 5th buys the last ~10% and keeps
+    # total bench wall-clock under ~5 min
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for r in range(runs):
