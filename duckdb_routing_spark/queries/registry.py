@@ -31,17 +31,23 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   dedup_simhash            ⊂ dedup_simhash_pairs (same signature pipeline)
 #   dedup_simhash64_pairs    widened twin of dedup_simhash_pairs (same
 #                            banding proof at 64 bits; pytest-oracled)
-#   doc_chunks               sliding-window chunking; text family exposed via
-#                            doc_text_features/doc_token_stats
-#   doc_contamination        word-n-gram overlap vs an eval slice; same family
-#   doc_pack_bins            sequence packing (two-phase prefix scan)
+#   doc_contamination        word-n-gram overlap vs an eval slice; text family
+#                            exposed via doc_text_features/doc_chunks
 #   doc_temperature_sample   count^alpha mixture resampling; sampling family
 #                            exposed via doc_hash_split/doc_quota_sample
-#   doc_pii_scrub            regex PII redaction; same family
-#   doc_repetition           Gopher repetition signals; same family
+#   doc_repetition           Gopher repetition signals; text family
 #   doc_stats                ⊂ doc_text_features / doc_token_stats
 #   q4_order_priority        EXISTS semi-join; anti/semi shapes also in
 #                            anti_join_quiet_customers + q22_dormant_rich
+#   q7_nation_volume         multi-join volume shape ⊂ q5/q3/q10 join family;
+#                            hidden to give doc_chunks a driver row
+#   route_snap               snap kernel already driver-exercised through
+#                            route_travel_time/route_wkb_duration endpoint
+#                            snapping (+ test_locate_and_snap); hidden to give
+#                            doc_pii_scrub a driver row
+#   window_running_total     window-frame family covered by window_topk_orders
+#                            + doc_pack_bins (prefix-sum window); hidden to
+#                            give doc_pack_bins a driver row
 #   q8/q9/q14/q18/q19        multi-join / subquery shapes covered by
 #                            q1,q3,q5,q6,q7,q10,q22
 #   q11/q13/q16/q17/q21      late-added decision-support shapes (scalar-
@@ -65,13 +71,13 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "dedup_cluster_assign",
         "dedup_simhash",
         "dedup_simhash64_pairs",
-        "doc_chunks",
         "doc_contamination",
-        "doc_pack_bins",
-        "doc_pii_scrub",
         "doc_temperature_sample",
         "doc_repetition",
         "doc_stats",
+        "q7_nation_volume",
+        "route_snap",
+        "window_running_total",
         "q11_important_stock",
         "q13_order_histogram",
         "q14_promo_effect",

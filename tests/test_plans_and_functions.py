@@ -267,3 +267,39 @@ def test_sql_vector_function_kit(spark):
         "FROM emb_sqlkit"
     ).first()
     assert ident["ce"] < 1e-12 and ident["le"] == 0.0 and ident["de"] < 1e-12
+
+
+def test_round4_operator_plans_are_scale_shaped(spark):
+    """Plan audits for the round-4 operators: chunking / PII / repetition
+    are shuffle-free row-local projections; contamination broadcasts the
+    eval gram set; packing's only single-partition window runs over the
+    32-row bucket-totals aggregate, never the data."""
+    from duckdb_routing_spark.operators import chunking, text
+    from duckdb_routing_spark.operators.sampling import temperature_sample
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+    for name, df in {
+        "chunks": chunking.chunk_documents(docs),
+        "pii": text.scrub_pii(docs),
+        "repetition": text.repetition_signals(docs),
+    }.items():
+        plan = audit.formatted_plan(df)
+        assert "Exchange" not in plan, f"{name} should be shuffle-free"
+        assert audit.python_eval_stages(df) == 0, f"{name} fell off the JVM fast path"
+
+    bench = docs.filter("doc_id % 23 = 0")
+    cand = docs.filter("doc_id % 23 <> 0")
+    p_cont = audit.formatted_plan(text.contamination_overlap(cand, bench))
+    assert "CartesianProduct" not in p_cont
+    assert "BroadcastHashJoin" in p_cont, "eval gram set should broadcast"
+
+    p_pack = audit.formatted_plan(chunking.pack_sequences(docs))
+    assert "CartesianProduct" not in p_pack
+    # the data-side window is per-bucket (hashpartitioning on _b); at most
+    # one SinglePartition exchange exists and it carries the 32-row offsets
+    assert "hashpartitioning(_b" in p_pack, "per-bucket cumsum must hash-partition the data"
+    assert p_pack.count("Exchange SinglePartition") <= 2
+
+    p_temp = audit.formatted_plan(temperature_sample(docs))
+    assert "BroadcastHashJoin" in p_temp, "per-source rate table should broadcast"
