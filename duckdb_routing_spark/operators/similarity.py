@@ -351,3 +351,109 @@ def ann_lsh_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the ANN compression tier
+# ---------------------------------------------------------------------------
+
+def _subvectors(vec_col, dim: int, m: int):
+    """Array of m subvector slices of a dim-length vector column."""
+    d = dim // m
+    return [F.slice(vec_col, s * d + 1, d) for s in range(m)]
+
+
+def pq_codebook(corpus: DataFrame, dim: int = 64, m: int = 8, k: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic sampled codebook: the subvectors of the first `k`
+    corpus vectors by id form the k codes of each of the m subspaces (the
+    standard sampled initialization; Lloyd refinement via
+    operators.clustering is the opt-in upgrade — code assignment and ADC
+    semantics are identical either way). Returns (s, code, cvec) — m*k
+    rows, broadcastable anywhere."""
+    seeds = corpus.orderBy(id_col).limit(k)
+    rows = []
+    for s, sub in enumerate(_subvectors(F.col(vec_col), dim, m)):
+        rows.append(
+            seeds.select(
+                F.lit(s).alias("s"),
+                F.row_number().over(Window.orderBy(id_col)).cast("int").alias("code"),
+                sub.alias("cvec"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def pq_encode(corpus: DataFrame, codebook: DataFrame, dim: int = 64, m: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ codes: per (vector, subspace), the nearest codebook entry by
+    squared distance — computed as dot(c,c) - 2*dot(v,c) (the ||v||^2 term
+    is constant per argmin), reusing the sequential-sum dot kernel so the
+    oracle reproduces every comparison. Ties break to the lowest code.
+
+    Scale shape: the m*k codebook broadcasts; the corpus explodes by m
+    (row-local) and the only shuffle is the per-(vector, subspace) argmin
+    window — at 100 TB this is the one-off encode pass whose output (m
+    uint8s per vector, a 32x compression of dim-64 float32) is what ADC
+    search then reads instead of the raw embeddings."""
+    subs = F.array(*_subvectors(F.col(vec_col), dim, m))
+    exploded = corpus.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(subs).alias("s", "sub")
+    )
+    scored = exploded.join(F.broadcast(codebook), "s").select(
+        "vec_id",
+        "s",
+        "code",
+        (_dot_seq(F.col("cvec"), F.col("cvec")) - 2.0 * _dot_seq(F.col("sub"), F.col("cvec"))).alias("score"),
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("score"), F.asc("code"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "s", "code")
+    )
+
+
+def pq_adc_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
+                dim: int = 64, m: int = 8, k: int = 16,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: each query builds an
+    m*k lookup table of partial distances to every codebook entry, and a
+    corpus vector's distance estimate is the sum of its m code lookups —
+    the query never touches raw corpus embeddings, only the codes.
+
+    The per-query constant ||q_s||^2 is dropped (rank-invariant), so the
+    LUT entry is dot(c,c) - 2*dot(q_s,c). Scale shape: codes are the
+    compressed corpus (stored once); the LUT (n_queries * m * k rows)
+    broadcasts; one groupBy sums the m partials per (query, vector); the
+    ADC score itself is excluded from the output because a distributed
+    float sum's addend order is not deterministic — ranks are (scores are
+    well-separated for continuous data; ties would break by vec_id).
+
+    Returns (query_id, vec_id, rank) — rank 1 = nearest estimate."""
+    codebook = pq_codebook(corpus, dim, m, k, id_col, vec_col)
+    codes = pq_encode(corpus, codebook, dim, m, id_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.posexplode(F.array(*_subvectors(F.col(vec_col), dim, m))).alias("s", "qsub")
+    )
+    lut = q.join(F.broadcast(codebook), "s").select(
+        "query_id",
+        "s",
+        "code",
+        (_dot_seq(F.col("cvec"), F.col("cvec")) - 2.0 * _dot_seq(F.col("qsub"), F.col("cvec"))).alias("partial"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("partial").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
+    )

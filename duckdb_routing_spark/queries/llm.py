@@ -923,3 +923,84 @@ def doc_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "n_docs", F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+_PQ_BASE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+sp AS (SELECT unnest(range(0, 8)) AS s),
+seeds AS (
+  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS code
+  FROM e ORDER BY vec_id LIMIT 16
+),
+cb AS (SELECT s, code, v[s*8+1 : s*8+8] AS cvec FROM seeds CROSS JOIN sp),
+sub AS (SELECT vec_id, s, v[s*8+1 : s*8+8] AS sub FROM e CROSS JOIN sp),
+codes AS (
+  SELECT vec_id, s, code
+  FROM (
+    SELECT vec_id, s, code,
+           row_number() OVER (
+             PARTITION BY vec_id, s
+             ORDER BY list_dot_product(cvec, cvec) - 2 * list_dot_product(sub, cvec), code
+           ) AS rk
+    FROM sub JOIN cb USING (s)
+  ) WHERE rk = 1
+)
+"""
+
+PQ_CODES_ORACLE = _PQ_BASE + """
+SELECT vec_id, s::BIGINT AS s, code::BIGINT AS code
+FROM codes
+ORDER BY vec_id, s
+"""
+
+
+@register("sim_pq_codes", oracle=PQ_CODES_ORACLE,
+          doc="product-quantization codes: per-subspace nearest codebook entry")
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode parity: every (vector, subspace, code) assignment must
+    match the oracle's argmin bit-for-bit (integer output; the score
+    comparisons reuse the sequential-sum dot kernel both engines agree on)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebook(emb)
+    return (
+        similarity.pq_encode(emb, cb)
+        .select("vec_id", F.col("s").cast("long").alias("s"), F.col("code").cast("long").alias("code"))
+        .orderBy("vec_id", "s")
+    )
+
+
+PQ_TOPK_ORACLE = _PQ_BASE + """,
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+lut AS (
+  SELECT query_id, s, code,
+         list_dot_product(cvec, cvec) - 2 * list_dot_product(qv[s*8+1 : s*8+8], cvec) AS partial
+  FROM q CROSS JOIN cb
+),
+adc AS (
+  SELECT query_id, vec_id, sum(partial) AS score
+  FROM codes JOIN lut USING (s, code)
+  WHERE vec_id != query_id
+  GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY score, vec_id) AS rank
+  FROM adc
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register("sim_pq_topk", oracle=PQ_TOPK_ORACLE,
+          doc="PQ asymmetric-distance (ADC) approximate top-10 over codes")
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC search parity: queries rank the corpus by summed code-distance
+    lookups only (the compressed path a 100 TB ANN index actually serves);
+    ranks are compared, not float scores (distributed sum order)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return similarity.pq_adc_topk(emb, queries, topk=10).orderBy("query_id", "rank")

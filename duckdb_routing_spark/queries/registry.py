@@ -60,6 +60,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   route_isochrone          ⊂ route_isochrones_batch (same kernel)
 #   route_node_count         trivial; cardinalities oracled in
 #                            route_monaco_real_osm + route_tile_build
+#   sim_pq_codes             PQ encode; similarity family exposed via
+#                            sim_topk_cosine/sim_ann_lsh/sim_ivf_topk
+#   sim_pq_topk              PQ ADC search; same family
 #   stream_dedup_minhash     incremental-LSH twin of dedup_minhash_lsh +
 #                            stream_dedup_exact (pytest-oracled)
 #   stream_interval_join     stream-stream interval join; join family exposed
@@ -93,6 +96,8 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "route_batch_throughput",
         "route_isochrone",
         "route_node_count",
+        "sim_pq_codes",
+        "sim_pq_topk",
         "stream_dedup_minhash",
         "stream_interval_join",
         "stream_session_window",

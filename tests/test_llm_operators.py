@@ -254,3 +254,30 @@ def test_dedup_clusters_merges_transitive_components(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(pairs).collect()}
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 2: 2, 40: 2}
+
+
+def test_pq_adc_recall_vs_exact(spark, emb):
+    """PQ ADC search must rank real near neighbors far above chance: with a
+    16-entry sampled codebook per 8-dim subspace the distance estimate is
+    coarse, but top-10 recall should still beat a random 10-of-N subset by
+    a wide margin."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    approx = similarity.pq_adc_topk(emb, queries, topk=10).select("query_id", "vec_id")
+    n_exact = exact.count()
+    hit = exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+    recall = hit / n_exact
+    assert recall > 0.2, f"PQ ADC recall suspiciously low: {recall}"
+
+
+def test_pq_codes_compress_and_cover(spark, emb):
+    """Every vector gets exactly m codes, all codes within [1, k]."""
+    cb = similarity.pq_codebook(emb)
+    codes = similarity.pq_encode(emb, cb)
+    n_vecs = emb.count()
+    assert codes.count() == n_vecs * 8
+    stats = codes.agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi"),
+        F.countDistinct("vec_id").alias("nv"),
+    ).first()
+    assert stats.lo >= 1 and stats.hi <= 16 and stats.nv == n_vecs
