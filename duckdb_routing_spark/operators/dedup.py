@@ -183,37 +183,43 @@ def bands_from_hashes(base: DataFrame, n_hashes: int = 12, band_size: int = 3) -
 
 
 def jaccard_from_hashes(base: DataFrame, pairs: DataFrame) -> DataFrame:
-    """jaccard_for_pairs over the hashed base: identical counts, long keys.
+    """Exact Jaccard over the hashed shingle base for given candidate pairs.
 
     Plan shape: LSH leaves the candidate set orders of magnitude smaller
     than the corpus, so the pair list and its doc-id set are BROADCAST and
-    the full shingle base never shuffles — it is semi-joined down to the
-    candidate docs' shingles first, and only that slice flows through the
-    intersection join and size aggregate. (If a pathological corpus ever
-    produces a non-broadcastable candidate set, drop the hints and let AQE
-    pick the shuffle plan — values are identical either way.)"""
+    the full shingle base never shuffles — one map-side semi-join slices it
+    down to the candidate docs, whose (deduped) shingle-hash SETS are then
+    collected into per-doc arrays. Intersection/union sizes come from a
+    row-local `array_intersect` on the joined pair rows — no shuffle ever
+    touches more than the candidate slice, and the earlier formulation's
+    double intersection join + two size joins collapse into two broadcast
+    lookups. `base` may contain duplicate (doc_id, h1, h2) rows (multiset
+    shingle stream): the slice is deduped here, where it is hundreds of
+    rows, instead of paying a corpus-wide distinct upstream.
+
+    (If a pathological corpus ever produces a non-broadcastable candidate
+    set, fall back to :func:`jaccard_for_pairs`'s shuffle-join shape —
+    values are identical either way.)"""
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sub = base.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-    sizes = sub.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        F.broadcast(pairs)
-        .join(sub.select(F.col("doc_id").alias("doc_a"), "h1", "h2"), "doc_a")
-        .join(sub.select(F.col("doc_id").alias("doc_b"), "h1", "h2"), ["doc_b", "h1", "h2"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    sets = (
+        base.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .select("doc_id", F.struct("h1", "h2").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("h")).alias("hs"))
     )
     return (
-        inter.join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))),
+        pairs.join(F.broadcast(sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))), "doc_a")
+        .join(F.broadcast(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))), "doc_b")
+        .select(
             "doc_a",
-        )
-        .join(
-            F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))),
             "doc_b",
+            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_inter"),
+            F.size("hs_a").alias("n_a"),
+            F.size("hs_b").alias("n_b"),
         )
         .select(
             "doc_a",
@@ -293,12 +299,25 @@ def near_dup_pairs(
     This is the 100 TB-shaped composition: the quadratic step only touches
     LSH survivors.
 
-    The hashed shingle base and candidate set are persisted: the Jaccard
-    stage consumes each of them twice (two joins / two size lookups), and
+    The hashed shingle base is NON-distinct (a pure map over the corpus —
+    zero shuffles to build): MinHash mins are multiset-safe, and the exact
+    Jaccard stage dedupes only the candidate slice, so the corpus-wide
+    distinct the previous formulation paid (its single biggest shuffle at
+    sf0.1, and at 100 TB a full-corpus exchange) disappears entirely. The
+    base and candidate set are persisted: each feeds two consumers, and
     without materialization Spark re-executes the full LSH DAG per consumer
     (~6x wall-clock at sf0.1; at cluster scale these would be written to a
     staging table between stages)."""
-    base = shingle_hash_base(docs, id_col, text_col, k).persist()
+    h = F.md5(F.col("shingle"))
+    base = (
+        shingles(docs, id_col, text_col, k, distinct=False)
+        .select(
+            "doc_id",
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("h2"),
+        )
+        .persist()
+    )
     bands = bands_from_hashes(base, n_hashes, band_size)
     a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
     b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))

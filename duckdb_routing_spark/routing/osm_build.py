@@ -137,35 +137,48 @@ def build_mode_graph_df(
     n2 = osm_nodes.select(
         F.col("node_id").alias("dst_osm"), F.col("lon").alias("lon2"), F.col("lat").alias("lat2")
     )
+    length_m = haversine_col(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2"))
     seg = (
         seg.join(n1, "src_osm", "inner")
         .join(n2, "dst_osm", "inner")
-        .withColumn("length_m", haversine_col(F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")))
-        .withColumn(
-            "weight_ms",
-            F.floor(F.col("length_m") / 1000.0 / F.col("speed_kmh") * 3600.0 * 1000.0).cast("long"),
+        .select(
+            "src_osm",
+            "dst_osm",
+            "oneway",
+            length_m.alias("length_m"),
+            F.floor(length_m / 1000.0 / F.col("speed_kmh") * 3600.0 * 1000.0)
+            .cast("long")
+            .alias("weight_ms"),
+            F.col("highway").isin(*sorted(MAIN_ROAD_CLASSES)).alias("is_main"),
         )
         .filter(F.col("weight_ms") > 0)
-        .withColumn("is_main", F.col("highway").isin(*sorted(MAIN_ROAD_CLASSES)))
     )
 
-    fwd = seg.select("src_osm", "dst_osm", "weight_ms", "length_m", "is_main")
-    rev = (
-        seg.filter((F.col("oneway").isNull()) | (F.col("oneway") != "yes"))
-        .select(
-            F.col("dst_osm").alias("src_osm"),
-            F.col("src_osm").alias("dst_osm"),
-            "weight_ms",
-            "length_m",
-            "is_main",
-        )
+    # forward edge always; reverse edge unless oneway — emitted ROW-LOCALLY
+    # as an exploded 1-or-2-element array, so the segment->join DAG runs
+    # exactly once (the earlier fwd.unionAll(rev) scanned it twice per
+    # materialization)
+    fwd_s = F.struct(
+        F.col("src_osm").alias("src_osm"),
+        F.col("dst_osm").alias("dst_osm"),
+        F.col("weight_ms").alias("weight_ms"),
+        F.col("length_m").alias("length_m"),
+        F.col("is_main").alias("is_main"),
     )
+    rev_s = F.struct(
+        F.col("dst_osm").alias("src_osm"),
+        F.col("src_osm").alias("dst_osm"),
+        F.col("weight_ms").alias("weight_ms"),
+        F.col("length_m").alias("length_m"),
+        F.col("is_main").alias("is_main"),
+    )
+    both = F.when(F.col("oneway") == "yes", F.array(fwd_s)).otherwise(F.array(fwd_s, rev_s))
     # `directed` feeds four consumers (two node-flag scans + two edge-remap
     # joins); `id_map` feeds three. Without materialization Spark re-executes
     # the whole explode+join DAG per consumer (~4x wall-clock measured at the
     # 3.6k-node bench). On a cluster these would be staged to parquet between
     # jobs; in-process, persist() is the same cut point.
-    directed = fwd.unionAll(rev).persist()
+    directed = seg.select(F.explode(both).alias("e")).select("e.*").persist()
 
     # main-road flag per node, then dense remap ordered by OSM id
     node_flags = (
