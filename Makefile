@@ -1,12 +1,15 @@
 PY ?= python
 
-.PHONY: test test-fast parity parity-sf01 bench smoke driver-check baseline
+.PHONY: test test-fast parity parity-sf01 bench smoke driver-check baseline scale-study
 
 driver-check:
 	$(PY) tools/driver_emulation.py
 
 baseline:
 	$(PY) baseline_duckdb.py
+
+scale-study:
+	$(PY) tools/scale_study.py
 
 test:
 	$(PY) -m pytest tests/ -q

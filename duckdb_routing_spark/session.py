@@ -52,7 +52,13 @@ def get_spark(
         # NTZ/LTZ distinction is vacuous, and the DuckDB oracle casts to
         # plain TIMESTAMP — keep both sides on TIMESTAMP
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # STOCK 10 MB broadcast threshold. A 64 MB threshold wins at sf0.1
+        # (one more broadcast join, no shuffle) and bench.py pins it there,
+        # but the scale study (tools/scale_study.py) measured it INVERTING
+        # by derived-sf1: broadcasting a 1.5M-row orders table costs ~2x vs
+        # letting the join shuffle (q5 4.3 -> 2.2 s). Volume-dependent knobs
+        # keep their volume-independent default here.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

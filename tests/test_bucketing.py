@@ -30,6 +30,7 @@ def test_bucketed_join_has_no_shuffle(warehouse, spark):
     fact.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("fact_b")
     dim.write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable("dim_b")
 
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
     try:
         joined = spark.table("fact_b").join(spark.table("dim_b"), "k")
@@ -37,4 +38,4 @@ def test_bucketed_join_has_no_shuffle(warehouse, spark):
         assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
         assert joined.count() == 10_000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)

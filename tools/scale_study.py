@@ -1,0 +1,216 @@
+"""Spark-vs-DuckDB scaling trend on derived larger inputs.
+
+The sf0.1 bench is OVERHEAD-bound for Spark (fixed per-job scheduling
+latency dominates sub-second queries), so the single-sf ratio says little
+about the 100 TB posture. This tool derives an sf1-like dataset from the
+DRIVER-PROVIDED sf0.1 parquet (10 replicas per table — no synthetic data
+generation, only replication with key remapping):
+
+  - lineitem/orders/customer/supplier: replica i offsets every key by
+    i * 10^9, so join cardinalities scale linearly and keys never collide;
+  - events: event_id/user_id offset the same way (10x users -> 10x
+    sessionization groups);
+  - embeddings: vec_id offset; the 3 fixed query vectors (vec_id < 3) stay
+    only in replica 0, so top-k work scales with the corpus;
+  - documents: doc_id offset AND a replica token interleaved after every
+    2nd word. Word-3-gram shingles then never match across replicas, so
+    the near-dup pair structure is 10 independent copies of the original
+    (workload scales LINEARLY, the honest "10x more data" shape) instead
+    of every doc gaining 9 identical clones (which would scale the
+    quadratic Jaccard stage ~100x and measure a different workload);
+  - nation/region/part: single copy (dimensions).
+
+Both engines then run the SAME queries the correctness harness checks:
+Spark via the registry callables, DuckDB via the registered oracle SQL,
+best-of-N each, on sf0.01 / sf0.1 / derived-sf1.
+
+Usage:
+    python tools/scale_study.py [--skip-gen] [--runs N]
+Prints one JSON line per sf plus a ratio table to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.environ.get("SCALE_STUDY_DIR", "/tmp/scale_study/sf1")
+REPLICAS = 10
+OFF = 10**9
+
+# comparable subset: both engines do equivalent work (no constant oracles,
+# no rows-only probes, no routing-engine warm-state asymmetry)
+QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "events_hourly",
+    "events_sessionize",
+    "doc_text_features",
+    "dedup_minhash_lsh",
+    "dedup_near_dups",
+    "sim_topk_cosine",
+    "window_topk_orders",
+]
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def generate() -> None:
+    import duckdb
+
+    os.makedirs(OUT, exist_ok=True)
+    con = duckdb.connect()
+    rep = "(SELECT unnest(range({n})) AS _r) reps".format(n=REPLICAS)
+
+    def copy(sql: str, name: str) -> None:
+        con.execute(f"COPY ({sql}) TO '{OUT}/{name}.parquet' (FORMAT PARQUET)")
+        print(f"  wrote {name}", file=sys.stderr)
+
+    src = lambda t: f"read_parquet('{SRC}/{t}.parquet')"  # noqa: E731
+
+    for t in ("region", "nation", "part"):
+        copy(f"SELECT * FROM {src(t)}", t)
+
+    offset_keys = {
+        "customer": {"c_custkey"},
+        "supplier": {"s_suppkey"},
+        "orders": {"o_orderkey", "o_custkey"},
+        "lineitem": {"l_orderkey", "l_suppkey"},
+        "events": {"event_id", "user_id"},
+        "embeddings": {"vec_id"},
+    }
+    for t, keys in offset_keys.items():
+        cols = [
+            r[0]
+            for r in con.execute(f"SELECT column_name FROM (DESCRIBE SELECT * FROM {src(t)})").fetchall()
+        ]
+        sel = ", ".join(f"{c} + _r * {OFF} AS {c}" if c in keys else c for c in cols)
+        copy(f"SELECT {sel} FROM {src(t)} CROSS JOIN {rep}", t)
+    # documents: interleave a replica token after every 2nd word so word-3-gram
+    # shingles never match across replicas (see module docstring). DuckDB
+    # list_transform carries no element index, so tag via the flatten trick:
+    # split -> [w, tag-every-2nd] -> flatten -> join.
+    copy(
+        f"""
+        SELECT doc_id + _r * {OFF} AS doc_id,
+               array_to_string(
+                 flatten(list_transform(
+                   list_zip(ws, range(1, len(ws) + 1)),
+                   z -> CASE WHEN z[2] % 2 = 0 THEN [z[1], 'r' || _r::VARCHAR] ELSE [z[1]] END
+                 )), ' ') AS text,
+               lang, source, n_chars
+        FROM (SELECT *, string_split(text, ' ') AS ws FROM {src('documents')})
+        CROSS JOIN {rep}
+        """,
+        "documents",
+    )
+
+
+def run_spark(sf_dir: str, runs: int, shuffle: int) -> dict[str, float]:
+    """One Spark session per sf, with the two volume-dependent knobs set the
+    way a real deployment sets them:
+      - shuffle partitions sized to the data (4 / 8 / 32 across the sweep —
+        partition count tracks shuffle bytes, not core count);
+      - autoBroadcastJoinThreshold at the STOCK 10 MB. get_spark's 64 MB
+        default is an sf0.1-bench tuning; at derived-sf1 it broadcasts the
+        1.5M-row orders/customer tables and loses ~2x on q5/q3/q10 vs
+        letting them shuffle (measured 4.3 -> 2.2 s on q5)."""
+    from duckdb_routing_spark.queries import REGISTRY
+    from duckdb_routing_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale_study",
+        master=f"local[{os.cpu_count() or 4}]",
+        shuffle_partitions=shuffle,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.locality.wait": "0",
+            "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+        },
+    )
+    # getOrCreate() reuses one JVM across the sweep — re-apply the two
+    # runtime-settable, volume-dependent knobs per sf
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    best: dict[str, float] = {}
+    for _ in range(runs):
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            if dt < best.get(name, float("inf")):
+                best[name] = dt
+    return {k: round(v, 4) for k, v in best.items()}
+
+
+def run_duckdb(sf_dir: str, runs: int) -> dict[str, float]:
+    import duckdb
+
+    from duckdb_routing_spark.queries import REGISTRY
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    best: dict[str, float] = {}
+    for _ in range(runs):
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            con.execute(REGISTRY[name].oracle).fetchall()
+            dt = time.perf_counter() - t0
+            if dt < best.get(name, float("inf")):
+                best[name] = dt
+    return {k: round(v, 4) for k, v in best.items()}
+
+
+def main() -> None:
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
+    if "--runs" in sys.argv:
+        runs = int(sys.argv[sys.argv.index("--runs") + 1])
+    if "--skip-gen" not in sys.argv:
+        print("generating derived sf1 ...", file=sys.stderr)
+        generate()
+    results = {}
+    for label, sf_dir, shuffle in (
+        ("sf0.01", "/root/testdata/sf0.01", 4),
+        ("sf0.1", "/root/testdata/sf0.1", 8),
+        ("sf1(derived)", OUT, 32),
+    ):
+        s = run_spark(sf_dir, shuffle=shuffle, runs=runs)
+        d = run_duckdb(sf_dir, runs)
+        results[label] = {"spark": s, "duckdb": d}
+        print(
+            json.dumps(
+                {
+                    "sf": label,
+                    "spark_total": round(sum(s.values()), 3),
+                    "duckdb_total": round(sum(d.values()), 3),
+                    "ratio": round(sum(s.values()) / sum(d.values()), 2),
+                    "spark": s,
+                    "duckdb": d,
+                }
+            )
+        )
+    # per-query ratio table to stderr
+    hdr = f"{'query':28s}" + "".join(f"{lbl:>16s}" for lbl in results)
+    print("\nratio (spark/duckdb), per query:\n" + hdr, file=sys.stderr)
+    for q in QUERIES:
+        row = f"{q:28s}"
+        for lbl in results:
+            s, d = results[lbl]["spark"][q], results[lbl]["duckdb"][q]
+            row += f"{s / d:>15.2f}x"
+        print(row, file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
