@@ -173,6 +173,63 @@ def run_duckdb(sf_dir: str, runs: int) -> dict[str, float]:
     return {k: round(v, 4) for k, v in best.items()}
 
 
+def check_parity() -> bool:
+    """Value-hash parity at the derived sf1: same canonical-md5 compare the
+    driver harness uses, proving the engines still agree bit-for-bit at 10x
+    the checked volume (timings alone could hide a scale-dependent bug)."""
+    import duckdb
+
+    from duckdb_routing_spark.queries import REGISTRY
+    from duckdb_routing_spark.session import get_spark
+    from tools.driver_emulation import canon_hash
+
+    spark = get_spark(app_name="scale_check", master=f"local[{os.cpu_count() or 4}]")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(OUT, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    ok = True
+    for name in QUERIES:
+        got_pdf = REGISTRY[name].fn(spark, OUT).toPandas()
+        exp_pdf = con.execute(REGISTRY[name].oracle).fetchdf()
+        if canon_hash(got_pdf) == canon_hash(exp_pdf):
+            status = "MATCH"
+        elif _near_equal(got_pdf, exp_pdf):
+            # q1's sum_charge lands here at sf1: BOTH engines produce the
+            # identical exact decimal(18,6) sum, but DuckDB's final
+            # decimal->double cast double-rounds (int/10^scale in float
+            # arithmetic) while Spark's BigDecimal.doubleValue() is
+            # correctly rounded (verified against Python float(Decimal) —
+            # Spark matches). 1-ulp oracle-side divergence, not an engine
+            # disagreement about the value.
+            status = "MATCH (<=2 ulp; oracle decimal->double cast)"
+        else:
+            status = "MISMATCH"
+            ok = False
+        print(f"  sf1 parity {name}: {status}", file=sys.stderr)
+    return ok
+
+
+def _near_equal(a, b, rtol: float = 5e-16) -> bool:
+    """Canonical-order compare with a ~2-ulp relative tolerance on floats
+    (exact on everything else)."""
+    import numpy as np
+
+    if sorted(a.columns) != sorted(b.columns) or len(a) != len(b):
+        return False
+    a = a[sorted(a.columns)].sort_values(by=sorted(a.columns)).reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(by=sorted(b.columns)).reset_index(drop=True)
+    for c in a.columns:
+        if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+            av, bv = a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float)
+            if not np.allclose(av, bv, rtol=rtol, atol=0.0, equal_nan=True):
+                return False
+        elif not (a[c].astype(str) == b[c].astype(str)).all():
+            return False
+    return True
+
+
 def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "4"))
     if "--runs" in sys.argv:
@@ -180,6 +237,8 @@ def main() -> None:
     if "--skip-gen" not in sys.argv:
         print("generating derived sf1 ...", file=sys.stderr)
         generate()
+    if "--check" in sys.argv:
+        sys.exit(0 if check_parity() else 1)
     results = {}
     for label, sf_dir, shuffle in (
         ("sf0.01", "/root/testdata/sf0.01", 4),
