@@ -142,6 +142,18 @@ import weakref
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
+def register_table_override(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> None:
+    """Point `table(spark, sf_dir, name)` at an arbitrary DataFrame.
+
+    Storage-layout indirection: every registered query resolves its inputs
+    through `table()`, so overriding a (sf_dir, name) binding runs the SAME
+    query code unchanged over a different physical source — a bucketed
+    `saveAsTable` catalog table (co-located joins, no exchange), a Delta /
+    Iceberg table, or a temp view. Used by tools/scale_study.py --bucketed
+    to measure the bucketed-layout join plans."""
+    _TABLE_CACHE.setdefault(spark, {})[(sf_dir, name)] = normalize_timestamps(df)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-provided table; plain parquet scan so Catalyst pushdown
     and pruning apply.

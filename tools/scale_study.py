@@ -173,6 +173,97 @@ def run_duckdb(sf_dir: str, runs: int) -> dict[str, float]:
     return {k: round(v, 4) for k, v in best.items()}
 
 
+def run_bucketed(runs: int) -> None:
+    """The cluster answer to the TPC-H join gap: bucket lineitem+orders by
+    orderkey (32 buckets, sorted) once at WRITE time, then run the SAME
+    registered queries over the bucketed tables via the registry's
+    table-override hook. The lineitem-orders join — the only exchange that
+    grows with the fact tables — disappears from the plan (bucketed
+    sort-merge join, zero Exchange on either fact side); dimensions still
+    broadcast. This is exactly the layout a 100 TB deployment bakes into
+    its tables, and the one knob single-process DuckDB has no analog for.
+    Each query is also canonical-md5-checked against the DuckDB oracle —
+    a layout change must not change values."""
+    import duckdb
+
+    from duckdb_routing_spark.queries import REGISTRY
+    from duckdb_routing_spark.queries.registry import register_table_override
+    from duckdb_routing_spark.session import get_spark
+    from tools.driver_emulation import canon_hash
+
+    spark = get_spark(
+        app_name="scale_study",
+        master=f"local[{os.cpu_count() or 4}]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.locality.wait": "0",
+            "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+            "spark.sql.warehouse.dir": os.path.join(os.path.dirname(OUT), "warehouse"),
+        },
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+    import shutil
+
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        if not spark.catalog.tableExists(f"{t}_b"):
+            # the in-memory catalog (no Hive metastore in this container)
+            # forgets tables across sessions while their files persist —
+            # clear the stale location and rebuild
+            shutil.rmtree(os.path.join(os.path.dirname(OUT), "warehouse", f"{t}_b"), ignore_errors=True)
+            print(f"  bucketing {t} by {key} ...", file=sys.stderr)
+            (
+                spark.read.parquet(os.path.join(OUT, f"{t}.parquet"))
+                .write.mode("overwrite")
+                .bucketBy(32, key)
+                .sortBy(key)
+                .saveAsTable(f"{t}_b")
+            )
+        register_table_override(spark, OUT, t, spark.table(f"{t}_b"))
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(OUT, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    names = ["q3_shipping_priority", "q5_local_supplier", "q10_returned_items"]
+    best: dict[str, float] = {}
+    parity: dict[str, bool] = {}
+    fact_exchanges: dict[str, int] = {}
+    for name in names:
+        df = REGISTRY[name].fn(spark, OUT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # non-broadcast exchanges = real shuffles; with both fact tables
+        # bucketed on orderkey the fact-fact join needs none (the remaining
+        # ones belong to the final agg/sort, whose input is already tiny)
+        fact_exchanges[name] = sum(
+            1 for ln in plan.splitlines() if "Exchange" in ln and "BroadcastExchange" not in ln
+        )
+        parity[name] = canon_hash(df.toPandas()) == canon_hash(
+            con.execute(REGISTRY[name].oracle).fetchdf()
+        )
+    for _ in range(runs):
+        for name in names:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, OUT).count()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            if dt < best.get(name, float("inf")):
+                best[name] = dt
+    print(
+        json.dumps(
+            {
+                "sf": "sf1(derived,bucketed)",
+                "spark": {k: round(v, 4) for k, v in best.items()},
+                "parity": parity,
+                "shuffle_exchanges": fact_exchanges,
+            }
+        )
+    )
+
+
 def check_parity() -> bool:
     """Value-hash parity at the derived sf1: same canonical-md5 compare the
     driver harness uses, proving the engines still agree bit-for-bit at 10x
@@ -239,6 +330,9 @@ def main() -> None:
         generate()
     if "--check" in sys.argv:
         sys.exit(0 if check_parity() else 1)
+    if "--bucketed" in sys.argv:
+        run_bucketed(runs)
+        return
     results = {}
     for label, sf_dir, shuffle in (
         ("sf0.01", "/root/testdata/sf0.01", 4),
