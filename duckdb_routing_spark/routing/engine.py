@@ -230,10 +230,13 @@ class RoutingEngine:
         travel_time_load; idempotent for the same path). Accepts:
 
           - a directory of this engine's parquet artifacts (build_tiles output);
+          - a `valhalla.json` config file (resolves mjolnir.tile_dir);
           - a reference `<pbf>.<mode>.routing` bincode artifact file;
-          - an `.osm.pbf` path with reference cache artifacts next to it
-            (the reference's cache_path convention, rust/src/lib.rs:164-166) —
-            raw PBF decode itself stays gated on an OSM reader.
+          - an `.osm.pbf` path: reference cache artifacts next to it win
+            (the reference's cache_path convention, rust/src/lib.rs:164-166);
+            otherwise the raw PBF is decoded distributed and built into
+            per-mode graphs, cached as parquet artifacts at `<pbf>.tiles`
+            (travel_time_load's build-and-cache path).
 
         `bbox=(min_lon, min_lat, max_lon, max_lat)` loads only the windowed
         subgraph from parquet artifacts (regional-tile analog; see
@@ -289,9 +292,21 @@ class RoutingEngine:
                     self.load_graph(read_reference_artifact(cached), mode)
                     loaded = True
             if not loaded:
-                from duckdb_routing_spark.routing.osm_build import read_osm_pbf
+                # no reference cache next to the source: BUILD from the raw
+                # PBF through the distributed decode + tile-build pipeline
+                # and cache the artifacts beside it — travel_time_load's
+                # build-and-cache behavior (rust/src/lib.rs:154-176 builds
+                # per-mode graphs from the pbf and writes
+                # '<pbf>.<mode>.routing'; here the cache is this engine's
+                # parquet artifact dir '<pbf>.tiles', reused on next load)
+                from duckdb_routing_spark.routing.osm_build import build_tiles_from_pbf
 
-                read_osm_pbf(self.spark, dir_path)  # raises the documented gate
+                out_dir = f"{dir_path}.tiles"
+                ok = self.load_config(out_dir, modes)
+                if not ok:
+                    build_tiles_from_pbf(self.spark, dir_path, out_dir, modes)
+                    ok = self.load_config(out_dir, modes)
+                loaded = ok
         else:
             for mode in modes:
                 try:

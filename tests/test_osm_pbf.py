@@ -59,3 +59,38 @@ def test_build_from_pbf_matches_pandas_build(spark, tmp_path):
     assert kernels.dijkstra_p2p(g, 0, 99) == pytest.approx(kernels.dijkstra_p2p(g_ref, 0, 99))
     # oneway row: reverse edge suppressed in both builds
     assert kernels.dijkstra_p2p(g, 11, 10) == pytest.approx(kernels.dijkstra_p2p(g_ref, 11, 10))
+
+
+def test_load_config_builds_and_caches_from_raw_pbf(spark, tmp_path):
+    """engine.load_config('<raw>.osm.pbf') with NO cache artifacts must
+    build through the distributed decode+tile pipeline, cache parquet
+    artifacts at '<pbf>.tiles' (the reference's build-and-cache
+    travel_time_load behavior, rust/src/lib.rs:154-176), and serve routes;
+    a second engine must load straight from the cache."""
+    import os
+
+    from duckdb_routing_spark.routing.engine import RoutingEngine
+
+    nodes = grid_nodes()
+    node_tuples = [(int(r.node_id), float(r.lon), float(r.lat)) for r in nodes.itertuples(index=False)]
+    path = str(tmp_path / "grid.osm.pbf")
+    write_osm_pbf(path, node_tuples, _grid_ways())
+
+    eng = RoutingEngine(spark)
+    assert eng.load_config(path, modes=("auto",))
+    assert eng.is_loaded("auto")
+    assert eng.tiles_path == path  # the SETTING reports the pbf, like the reference
+    assert os.path.isdir(path + ".tiles")  # cache artifacts landed beside the source
+    from duckdb_routing_spark.routing import kernels
+    from duckdb_routing_spark.testing import build_grid_graph
+
+    g_ref = build_grid_graph("auto")
+    assert eng.node_count("auto") == g_ref.num_nodes
+
+    # second engine: loads from the cached artifact dir (no rebuild — the
+    # artifacts carry the saved graph, so node counts must match exactly)
+    eng2 = RoutingEngine(spark)
+    assert eng2.load_config(path, modes=("auto",))
+    assert eng2.node_count("auto") == g_ref.num_nodes
+    eng.free("auto")
+    eng2.free("auto")
