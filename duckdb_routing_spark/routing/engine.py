@@ -332,6 +332,19 @@ class RoutingEngine:
             self._tiles_path = dir_path
         return loaded
 
+    def load_config_json(self, config_json: str, modes=("auto", "bicycle", "pedestrian")) -> bool:
+        """Config-as-STRING load — valhalla_init_from_json's true form
+        (valhalla-wrapper/src/wrapper.cpp:145-158 takes the JSON text, not a
+        path). Resolves mjolnir.tile_dir out of the document and loads it;
+        the reported setting stays the tile_dir (a string has no path)."""
+        import json as _json
+
+        conf = _json.loads(config_json)
+        tile_dir = (conf.get("mjolnir") or {}).get("tile_dir")
+        if not tile_dir:
+            return False
+        return self.load_config(tile_dir, modes)
+
     def ensure_conf(self) -> None:
         """Bridge for `SET spark.routing.tiles = path` — hot-swaps the
         broadcasts when the conf changed (SURVEY §3.3 Spark rebuild).

@@ -289,6 +289,13 @@ def read_osm_pbf(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
 
 def build_tiles_from_pbf(spark: SparkSession, pbf_path: str, out_dir: str, modes=MODES) -> str:
     """One-call raw-PBF build: decode + graph build + artifact save (the
-    `valhalla_build_tiles <pbf> <out>` shape)."""
+    `valhalla_build_tiles <pbf> <out>` shape). Accepts an http(s) URL like
+    the reference CLI (it downloads the PBF through DuckDB's FileSystem,
+    valhalla_build_tiles_simple.cpp:180-197): the source is fetched once
+    driver-side, then decoded distributed — executors never fetch."""
+    if pbf_path.startswith(("http://", "https://")):
+        from duckdb_routing_spark.sources.readers import fetch_to_local
+
+        pbf_path = fetch_to_local(pbf_path)
     ways, nodes = read_osm_pbf(spark, pbf_path)
     return build_tiles(spark, ways, nodes, out_dir, modes)

@@ -94,3 +94,39 @@ def test_load_config_builds_and_caches_from_raw_pbf(spark, tmp_path):
     assert eng2.node_count("auto") == g_ref.num_nodes
     eng.free("auto")
     eng2.free("auto")
+
+
+def test_build_tiles_from_pbf_url(spark, tmp_path):
+    """build_tiles_from_pbf('http://...') downloads the PBF once
+    driver-side then runs the distributed build — the reference CLI's
+    URL-sourced flow (valhalla_build_tiles_simple.cpp:180-197)."""
+    import http.server
+    import socketserver
+    import threading
+
+    from duckdb_routing_spark.routing.graph import RoutingGraph
+    from duckdb_routing_spark.routing.osm_build import build_tiles_from_pbf
+
+    serve_dir = tmp_path / "www"
+    serve_dir.mkdir()
+    nodes = grid_nodes()
+    node_tuples = [(int(r.node_id), float(r.lon), float(r.lat)) for r in nodes.itertuples(index=False)]
+    write_osm_pbf(str(serve_dir / "grid.osm.pbf"), node_tuples, _grid_ways())
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(serve_dir), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    with socketserver.TCPServer(("127.0.0.1", 0), Handler) as httpd:
+        port = httpd.server_address[1]
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{port}/grid.osm.pbf"
+            out = build_tiles_from_pbf(spark, url, str(tmp_path / "tiles"), modes=("auto",))
+            g = RoutingGraph.load(out, "auto")
+            assert g.num_nodes == grid_nodes().shape[0]
+        finally:
+            httpd.shutdown()

@@ -350,6 +350,13 @@ def test_load_config_from_valhalla_json(spark, tmp_path):
     assert eng2.load_config(str(redirect), modes=("auto",))
     assert eng2.node_count("auto") == 16
 
+    # config-as-STRING (valhalla_init_from_json's true form,
+    # valhalla-wrapper/src/wrapper.cpp:145-158): the JSON text itself
+    eng3 = RoutingEngine(spark)
+    assert eng3.load_config_json(_json.dumps({"mjolnir": {"tile_dir": out}}), modes=("auto",))
+    assert eng3.node_count("auto") == 16
+    assert not eng3.load_config_json("{}")  # no tile_dir -> structured False
+
 
 def test_height_bilinear_on_gridded_dem(spark, engine):
     """A complete lat/lon lattice triggers BILINEAR sampling (Valhalla's
