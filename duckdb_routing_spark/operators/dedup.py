@@ -182,7 +182,7 @@ def bands_from_hashes(base: DataFrame, n_hashes: int = 12, band_size: int = 3) -
     )
 
 
-def jaccard_from_hashes(base: DataFrame, pairs: DataFrame) -> DataFrame:
+def jaccard_from_hashes(base: DataFrame, pairs: DataFrame, broadcast: bool = True) -> DataFrame:
     """Exact Jaccard over the hashed shingle base for given candidate pairs.
 
     Plan shape: LSH leaves the candidate set orders of magnitude smaller
@@ -197,23 +197,25 @@ def jaccard_from_hashes(base: DataFrame, pairs: DataFrame) -> DataFrame:
     shingle stream): the slice is deduped here, where it is hundreds of
     rows, instead of paying a corpus-wide distinct upstream.
 
-    (If a pathological corpus ever produces a non-broadcastable candidate
-    set, fall back to :func:`jaccard_for_pairs`'s shuffle-join shape —
-    values are identical either way.)"""
+    `broadcast=None` (auto) keeps the hints when the candidate pair count
+    is known to be small and drops them — letting the same plan run as
+    shuffle joins keyed on doc id — when a pathological corpus produces a
+    non-broadcastable candidate set; values are identical either way."""
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
+    hint = F.broadcast if broadcast else (lambda d: d)
     sets = (
-        base.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        base.join(hint(cand_docs), "doc_id", "left_semi")
         .select("doc_id", F.struct("h1", "h2").alias("h"))
         .groupBy("doc_id")
         .agg(F.array_distinct(F.collect_list("h")).alias("hs"))
     )
     return (
-        pairs.join(F.broadcast(sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))), "doc_a")
-        .join(F.broadcast(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))), "doc_b")
+        pairs.join(hint(sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))), "doc_a")
+        .join(hint(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -328,7 +330,13 @@ def near_dup_pairs(
         .distinct()
         .persist()
     )
-    return jaccard_from_hashes(base, cands).filter(F.col("jaccard") >= threshold)
+    # LSH survivors are normally orders of magnitude smaller than the
+    # corpus — broadcast them. A pathological corpus (everything near-dup)
+    # can produce a candidate set too big for the driver; the count is a
+    # one-row agg over the just-persisted table, and past the threshold the
+    # SAME plan runs as shuffle joins keyed on doc id instead.
+    bcast = cands.count() <= 1_000_000
+    return jaccard_from_hashes(base, cands, broadcast=bcast).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------

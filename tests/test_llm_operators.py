@@ -38,6 +38,19 @@ def test_near_dup_jaccard_bounds(spark, docs):
     assert all(0.8 <= r.jaccard <= 1.0 for r in rows)
 
 
+def test_jaccard_shuffle_path_equals_broadcast_path(spark, docs):
+    """The non-broadcast fallback (pathological candidate volumes) must
+    produce byte-identical jaccard values to the broadcast plan."""
+    from pyspark.sql import functions as F
+
+    base = dedup.shingle_hash_base(docs)
+    pairs = dedup.lsh_candidate_pairs(docs)
+    a = dedup.jaccard_from_hashes(base, pairs, broadcast=True).collect()
+    b = dedup.jaccard_from_hashes(base, pairs, broadcast=False).collect()
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key) and len(a) > 0
+
+
 def test_exact_dedup_keep_first(spark, docs):
     # duplicate the corpus with shifted ids: every doc gains an exact dup
     dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
