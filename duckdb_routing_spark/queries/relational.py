@@ -446,6 +446,34 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(EVENTS_HOURLY_SPARK)
 
 
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+EVENTS_FUNNEL_ORACLE = """
+WITH e AS (SELECT user_id AS u, event_type AS et, epoch_us(cast(ts AS TIMESTAMP)) AS us FROM events),
+s0 AS (SELECT u, min(us) AS t0 FROM e WHERE et = 'view' GROUP BY u),
+s1 AS (SELECT e.u, min(us) AS t1 FROM e JOIN s0 USING(u) WHERE et = 'click' AND us > t0 GROUP BY e.u),
+s2 AS (SELECT e.u, min(us) AS t2 FROM e JOIN s1 USING(u) WHERE et = 'purchase' AND us > t1 GROUP BY e.u),
+c AS (SELECT (SELECT count(*) FROM s0) AS n0, (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2)
+SELECT 'view' AS step, 0 AS step_index, n0 AS n_users,
+       1.0 AS pct_of_first, 1.0 AS pct_of_prev FROM c
+UNION ALL SELECT 'click', 1, n1, n1::DOUBLE / n0, n1::DOUBLE / n0 FROM c
+UNION ALL SELECT 'purchase', 2, n2, n2::DOUBLE / n0, n2::DOUBLE / n1 FROM c
+ORDER BY step_index
+"""
+
+
+@register("events_funnel", oracle=EVENTS_FUNNEL_ORACLE,
+          doc="ordered funnel view->click->purchase: first-touch chained min-ts, per-step conversion")
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (operators/funnel.py): step i counts users
+    with an s_i event strictly after their first completion of step i-1 —
+    chained user-keyed min aggregations, no per-user event history held
+    anywhere."""
+    from duckdb_routing_spark.operators.funnel import funnel_conversion
+
+    return funnel_conversion(table(spark, sf_dir, "events"), _FUNNEL_STEPS).orderBy("step_index")
+
+
 EVENTS_JSON_SPARK = """
 SELECT event_type,
        cast(sum(cast(get_json_object(props, '$.k') AS DECIMAL(18,2))) as double)

@@ -294,3 +294,37 @@ def test_pq_codes_compress_and_cover(spark, emb):
         F.countDistinct("vec_id").alias("nv"),
     ).first()
     assert stats.lo >= 1 and stats.hi <= 16 and stats.nv == n_vecs
+
+
+def test_funnel_ordering_and_horizon(spark):
+    """Step events BEFORE the previous step's first completion don't count;
+    within_s bounds the whole funnel to a horizon after step 0."""
+    import datetime as dt
+
+    from duckdb_routing_spark.operators.funnel import funnel_conversion, funnel_user_steps
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    rows = [
+        # u1 converts in order: view@0 click@10 purchase@20
+        (1, t(0), "view"), (1, t(10), "click"), (1, t(20), "purchase"),
+        # u2 out of order: purchase BEFORE click -> stops after click
+        (2, t(0), "view"), (2, t(5), "purchase"), (2, t(10), "click"),
+        # u3 click before view -> only view counts
+        (3, t(10), "view"), (3, t(5), "click"),
+        # u4 converts but slowly: purchase at +100s (outside a 60s horizon)
+        (4, t(0), "view"), (4, t(30), "click"), (4, t(100), "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.step: r for r in funnel_conversion(ev, ["view", "click", "purchase"]).collect()}
+    assert got["view"].n_users == 4
+    assert got["click"].n_users == 3  # u3 clicked before viewing
+    assert got["purchase"].n_users == 2  # u1, u4 (u2 purchased before click)
+    assert got["purchase"].pct_of_first == 2 / 4 and got["purchase"].pct_of_prev == 2 / 3
+
+    bounded = {r.step: r for r in
+               funnel_conversion(ev, ["view", "click", "purchase"], within_s=60).collect()}
+    assert bounded["purchase"].n_users == 1  # u4's purchase is past the horizon
+
+    steps = funnel_user_steps(ev, ["view", "click"]).collect()
+    t1 = {r.user: r.t1 for r in steps}
+    assert t1[3] is None and t1[1] is not None
