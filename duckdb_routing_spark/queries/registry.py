@@ -93,6 +93,7 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "q8_market_share",
         "q9_profit_proxy",
         "rollup_revenue",
+        "events_cohorts",
         "events_funnel",
         "route_batch_throughput",
         "route_isochrone",

@@ -474,6 +474,38 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(table(spark, sf_dir, "events"), _FUNNEL_STEPS).orderBy("step_index")
 
 
+EVENTS_COHORTS_ORACLE = """
+WITH e AS (SELECT user_id AS u, cast(ts AS TIMESTAMP)::DATE AS d FROM events),
+f AS (SELECT u, min(d) AS first_d FROM e GROUP BY u),
+c AS (SELECT u, first_d - dayofweek(first_d)::INT AS cohort FROM f),
+a AS (SELECT DISTINCT cohort, ((d - cohort) // 7)::INT AS period_offset, u
+      FROM e JOIN c USING (u)),
+s AS (SELECT cohort, count(*) AS n_cohort FROM c GROUP BY cohort)
+SELECT strftime(a.cohort, '%Y-%m-%d') AS cohort, period_offset,
+       count(*) AS n_active, s.n_cohort,
+       count(*)::DOUBLE / s.n_cohort AS retention
+FROM a JOIN s USING (cohort)
+GROUP BY a.cohort, period_offset, s.n_cohort
+ORDER BY cohort, period_offset
+"""
+
+
+@register("events_cohorts", oracle=EVENTS_COHORTS_ORACLE,
+          doc="weekly cohort retention: acquisition week -> fraction active k weeks later")
+def events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (operators/cohorts.py): Sunday-start weekly cohorts
+    by first event; retention = distinct active users at week offset k over
+    cohort size — user-keyed aggregations only, no per-user history."""
+    from duckdb_routing_spark.operators.cohorts import cohort_retention
+
+    out = cohort_retention(table(spark, sf_dir, "events"), period="week")
+    # DATE -> ISO string for the cross-engine hash (pandas renders DuckDB
+    # DATE as datetime64 but Spark DateType as date objects)
+    return out.withColumn("cohort", F.date_format("cohort", "yyyy-MM-dd")).orderBy(
+        "cohort", "period_offset"
+    )
+
+
 EVENTS_JSON_SPARK = """
 SELECT event_type,
        cast(sum(cast(get_json_object(props, '$.k') AS DECIMAL(18,2))) as double)

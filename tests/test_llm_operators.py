@@ -328,3 +328,25 @@ def test_funnel_ordering_and_horizon(spark):
     steps = funnel_user_steps(ev, ["view", "click"]).collect()
     t1 = {r.user: r.t1 for r in steps}
     assert t1[3] is None and t1[1] is not None
+
+
+def test_cohort_retention_semantics(spark):
+    """Offset 0 retention is 1.0 by construction; users only count toward
+    their OWN acquisition cohort; a user active in two periods appears at
+    both offsets exactly once."""
+    import datetime as dt
+
+    from duckdb_routing_spark.operators.cohorts import cohort_retention
+
+    d = lambda day: dt.datetime(2024, 1, day)  # noqa: E731  (Jan 2024: 7th/14th are Sundays)
+    rows = [
+        (1, d(8)), (1, d(16)),   # cohort wk of Jan 7 (Sunday), active wk 0 and wk 1
+        (2, d(9)),               # same cohort, wk 0 only
+        (3, d(15)),              # next cohort
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(str(r.cohort), r.period_offset): r for r in cohort_retention(ev).collect()}
+    assert got[("2024-01-07", 0)].n_active == 2 and got[("2024-01-07", 0)].retention == 1.0
+    assert got[("2024-01-07", 1)].n_active == 1 and got[("2024-01-07", 1)].retention == 0.5
+    assert got[("2024-01-14", 0)].n_cohort == 1
+    assert ("2024-01-14", 1) not in got
