@@ -136,24 +136,25 @@ def bands_from_shingles(sh: DataFrame, n_hashes: int = 12, band_size: int = 3) -
 
 
 def shingle_hash_base(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct (doc_id, h1, h2): the two 60-bit md5 halves of each word
-    k-gram shingle — one shared representation serving BOTH MinHash bands
-    (min over the hashed set == min over the multiset) and exact Jaccard
+    """(doc_id, h1, h2): the two 60-bit md5 halves of each word k-gram
+    shingle — one shared representation serving BOTH MinHash bands (min
+    over the hashed set == min over the multiset) and exact Jaccard
     (intersection joins key on two longs instead of shingle strings; the
     string never crosses a shuffle). Collision odds are ~2^-120 per shingle
-    pair — Jaccard counts are exact in practice."""
+    pair — Jaccard counts are exact in practice.
+
+    distinct=False skips the corpus-wide dedup shuffle (a pure map over the
+    source) for consumers that tolerate the multiset — MinHash always, and
+    Jaccard when it dedupes its own candidate slice (near_dup_pairs)."""
     h = F.md5(F.col("shingle"))
-    return (
-        shingles(docs, id_col, text_col, k, distinct=False)
-        .select(
-            "doc_id",
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("h2"),
-        )
-        .distinct()
+    out = shingles(docs, id_col, text_col, k, distinct=False).select(
+        "doc_id",
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("h2"),
     )
+    return out.distinct() if distinct else out
 
 
 def bands_from_hashes(base: DataFrame, n_hashes: int = 12, band_size: int = 3) -> DataFrame:
@@ -182,7 +183,7 @@ def bands_from_hashes(base: DataFrame, n_hashes: int = 12, band_size: int = 3) -
     )
 
 
-def jaccard_from_hashes(base: DataFrame, pairs: DataFrame, broadcast: bool = True) -> DataFrame:
+def jaccard_from_hashes(base: DataFrame, pairs: DataFrame, broadcast: bool | None = None) -> DataFrame:
     """Exact Jaccard over the hashed shingle base for given candidate pairs.
 
     Plan shape: LSH leaves the candidate set orders of magnitude smaller
@@ -197,19 +198,34 @@ def jaccard_from_hashes(base: DataFrame, pairs: DataFrame, broadcast: bool = Tru
     shingle stream): the slice is deduped here, where it is hundreds of
     rows, instead of paying a corpus-wide distinct upstream.
 
-    `broadcast=None` (auto) keeps the hints when the candidate pair count
-    is known to be small and drops them — letting the same plan run as
-    shuffle joins keyed on doc id — when a pathological corpus produces a
-    non-broadcastable candidate set; values are identical either way."""
+    `broadcast=None` (auto, the default) measures what would actually be
+    broadcast — the candidate docs' shingle-hash rows, NOT the pair count
+    (a few pairs over huge documents can still carry gigabytes of hashes)
+    — and drops the hints past ~256 MB, letting the identical plan run as
+    shuffle joins keyed on doc id. Values are the same either way. One
+    residual bound: collect_list makes one array row per doc, so a single
+    document with hundreds of millions of shingles would need the
+    jaccard_for_pairs row-stream shape instead."""
     cand_docs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .union(pairs.select(F.col("doc_b").alias("doc_id"))
+        )
         .distinct()
     )
+    if broadcast is None:
+        # the semi-join output is what gets collected into per-doc arrays
+        # and broadcast twice below — size THAT (16 B per hash row), not
+        # the pair list. The extra count() is one pass over the (persisted)
+        # base; the slice is persisted so the sets build reuses it.
+        sub = base.join(cand_docs, "doc_id", "left_semi").persist()
+        broadcast = sub.count() * 16 <= 256 * 1024 * 1024
+    else:
+        sub = base.join(
+            (F.broadcast if broadcast else (lambda d: d))(cand_docs), "doc_id", "left_semi"
+        )
     hint = F.broadcast if broadcast else (lambda d: d)
     sets = (
-        base.join(hint(cand_docs), "doc_id", "left_semi")
-        .select("doc_id", F.struct("h1", "h2").alias("h"))
+        sub.select("doc_id", F.struct("h1", "h2").alias("h"))
         .groupBy("doc_id")
         .agg(F.array_distinct(F.collect_list("h")).alias("hs"))
     )
@@ -310,16 +326,7 @@ def near_dup_pairs(
     without materialization Spark re-executes the full LSH DAG per consumer
     (~6x wall-clock at sf0.1; at cluster scale these would be written to a
     staging table between stages)."""
-    h = F.md5(F.col("shingle"))
-    base = (
-        shingles(docs, id_col, text_col, k, distinct=False)
-        .select(
-            "doc_id",
-            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("h2"),
-        )
-        .persist()
-    )
+    base = shingle_hash_base(docs, id_col, text_col, k, distinct=False).persist()
     bands = bands_from_hashes(base, n_hashes, band_size)
     a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
     b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
@@ -330,13 +337,9 @@ def near_dup_pairs(
         .distinct()
         .persist()
     )
-    # LSH survivors are normally orders of magnitude smaller than the
-    # corpus — broadcast them. A pathological corpus (everything near-dup)
-    # can produce a candidate set too big for the driver; the count is a
-    # one-row agg over the just-persisted table, and past the threshold the
-    # SAME plan runs as shuffle joins keyed on doc id instead.
-    bcast = cands.count() <= 1_000_000
-    return jaccard_from_hashes(base, cands, broadcast=bcast).filter(F.col("jaccard") >= threshold)
+    # broadcast-vs-shuffle for the Jaccard stage is auto-decided inside
+    # jaccard_from_hashes by measuring the candidate slice itself
+    return jaccard_from_hashes(base, cands).filter(F.col("jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -503,15 +506,17 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
     driver-resident.
 
     Two mechanics matter for iterative DataFrames:
-      - lineage TRUNCATION, not just persist: each round's labels are
-        localCheckpoint(eager)'d, so the returned frame is a flat scan of
-        the final round's partitions. A persist-only loop leaves the full
-        round-over-round join chain in the logical plan — every downstream
-        consumer re-ANALYZES (and, when cache lookup misses, re-executes)
-        a plan that grows per round (measured: a 4-round result re-ran
-        ~10 s of joins on EVERY count at sf0.001). A cluster run with
-        lossy executors would use spark.checkpoint() against a reliable
-        dir instead — same shape, durable storage.
+      - lineage TRUNCATION for the RESULT: the returned frame is a single
+        eager localCheckpoint of the final round — a flat scan, so
+        downstream consumers never re-analyze (or, on cache miss,
+        re-execute) the round-over-round join chain (measured before the
+        truncation: a 4-round result re-ran ~10 s of joins on EVERY count
+        at sf0.001). Within the loop, rounds persist and deterministically
+        unpersist their predecessor — localCheckpoint blocks have no
+        explicit release API in PySpark, so checkpointing every round
+        would strand one label-table copy per round in executor storage.
+        A cluster run with lossy executors would use spark.checkpoint()
+        against a reliable dir instead — same shape, durable storage.
       - convergence via a monotone checksum, not a join: labels only ever
         DECREASE under min-propagation over a fixed doc_id set, so
         sum(cluster_id) is a strict witness — equal sum <=> fixed point.
@@ -529,7 +534,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .localCheckpoint()
+        .persist()
     )
     try:
         prev = labels.agg(check).first()["s"]
@@ -539,7 +544,7 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("cluster_id").alias("neigh_min"))
             )
-            labels = (
+            new_labels = (
                 labels.join(neigh, "doc_id", "left")
                 .select(
                     "doc_id",
@@ -547,12 +552,16 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
                         F.col("cluster_id"), F.coalesce(F.col("neigh_min"), F.col("cluster_id"))
                     ).alias("cluster_id"),
                 )
-                .localCheckpoint()
+                .persist()
             )
-            cur = labels.agg(check).first()["s"]
+            cur = new_labels.agg(check).first()["s"]
+            labels.unpersist()
+            labels = new_labels
             if cur == prev:
                 break
             prev = cur
-        return labels.select("doc_id", "cluster_id")
+        out = labels.select("doc_id", "cluster_id").localCheckpoint()
+        labels.unpersist()
+        return out
     finally:
         edges.unpersist()

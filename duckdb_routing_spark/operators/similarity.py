@@ -122,9 +122,14 @@ def cosine_topk(
                 }
             )
 
+    # output id types follow the INPUT id columns (the old crossJoin form
+    # preserved them implicitly; a hardcoded `long` would break string or
+    # int32 id columns at Arrow conversion time)
+    q_id_t = queries.schema[id_col].dataType.simpleString()
+    c_id_t = corpus.schema[id_col].dataType.simpleString()
     scored = corpus.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
-    ).mapInPandas(score_batches, "query_id long, vec_id long, cosine double")
+    ).mapInPandas(score_batches, f"query_id {q_id_t}, vec_id {c_id_t}, cosine double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

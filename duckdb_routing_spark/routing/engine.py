@@ -243,7 +243,14 @@ class RoutingEngine:
         RoutingGraph.load) — a city service over a country artifact
         broadcasts the city, not the country.
         """
-        if dir_path == self._tiles_path and self._broadcasts and bbox is None:
+        if (
+            dir_path == self._tiles_path
+            and self._broadcasts
+            and bbox is None
+            and all(self.is_loaded(m) for m in modes)
+        ):
+            # mode-aware idempotency: same path with a NEW mode requested
+            # must fall through and load it, not early-return on the old set
             return True
         import os
 
@@ -302,11 +309,20 @@ class RoutingEngine:
                 from duckdb_routing_spark.routing.osm_build import build_tiles_from_pbf
 
                 out_dir = f"{dir_path}.tiles"
-                ok = self.load_config(out_dir, modes)
-                if not ok:
-                    build_tiles_from_pbf(self.spark, dir_path, out_dir, modes)
-                    ok = self.load_config(out_dir, modes)
-                loaded = ok
+                self.load_config(out_dir, modes)
+                # a cache built by an earlier call with FEWER modes must not
+                # satisfy this one: build exactly the missing modes into the
+                # same artifact dir, then load them directly (load_config's
+                # idempotency path would otherwise skip them)
+                missing = [m for m in modes if not self.is_loaded(m)]
+                if missing:
+                    build_tiles_from_pbf(self.spark, dir_path, out_dir, modes=tuple(missing))
+                    for m in missing:
+                        try:
+                            self.load_graph(RoutingGraph.load(out_dir, m), m)
+                        except (FileNotFoundError, OSError):
+                            pass
+                loaded = any(self.is_loaded(m) for m in modes)
         else:
             for mode in modes:
                 try:

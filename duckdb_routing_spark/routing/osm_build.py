@@ -264,6 +264,15 @@ def write_valhalla_config(out_dir: str, modes=MODES) -> str:
     tile_dir -> loaded graph."""
     import json
 
+    # an incremental build (e.g. load_config adding a missing mode to an
+    # existing <pbf>.tiles cache) must not shrink the config's mode list:
+    # record every mode with artifacts in the dir, not just this call's
+    on_disk = {
+        f.split("nodes_", 1)[1].rsplit(".parquet", 1)[0]
+        for f in os.listdir(out_dir)
+        if f.startswith("nodes_") and f.endswith(".parquet")
+    }
+    modes = sorted(on_disk | set(modes))
     cfg = {
         "mjolnir": {"tile_dir": out_dir, "concurrency": os.cpu_count() or 4},
         "loki": {"actions": ["locate", "route", "sources_to_targets", "isochrone",

@@ -39,7 +39,15 @@ def fetch_to_local(url_or_path: str, cache_dir: str = "/tmp/routing_fetch_cache"
     if not url_or_path.startswith(("http://", "https://")):
         return url_or_path
     os.makedirs(cache_dir, exist_ok=True)
-    dest = os.path.join(cache_dir, os.path.basename(url_or_path))
+    # key by (url-hash, basename): two hosts serving the same filename (or
+    # one URL whose content changed under a NEW name) must not collide.
+    # Same-URL refreshes still hit the cache — the reference's $TMPDIR
+    # download cache has the same staleness semantics; delete the cache
+    # dir to force a refetch.
+    import hashlib
+
+    tag = hashlib.md5(url_or_path.encode()).hexdigest()[:12]
+    dest = os.path.join(cache_dir, f"{tag}-{os.path.basename(url_or_path)}")
     if not os.path.exists(dest):
         tmp = dest + ".part"
         with urllib.request.urlopen(url_or_path) as r, open(tmp, "wb") as f:

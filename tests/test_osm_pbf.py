@@ -130,3 +130,35 @@ def test_build_tiles_from_pbf_url(spark, tmp_path):
             assert g.num_nodes == grid_nodes().shape[0]
         finally:
             httpd.shutdown()
+
+
+def test_load_config_builds_missing_modes_into_existing_cache(spark, tmp_path):
+    """A '<pbf>.tiles' cache built with FEWER modes must not satisfy a
+    request for more: the missing modes are built into the same cache dir
+    and loaded, and the valhalla.json keeps the union of modes."""
+    import json
+    import os
+
+    from duckdb_routing_spark.routing.engine import RoutingEngine
+
+    nodes = grid_nodes()
+    node_tuples = [(int(r.node_id), float(r.lon), float(r.lat)) for r in nodes.itertuples(index=False)]
+    path = str(tmp_path / "grid.osm.pbf")
+    write_osm_pbf(path, node_tuples, _grid_ways())
+
+    eng = RoutingEngine(spark)
+    assert eng.load_config(path, modes=("auto",))
+    assert eng.is_loaded("auto") and not eng.is_loaded("bicycle")
+
+    # same engine, same path, extra mode: must build+load bicycle, not
+    # early-return on the already-loaded auto
+    assert eng.load_config(path, modes=("auto", "bicycle"))
+    assert eng.is_loaded("bicycle"), "partial .tiles cache satisfied a broader mode request"
+    with open(os.path.join(path + ".tiles", "valhalla.json")) as f:
+        assert set(json.load(f)["engine"]["modes"]) >= {"auto", "bicycle"}
+
+    # a FRESH engine over the now-two-mode cache loads both directly
+    eng2 = RoutingEngine(spark)
+    assert eng2.load_config(path, modes=("auto", "bicycle"))
+    assert eng2.is_loaded("auto") and eng2.is_loaded("bicycle")
+    eng.free("auto"); eng.free("bicycle"); eng2.free("auto"); eng2.free("bicycle")
