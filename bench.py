@@ -41,11 +41,12 @@ def main() -> None:
         extra_conf={
             "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
             "spark.locality.wait": "0",
-            # 64 MB at sf0.1 turns every TPC-H dimension join into a
-            # broadcast (measured best at this volume); the production
-            # default stays at the stock 10 MB — see session.py and the
-            # scale study for the inversion at larger volumes
-            "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+            # stock 10 MB: re-measured after the remap/plan-fusion work —
+            # force-broadcasting the 150k-row orders side (64 MB threshold)
+            # now LOSES ~0.5 s across the TPC-H shapes (hash-relation build
+            # cost exceeds the avoided tiny shuffle); every genuinely small
+            # dimension still broadcasts under 10 MB
+            "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
             # lz4 setup cost per tiny shuffle block outweighs the bytes saved
             # at sf0.1 (measured ~-1s on near_dups); a real cluster keeps
             # compression on for network-bound shuffles

@@ -375,7 +375,8 @@ def route_tile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skips its min/max discovery job (a real pipeline gets these from
     # source metadata: PBF header bbox / tile manifest)
     nodes, edges = build_mode_graph_df(
-        spark, segments_from_ways(ways), osm_nodes, "auto", key_range=(0, nrows * ncols - 1)
+        spark, segments_from_ways(ways), osm_nodes, "auto",
+        key_range=(0, nrows * ncols - 1), n_keys_hint=nrows * ncols,
     )
     return nodes.agg(F.count("*").alias("n_nodes")).crossJoin(edges.agg(F.count("*").alias("n_edges")))
 

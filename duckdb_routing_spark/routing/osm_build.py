@@ -46,18 +46,28 @@ def haversine_col(lon1, lat1, lon2, lat2):
 
 
 def dense_rank_by(
-    df: DataFrame, key: str, out_col: str, key_range: tuple[int, int] | None = None
+    df: DataFrame, key: str, out_col: str, key_range: tuple[int, int] | None = None,
+    n_keys_hint: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Add a dense 0..N-1 id ordered by integer `key` (distinct values
-    assumed), WITHOUT a global single-partition window. Returns (df, n_rows).
+    assumed), WITHOUT a global single-partition window. Returns
+    (df, n_rows_or_upper_bound).
 
     Two-phase remap (the distributed zipWithIndex):
       1. split the key range into n ordered buckets (deterministic value
          ranges from min/max — no sampling pass, unlike repartitionByRange);
       2. per-bucket row_number — ONE hash exchange, windows run in parallel;
-      3. bucket counts (tiny job, n_buckets rows collected driver-side — the
-         same order of driver state RangePartitioner itself keeps) become a
-         literal offset lookup; id = bucket offset + local rank - 1.
+      3. bucket counts (a tiny ≤n_buckets-row aggregate) become per-bucket
+         offsets via a running-sum window and are broadcast-joined back;
+         id = bucket offset + local rank - 1.
+
+    Fully LAZY when the caller supplies both `key_range` and `n_keys_hint`:
+    no driver-side action runs at plan-build time, so the whole remap fuses
+    into the consuming job (at bench scale the old collect-of-bucket-counts
+    added a full extra materialization of the upstream DAG). Without
+    `key_range`, ONE agg pass computes min/max/count. `n_keys_hint` may be
+    any upper bound on the distinct-key count (callers only use it for
+    broadcast-or-not decisions); the returned n is exact whenever a pass ran.
 
     Deterministic: ids depend only on the total order of `key`. Replaces
     `row_number().over(Window.orderBy(key))`, which moves every row through
@@ -69,31 +79,41 @@ def dense_rank_by(
     spark = df.sparkSession
     n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
     df = df.persist()
+    n_known = n_keys_hint
     if key_range is not None:
         # caller-known bounds (any superset of the true range keeps the
         # bucketing valid — empty buckets get zero-width offsets). Skips a
         # full pass over `df`, which for the graph build means one fewer
         # materialization of the whole segments->join DAG.
         lo, hi = key_range
+        if n_known is None:
+            n_known = int(df.count())
     else:
-        lo, hi = df.agg(F.min(key), F.max(key)).first()
-    if lo is None:  # empty input
-        return df.withColumn(out_col, F.lit(None).cast("long")), 0
+        lo, hi, n = df.agg(F.min(key), F.max(key), F.count("*")).first()
+        n_known = int(n)
+        if lo is None:  # empty input
+            return df.withColumn(out_col, F.lit(None).cast("long")), 0
     span = max(1, int(hi) - int(lo) + 1)
     n_parts = min(n_parts, span)
     bucket = F.floor((F.col(key).cast("long") - F.lit(int(lo))) * n_parts / F.lit(span)).cast("int")
     b = df.withColumn("_b", bucket)
-    counts = {row["_b"]: row["n"] for row in b.groupBy("_b").agg(F.count("*").alias("n")).collect()}
-    offsets, cum = [], 0
-    for i in range(n_parts):
-        offsets.append(cum)
-        cum += counts.get(i, 0)
-    off_expr = F.element_at(F.array(*[F.lit(o) for o in offsets]), F.col("_b") + 1)
+    # bucket offsets = exclusive running sum of bucket counts; ≤n_parts rows,
+    # so the constant-partition ordering window and the broadcast are trivial
+    w_off = Window.partitionBy(F.lit(0)).orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("_b")
+        .agg(F.count("*").alias("_n"))
+        .select("_b", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"))
+    )
     w = Window.partitionBy("_b").orderBy(key)
-    out = b.withColumn(out_col, (F.row_number().over(w) - 1 + off_expr).cast("long")).drop("_b")
-    # cum == total rows — already known driver-side from the bucket counts,
-    # so callers can decide to broadcast the id map without another job
-    return out, cum
+    # single fused projection: every chained withColumn/drop re-analyzes the
+    # whole (by now deep) logical plan on the driver — at bench scale that
+    # driver-side analysis is comparable to the job itself
+    out = b.join(F.broadcast(offs), "_b").select(
+        *df.columns,
+        (F.row_number().over(w) - 1 + F.col("_off")).cast("long").alias(out_col),
+    )
+    return out, n_known
 
 
 def segments_from_ways(ways: DataFrame) -> DataFrame:
@@ -124,6 +144,7 @@ def build_mode_graph_df(
     osm_nodes: DataFrame,
     mode: str,
     key_range: tuple[int, int] | None = None,
+    n_keys_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """segments(src_osm, dst_osm, highway, oneway) + osm_nodes(node_id, lon,
     lat) -> (nodes(node_id, lon, lat, main_road), edges(src, dst, weight_ms,
@@ -197,7 +218,9 @@ def build_mode_graph_df(
         # job entirely; any superset of the true range is valid
         r = osm_nodes.agg(F.min("node_id"), F.max("node_id")).first()
         key_range = (int(r[0]), int(r[1])) if r[0] is not None else None
-    id_map, n_map = dense_rank_by(node_flags, "osm_id", "node_id", key_range=key_range)
+    id_map, n_map = dense_rank_by(
+        node_flags, "osm_id", "node_id", key_range=key_range, n_keys_hint=n_keys_hint
+    )
     id_map = id_map.persist()
     # a country-sized id map (~10M rows x 16 B) broadcasts comfortably; the
     # threshold keeps planet-scale builds on sort-merge joins
@@ -209,17 +232,23 @@ def build_mode_graph_df(
     # main_road into the edge joins costs a byte/row and is dropped by the
     # projection)
     bmap = hint(id_map.select("osm_id", "node_id", "main_road"))
-    nodes = (
-        bmap.join(osm_nodes.withColumnRenamed("node_id", "osm_id"), "osm_id", "inner")
-        .select("node_id", "lon", "lat", "main_road")
-    )
+    coords = osm_nodes.select(F.col("node_id").alias("osm_id"), "lon", "lat")
+    nodes = bmap.join(coords, "osm_id", "inner").select("node_id", "lon", "lat", "main_road")
+    # alias the SAME bmap plan for both endpoint joins (identical build-side
+    # subtrees -> one BroadcastExchange, reused) and resolve each in ONE
+    # fused select — chained withColumnRenamed/drop ops each re-analyze the
+    # full logical plan driver-side, which at bench scale costs as much as
+    # the job
+    m1, m2 = bmap.alias("_m1"), bmap.alias("_m2")
     edges = (
-        directed.join(bmap.withColumnRenamed("osm_id", "src_osm"), "src_osm")
-        .withColumnRenamed("node_id", "src")
-        .drop("main_road")
-        .join(bmap.withColumnRenamed("osm_id", "dst_osm"), "dst_osm")
-        .withColumnRenamed("node_id", "dst")
-        .select("src", "dst", "weight_ms", "length_m")
+        directed.join(m1, F.col("src_osm") == F.col("_m1.osm_id"))
+        .join(m2, F.col("dst_osm") == F.col("_m2.osm_id"))
+        .select(
+            F.col("_m1.node_id").alias("src"),
+            F.col("_m2.node_id").alias("dst"),
+            "weight_ms",
+            "length_m",
+        )
     )
     return nodes, edges
 
