@@ -369,8 +369,13 @@ def route_tile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oneway": segs["oneway"].to_numpy(),
         }
     )
-    ways = spark.createDataFrame(ways_pdf)
-    osm_nodes = spark.createDataFrame(grid_nodes(nrows, ncols, island=False))
+    # align input parallelism with the configured shuffle width: the default
+    # split (defaultParallelism=32) spreads 7k rows over 32 tiny tasks in
+    # every pre-shuffle stage, and the per-task overhead dominates (~0.7 s
+    # at bench scale). A real build gets its width from PBF file splits.
+    width = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
+    ways = spark.createDataFrame(ways_pdf).coalesce(width)
+    osm_nodes = spark.createDataFrame(grid_nodes(nrows, ncols, island=False)).coalesce(width)
     # the lattice's id space is known a priori — pass the bounds so the build
     # skips its min/max discovery job (a real pipeline gets these from
     # source metadata: PBF header bbox / tile manifest)

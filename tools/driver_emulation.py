@@ -41,6 +41,9 @@ def main() -> int:
     seed = 4
     if "--seed" in sys.argv:
         seed = int(sys.argv[sys.argv.index("--seed") + 1])
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     from pyspark.sql import SparkSession
 
@@ -56,6 +59,8 @@ def main() -> int:
     qs, osql = entry.queries(), entry.oracle_sql()
     names = sorted(qs)
     random.Random(seed).shuffle(names)
+    if only is not None:
+        names = [n for n in names if n in only]
     failures: list[str] = []
     for name in names:
         try:
