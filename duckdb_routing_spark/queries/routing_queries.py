@@ -340,10 +340,52 @@ def route_contours(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 60x60 lattice cardinalities are arithmetic facts of the builder's rules:
-# 3600 nodes; horizontal 60*59 segments with one oneway row (59 single-
-# direction edges) + vertical 59*60 bidirectional = (3540*2-59) + 3540*2.
-TILE_BUILD_ORACLE = "SELECT cast(3600 AS BIGINT) AS n_nodes, cast(14101 AS BIGINT) AS n_edges"
+# The oracle COMPUTES the build, not just its answer: it regenerates the
+# same 60x60 lattice (grid_segments rules: residential rows with row 1
+# oneway, secondary columns), applies the identical speed join / haversine
+# weight / zero-ms drop / oneway reverse-edge rules as build_mode_graph_df,
+# and counts the resulting directed graph — so DuckDB independently derives
+# (3600, 14101) through the reference's graph-construction semantics
+# (rust/src/lib.rs:168-269).
+TILE_BUILD_ORACLE = """
+WITH hseg AS (
+  SELECT r*60 + c AS src, r*60 + c + 1 AS dst, 'residential' AS highway,
+         CASE WHEN r = 1 THEN 'yes' ELSE 'no' END AS oneway
+  FROM range(0, 60) t1(r), range(0, 59) t2(c)
+),
+vseg AS (
+  SELECT r*60 + c AS src, (r+1)*60 + c AS dst, 'secondary' AS highway, 'no' AS oneway
+  FROM range(0, 59) t1(r), range(0, 60) t2(c)
+),
+seg AS (SELECT * FROM hseg UNION ALL SELECT * FROM vseg),
+speeds(highway, speed_kmh) AS (VALUES ('residential', 30.0), ('secondary', 60.0)),
+nodes AS (
+  SELECT node_id, 13.0 + (node_id % 60) * 0.001 AS lon, 52.0 + (node_id // 60) * 0.001 AS lat
+  FROM range(0, 3600) t(node_id)
+),
+withw AS (
+  SELECT s.src, s.dst, s.oneway,
+         floor(
+           2*6371008.8*asin(sqrt(
+             pow(sin(radians(n2.lat - n1.lat)/2), 2)
+             + cos(radians(n1.lat))*cos(radians(n2.lat))*pow(sin(radians(n2.lon - n1.lon)/2), 2)
+           )) / 1000.0 / sp.speed_kmh * 3600.0 * 1000.0
+         ) AS weight_ms
+  FROM seg s
+  JOIN speeds sp ON sp.highway = s.highway
+  JOIN nodes n1 ON n1.node_id = s.src
+  JOIN nodes n2 ON n2.node_id = s.dst
+),
+directed AS (
+  SELECT src, dst FROM withw WHERE weight_ms > 0
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM withw WHERE weight_ms > 0 AND oneway <> 'yes'
+)
+SELECT
+  (SELECT count(DISTINCT x) FROM (SELECT src AS x FROM directed UNION ALL SELECT dst FROM directed)) AS n_nodes,
+  count(*) AS n_edges
+FROM directed
+"""
 
 
 @register("route_tile_build", oracle=TILE_BUILD_ORACLE, headline=True,
