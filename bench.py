@@ -47,6 +47,12 @@ def main() -> None:
             # cost exceeds the avoided tiny shuffle); every genuinely small
             # dimension still broadcasts under 10 MB
             "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+            # local-mode leaf scans default to core-count (32) splits, which
+            # turns every small-file read into 32 near-empty tasks; match the
+            # scan floor to the shuffle width (measured ~-1 s across the set).
+            # On a real cluster input splits come from file sizes and this
+            # floor is irrelevant.
+            "spark.sql.files.minPartitionNum": str(shuffle),
             # lz4 setup cost per tiny shuffle block outweighs the bytes saved
             # at sf0.1 (measured ~-1s on near_dups); a real cluster keeps
             # compression on for network-bound shuffles

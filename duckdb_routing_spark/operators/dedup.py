@@ -224,27 +224,25 @@ def jaccard_from_hashes(base: DataFrame, pairs: DataFrame, broadcast: bool | Non
             (F.broadcast if broadcast else (lambda d: d))(cand_docs), "doc_id", "left_semi"
         )
     hint = F.broadcast if broadcast else (lambda d: d)
-    sets = (
+    sets = hint(
         sub.select("doc_id", F.struct("h1", "h2").alias("h"))
         .groupBy("doc_id")
         .agg(F.array_distinct(F.collect_list("h")).alias("hs"))
     )
+    # alias ONE sets plan for both endpoint lookups: identical build-side
+    # subtrees collapse into a single (Reused)Exchange, so the per-doc set
+    # aggregation runs once instead of once per join
+    s_a, s_b = sets.alias("_sa"), sets.alias("_sb")
+    inter = F.size(F.array_intersect(F.col("_sa.hs"), F.col("_sb.hs")))
     return (
-        pairs.join(hint(sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))), "doc_a")
-        .join(hint(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.size(F.array_intersect("hs_a", "hs_b")).alias("n_inter"),
-            F.size("hs_a").alias("n_a"),
-            F.size("hs_b").alias("n_b"),
-        )
+        pairs.join(s_a, F.col("doc_a") == F.col("_sa.doc_id"))
+        .join(s_b, F.col("doc_b") == F.col("_sb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
             (
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+                inter.cast("double")
+                / (F.size(F.col("_sa.hs")) + F.size(F.col("_sb.hs")) - inter).cast("double")
             ).alias("jaccard"),
         )
     )

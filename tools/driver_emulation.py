@@ -36,14 +36,19 @@ def canon_hash(pdf) -> str:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf = args[0] if args else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
     seed = 4
-    if "--seed" in sys.argv:
-        seed = int(sys.argv[sys.argv.index("--seed") + 1])
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        del argv[i : i + 2]
     only: set[str] | None = None
-    if "--only" in sys.argv:
-        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    args = [a for a in argv if not a.startswith("--")]
+    sf = args[0] if args else "/root/testdata/sf0.01"
 
     from pyspark.sql import SparkSession
 
