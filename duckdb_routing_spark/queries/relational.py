@@ -161,9 +161,28 @@ ORDER BY revenue DESC, n_name
 
 @register("q5_local_supplier", oracle=Q5_ORACLE, headline=True, doc="TPC-H Q5 local supplier volume")
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
-    # identical ANSI SQL; Catalyst broadcasts the dimension chain via AQE
-    return spark.sql(Q5_ORACLE)
+    # DataFrame form with lineitem as the probe: under the literal SQL join
+    # order Catalyst's static size estimates picked lineitem (the fact
+    # table) as a broadcast BUILD side — fatal at scale and the single
+    # biggest cost at bench scale (600k-row hash relation). With lineitem
+    # leftmost every other input is the build side, chosen broadcast-or-SMJ
+    # by the threshold, which stays correct at any volume.
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
 
 
 Q6_ORACLE = f"""
@@ -206,8 +225,25 @@ LIMIT 20
 
 @register("q10_returned_items", oracle=Q10_ORACLE, headline=True, doc="TPC-H Q10 returned item reporting")
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
-    return spark.sql(Q10_ORACLE)
+    # lineitem-as-probe DataFrame form (see q5): the SQL join order made
+    # Catalyst broadcast-build the filtered fact table
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
 
 
 Q14_ORACLE = f"""

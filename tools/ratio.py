@@ -1,0 +1,122 @@
+"""Measured Spark-vs-DuckDB ratio on the headline set, noise-resistant.
+
+Runs bench-identical Spark rounds and baseline-identical DuckDB rounds
+INTERLEAVED (S,D,S,D,...) so an outside-VM noise burst poisons one round of
+both engines rather than all runs of one engine, takes per-query best-of-N
+for each side, and prints ONE JSON line:
+
+  {"spark_total": s, "duckdb_total": s, "ratio": r,
+   "queries": {name: {"spark": s, "duckdb": s, "ratio": r}},
+   "skipped": [names without an oracle], "sf": 0.1}
+
+The ratio excludes oracle-less queries (rows-only probes) from BOTH totals.
+Usage: python tools/ratio.py   # env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS,
+                               #      SPARK_GRAFT_BENCH_RUNS (default 5)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from duckdb_routing_spark.queries import REGISTRY  # noqa: E402
+from duckdb_routing_spark.session import get_spark  # noqa: E402
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+    # Spark side: the exact bench.py session config
+    spark = get_spark(
+        app_name="ratio",
+        master=f"local[{cpus}]",
+        shuffle_partitions=shuffle,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.locality.wait": "0",
+            "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+            "spark.sql.files.minPartitionNum": str(shuffle),
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+        },
+    )
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    @F.pandas_udf("double")
+    def _noop(s):
+        import duckdb_routing_spark.routing.kernels  # noqa: F401
+
+        return s * 1.0
+
+    spark.range(cpus * 4, numPartitions=cpus).select(_noop(F.col("id").cast("double"))).count()
+    from duckdb_routing_spark.queries.routing_queries import _engine
+
+    _engine(spark)
+    spark.sql("SELECT travel_time(52.0, 13.0, 52.005, 13.005, 'auto') AS s").count()
+
+    # DuckDB side: the exact baseline_duckdb.py setup
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+    headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
+    skipped = [n for n, s in headline.items() if not s.oracle]
+    sp: dict[str, float] = {}
+    dd: dict[str, float] = {}
+    for r in range(runs):
+        for name, spec in headline.items():
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            sp[name] = min(sp.get(name, float("inf")), dt)
+        for name, spec in headline.items():
+            if not spec.oracle:
+                continue
+            t0 = time.perf_counter()
+            con.execute(spec.oracle).fetchall()
+            dd[name] = min(dd.get(name, float("inf")), time.perf_counter() - t0)
+
+    per = {
+        n: {
+            "spark": round(sp[n], 4),
+            "duckdb": round(dd[n], 4),
+            "ratio": round(sp[n] / dd[n], 2) if dd[n] > 0 else None,
+        }
+        for n in sorted(dd)
+    }
+    s_tot = sum(sp[n] for n in dd)
+    d_tot = sum(dd.values())
+    print(
+        json.dumps(
+            {
+                "spark_total": round(s_tot, 4),
+                "duckdb_total": round(d_tot, 4),
+                "ratio": round(s_tot / d_tot, 3),
+                "queries": per,
+                "skipped": skipped,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
