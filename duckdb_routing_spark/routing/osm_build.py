@@ -173,6 +173,7 @@ def build_mode_graph_df(
             F.col("highway").isin(*sorted(MAIN_ROAD_CLASSES)).alias("is_main"),
         )
         .filter(F.col("weight_ms") > 0)
+        .persist()
     )
 
     # forward edge always; reverse edge unless oneway — emitted ROW-LOCALLY
@@ -194,17 +195,27 @@ def build_mode_graph_df(
         F.col("is_main").alias("is_main"),
     )
     both = F.when(F.col("oneway") == "yes", F.array(fwd_s)).otherwise(F.array(fwd_s, rev_s))
-    # `directed` feeds four consumers (two node-flag scans + two edge-remap
-    # joins); `id_map` feeds three. Without materialization Spark re-executes
-    # the whole explode+join DAG per consumer (~4x wall-clock measured at the
-    # 3.6k-node bench). On a cluster these would be staged to parquet between
-    # jobs; in-process, persist() is the same cut point.
-    directed = seg.select(F.explode(both).alias("e")).select("e.*").persist()
+    # `seg` (persisted above) is the shared cut point: it feeds the directed
+    # explode (single consumer — streams straight into the edge remap, no
+    # materialization needed) and the node-flag aggregate below. On a
+    # cluster these would be staged to parquet between jobs; in-process,
+    # persist() is the same cut.
+    directed = seg.select(F.explode(both).alias("e")).select("e.*")
 
-    # main-road flag per node, then dense remap ordered by OSM id
+    # main-road flag per node, straight from the pre-explode segment rows:
+    # a segment's endpoints are exactly its directed edges' endpoints (the
+    # reverse edge permutes them), so one explode of (src,dst) pairs sees
+    # the same node set without scanning the 2x-larger directed stream twice
     node_flags = (
-        directed.select(F.col("src_osm").alias("osm_id"), "is_main")
-        .unionAll(directed.select(F.col("dst_osm").alias("osm_id"), "is_main"))
+        seg.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src_osm").alias("osm_id"), F.col("is_main").alias("is_main")),
+                    F.struct(F.col("dst_osm").alias("osm_id"), F.col("is_main").alias("is_main")),
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .groupBy("osm_id")
         .agg(F.max("is_main").alias("main_road"))
     )

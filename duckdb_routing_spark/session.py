@@ -52,12 +52,13 @@ def get_spark(
         # NTZ/LTZ distinction is vacuous, and the DuckDB oracle casts to
         # plain TIMESTAMP — keep both sides on TIMESTAMP
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        # STOCK 10 MB broadcast threshold. A 64 MB threshold wins at sf0.1
-        # (one more broadcast join, no shuffle) and bench.py pins it there,
-        # but the scale study (tools/scale_study.py) measured it INVERTING
-        # by derived-sf1: broadcasting a 1.5M-row orders table costs ~2x vs
-        # letting the join shuffle (q5 4.3 -> 2.2 s). Volume-dependent knobs
-        # keep their volume-independent default here.
+        # STOCK 10 MB broadcast threshold. A 64 MB threshold once won at
+        # sf0.1, but after the fact-table-probe join rewrites it loses even
+        # there (hash-building a 150k-row orders side costs more than the
+        # shuffle it avoids), and the scale study (tools/scale_study.py)
+        # measured it INVERTING harder by derived-sf1: broadcasting a
+        # 1.5M-row orders table costs ~2x vs letting the join shuffle
+        # (q5 4.3 -> 2.2 s). bench.py uses the same stock value.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
