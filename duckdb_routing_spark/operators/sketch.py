@@ -1,0 +1,111 @@
+"""Mergeable cardinality sketches: HyperLogLog over any key column.
+
+100 TB posture: exact COUNT(DISTINCT) is a full shuffle of every distinct
+key; an HLL sketch reduces map-side to 2^b (register, rank) rows, merges
+associatively across partitions / files / days (groupBy register, MAX rank),
+and answers within ~1.04/sqrt(2^b) relative error. The register TABLE is
+the operator's output contract here — registers are deterministic integers
+(md5-derived, same construction as the dedup family's Carter-Wegman hashes,
+`operators/dedup.py`), so stock DuckDB derives the byte-identical table and
+the driver-style value-hash oracle applies; the float estimate is a final
+O(2^b) fold kept separate (`hll_estimate`), accuracy-tested rather than
+hash-matched.
+
+Reference parity note: the reference engine ships no sketches — this is
+part of the LLM-data-pipeline surface (corpus cardinality: distinct URLs,
+shingles, users) the brief adds on top of SURVEY §2.
+
+Hash layout (60-bit, portable across Spark and DuckDB SQL):
+  h        = first 15 hex chars of md5(key) as a BIGINT   (60 bits)
+  register = top b bits of h          -> h >> (60 - b)
+  tail     = low (60-b) bits of h
+  rank     = leading zeros of tail within its (60-b)-bit width, + 1
+           = (60-b) + 1 - bit_length(tail);   tail == 0 -> (60-b) + 1
+bit_length via length(bin(x)) — both engines' bin() print minimal-width
+binary for positive integers.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+HASH_BITS = 60
+
+
+def hll_registers(df: DataFrame, key_col: str, b: int = 12) -> DataFrame:
+    """Per-register max rank for the distinct values of `key_col`.
+
+    Output: (register INT, max_rank INT), one row per NON-EMPTY register
+    (≤ 2^b rows). NULL keys are ignored (COUNT DISTINCT semantics). This is
+    the map-side-combinable shape: Spark's partial aggregation reduces each
+    partition to ≤2^b rows before the single tiny shuffle."""
+    if not 4 <= b <= 18:
+        raise ValueError(f"b must be in [4, 18], got {b}")
+    w = HASH_BITS - b
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast("long")
+    tail = h % F.lit(1 << w).cast("long")
+    rank = F.when(tail == 0, F.lit(w + 1)).otherwise(F.lit(w + 1) - F.length(F.bin(tail)))
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            # integer shift, NOT division: h has 60 significant bits and a
+            # double-typed divide would round past the 53-bit mantissa
+            F.shiftright(h, w).cast("int").alias("register"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy("register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables into one sketch: groupBy register, MAX rank.
+
+    Associative and commutative — partial sketches from any partitioning of
+    the data (per file, per day, per source) merge into exactly the sketch
+    of the union. This is the whole point of shipping the register table as
+    the operator output: incremental pipelines persist ≤2^b rows per slice
+    and never rescan history."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("register").agg(F.max("max_rank").alias("max_rank"))
+
+
+def hll_estimate(registers: DataFrame, b: int = 12) -> float:
+    """Standard HLL estimate (Flajolet et al. 2007) from a register table.
+
+    Collects ≤2^b (register, max_rank) rows — the sketch, not the data —
+    and folds driver-side: raw = alpha_m * m^2 / sum(2^-M_j) with empty
+    registers contributing 2^0, linear-counting correction below 2.5m.
+    Relative error ~1.04/sqrt(m)."""
+    m = 1 << b
+    rows = registers.collect()
+    n_filled = len(rows)
+    inv_sum = sum(2.0 ** -r["max_rank"] for r in rows) + (m - n_filled) * 1.0
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(b, 0.7213 / (1 + 1.079 / m))
+    raw = alpha * m * m / inv_sum
+    zeros = m - n_filled
+    if raw <= 2.5 * m and zeros > 0:
+        return m * math.log(m / zeros)
+    return raw
+
+
+def hll_registers_oracle_sql(table: str, key_col: str, b: int = 12) -> str:
+    """The byte-identical register derivation in portable DuckDB SQL."""
+    w = HASH_BITS - b
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM {table} WHERE {key_col} IS NOT NULL
+),
+rr AS (
+  SELECT CAST(hv // {1 << w} AS INTEGER) AS register,
+         CAST(CASE WHEN hv % {1 << w} = 0 THEN {w + 1}
+              ELSE {w + 1} - length(bin(hv % {1 << w})) END AS INTEGER) AS rank
+  FROM h
+)
+SELECT register, max(rank) AS max_rank FROM rr GROUP BY register
+"""

@@ -1004,3 +1004,23 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return similarity.pq_adc_topk(emb, queries, topk=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# mergeable sketches (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+from duckdb_routing_spark.operators import sketch as _sketch  # noqa: E402
+
+HLL_ORACLE = _sketch.hll_registers_oracle_sql("orders", "o_custkey", b=10) + "ORDER BY register"
+
+
+@register("sketch_hll_registers", oracle=HLL_ORACLE,
+          doc="HyperLogLog register table (b=10) over orders.o_custkey — mergeable distinct-count sketch")
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-derived HLL registers: the 2^b-row mergeable shape
+    an incremental 100 TB pipeline persists per slice instead of rescanning
+    history for COUNT(DISTINCT). Registers are exact integers, so the
+    value-hash oracle applies; the float estimate is accuracy-tested in
+    tests/test_sketch.py."""
+    return _sketch.hll_registers(table(spark, sf_dir, "orders"), "o_custkey", b=10).orderBy("register")

@@ -104,6 +104,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "stream_interval_join",
         "stream_session_window",
         "union_buckets",
+        # sketch family: register-exact oracle, pytest-covered; distinct-
+        # count shape already driver-exercised via dedup_exact_stats
+        "sketch_hll_registers",
     }
 )
 DRIVER_QUERY_CAP = 50

@@ -1,0 +1,93 @@
+"""HyperLogLog sketch: mergeability, estimate accuracy, and plan shape.
+
+Register-table value parity vs DuckDB is covered by test_oracle_parity
+(query `sketch_hll_registers`); these tests cover what the hash-oracle
+cannot: the merge algebra, the estimate's error bound, and the map-side
+partial aggregation that makes the sketch 100 TB-shaped."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_routing_spark.operators.sketch import (
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+@pytest.fixture(scope="module")
+def keys(spark):
+    # 20k rows over exactly 7,000 distinct keys, with skewed repetition
+    df = spark.range(20_000).select(
+        F.pmod(F.col("id") * 2654435761, 7_000).alias("k"),
+        F.col("id"),
+    )
+    return df.cache()
+
+
+def test_merge_of_splits_equals_whole(spark, keys):
+    whole = hll_registers(keys, "k", b=10)
+    lo = hll_registers(keys.filter(F.col("id") < 8_000), "k", b=10)
+    hi = hll_registers(keys.filter(F.col("id") >= 8_000), "k", b=10)
+    merged = hll_merge(lo, hi)
+    a = {r.register: r.max_rank for r in whole.collect()}
+    m = {r.register: r.max_rank for r in merged.collect()}
+    assert a == m
+
+
+def test_merge_idempotent_and_commutative(spark, keys):
+    s = hll_registers(keys, "k", b=8)
+    twice = hll_merge(s, s)
+    assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in s.collect()}
+    ba = hll_merge(hll_registers(keys.filter(F.col("id") % 2 == 0), "k", b=8),
+                   hll_registers(keys.filter(F.col("id") % 2 == 1), "k", b=8))
+    ab = hll_merge(hll_registers(keys.filter(F.col("id") % 2 == 1), "k", b=8),
+                   hll_registers(keys.filter(F.col("id") % 2 == 0), "k", b=8))
+    assert {tuple(r) for r in ab.collect()} == {tuple(r) for r in ba.collect()}
+
+
+def test_estimate_within_error_bound(spark, keys):
+    exact = keys.select("k").distinct().count()
+    for b in (10, 12):
+        est = hll_estimate(hll_registers(keys, "k", b=b), b=b)
+        rel = abs(est - exact) / exact
+        # 1.04/sqrt(m) standard error; allow 4 sigma
+        assert rel < 4 * 1.04 / math.sqrt(1 << b), (b, est, exact, rel)
+
+
+def test_estimate_small_range_linear_counting(spark):
+    # 50 distinct keys at b=12: deep in linear-counting territory, where the
+    # estimate should be near-exact
+    df = spark.range(500).select(F.pmod(F.col("id"), 50).alias("k"))
+    est = hll_estimate(hll_registers(df, "k", b=12), b=12)
+    assert abs(est - 50) < 2
+
+
+def test_null_keys_ignored(spark):
+    df = spark.range(100).select(
+        F.when(F.col("id") < 50, F.col("id")).alias("k")
+    )
+    only = spark.range(50).select(F.col("id").alias("k"))
+    a = {tuple(r) for r in hll_registers(df, "k", b=8).collect()}
+    b = {tuple(r) for r in hll_registers(only, "k", b=8).collect()}
+    assert a == b
+
+
+def test_partial_aggregation_in_plan(spark, keys):
+    """The groupBy(register) must partially aggregate map-side (HashAggregate
+    below the exchange), so each partition ships <=2^b rows — the property
+    that makes the sketch cheaper than exact distinct at scale."""
+    plan = hll_registers(keys, "k", b=12)._jdf.queryExecution().executedPlan().toString()
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1
+    # a partial_max aggregate must appear BELOW (after, in print order) the exchange
+    assert "partial_max" in plan[first_exchange:], plan
+
+
+def test_invalid_b_rejected(spark, keys):
+    with pytest.raises(ValueError):
+        hll_registers(keys, "k", b=3)
+    with pytest.raises(ValueError):
+        hll_registers(keys, "k", b=19)
