@@ -107,6 +107,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # sketch family: register-exact oracle, pytest-covered; distinct-
         # count shape already driver-exercised via dedup_exact_stats
         "sketch_hll_registers",
+        # bloom runtime-filter semi join: result-identical to the plain
+        # semi join (anti/semi family driver-exercised via
+        # anti_join_quiet_customers/q22); pytest-oracled
+        "bloom_semi_revenue",
     }
 )
 DRIVER_QUERY_CAP = 50

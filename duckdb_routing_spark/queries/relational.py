@@ -898,3 +898,32 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_orderkey — two shuffles over the fact table, no per-row subquery."""
     _views(spark, sf_dir, "supplier", "lineitem", "orders")
     return spark.sql(Q21_ORACLE)
+
+
+BLOOM_SEMI_ORACLE = f"""
+SELECT count(*) AS n_items, {dsum('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+@register("bloom_semi_revenue", oracle=BLOOM_SEMI_ORACLE,
+          doc="Bloom-pruned semi join: lineitem ⋉ urgent orders, result-identical to the plain semi join")
+def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter pattern (operators/bloom.py): the urgent-order key set
+    builds a distributed Bloom bitmap, the probe side is pre-filtered by a
+    vectorized bitmap UDF BEFORE the join shuffle, and the exact semi join
+    over survivors makes the result byte-identical to the oracle's IN.
+    Worth it when the build side exceeds the broadcast threshold but its
+    bitmap (n_bits/8 bytes) does not."""
+    from duckdb_routing_spark.operators.bloom import bloom_semi_join
+
+    li = table(spark, sf_dir, "lineitem")
+    urgent = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey")
+    )
+    joined = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+    return joined.agg(
+        F.count("*").alias("n_items"),
+        dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+    )
