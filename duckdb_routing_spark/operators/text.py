@@ -301,3 +301,43 @@ def bpe_ish_token_count(text: Column) -> Column:
     """Token count under the BPE-ish pre-tokenization (JVM-side regexp_count
     — no Python, no explode)."""
     return F.regexp_count(text, F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def tfidf_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-(doc, term) TF-IDF over whitespace tokens:
+    (doc_id, term, tf, df, tfidf) with the smooth-idf formula
+    tfidf = tf * (ln((N + 1) / (df + 1)) + 1).
+
+    Plan shape at 100 TB: one explode -> groupBy(doc, term) with map-side
+    partial counts (the dominant shuffle carries one row per distinct
+    (doc, term), not per token), a term-keyed groupBy for document
+    frequencies (≤ vocabulary rows), and the corpus size N broadcast as a
+    one-row crossJoin. All Catalyst — no Python in the pipeline.
+
+    Float caveat (measured): Spark's ln (JVM StrictMath) and DuckDB's libm
+    differ by 1 ulp on ~8% of inputs, so the `tfidf` column is NOT
+    hash-oracle-able; oracled queries rank by the exact integer surrogate
+    (tf DESC, df ASC, term) and the float column is reference-tested in
+    pytest instead."""
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * (F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")) + 1.0)
+            ).alias("tfidf"),
+        )
+    )

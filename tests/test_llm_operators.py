@@ -350,3 +350,38 @@ def test_cohort_retention_semantics(spark):
     assert got[("2024-01-07", 1)].n_active == 1 and got[("2024-01-07", 1)].retention == 0.5
     assert got[("2024-01-14", 0)].n_cohort == 1
     assert ("2024-01-14", 1) not in got
+
+
+def test_tfidf_matches_python_reference(spark, docs):
+    """The float tfidf column (not hash-oracle-able: Spark/DuckDB ln differ
+    by 1 ulp) against an independent pure-Python computation."""
+    import math
+    from collections import Counter
+
+    from duckdb_routing_spark.operators.text import tfidf_terms
+
+    rows = docs.select("doc_id", "text").collect()
+    n_docs = len({r.doc_id for r in rows})
+    tf = {}
+    dfreq = Counter()
+    for r in rows:
+        terms = Counter(t for t in r.text.lower().split(" ") if t)
+        for term, c in terms.items():
+            tf[(r.doc_id, term)] = c
+            dfreq[term] += 1
+    got = tfidf_terms(docs).collect()
+    assert len(got) == len(tf)
+    for g in got:
+        ref = tf[(g.doc_id, g.term)] * (math.log((n_docs + 1) / (dfreq[g.term] + 1)) + 1.0)
+        assert g.df == dfreq[g.term]
+        assert abs(g.tfidf - ref) <= 1e-12 * abs(ref), (g, ref)
+
+
+def test_tfidf_plan_partial_aggregates(spark, docs):
+    """The (doc, term) count must partially aggregate map-side so the main
+    shuffle carries distinct pairs, not raw tokens."""
+    from duckdb_routing_spark.operators.text import tfidf_terms
+
+    plan = tfidf_terms(docs)._jdf.queryExecution().executedPlan().toString()
+    first_exchange = plan.find("Exchange")
+    assert "partial_count" in plan[first_exchange:]
