@@ -34,6 +34,21 @@ from pyspark.sql import DataFrame, functions as F
 HASH_BITS = 60
 
 
+def hll_register_rank(key_col: str, b: int):
+    """(register, rank) Columns for one key — the per-row map step, shared
+    by the batch aggregate below and the streaming windowed sketch
+    (streaming/events.py)."""
+    if not 4 <= b <= 18:
+        raise ValueError(f"b must be in [4, 18], got {b}")
+    w = HASH_BITS - b
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast("long")
+    tail = h % F.lit(1 << w).cast("long")
+    rank = F.when(tail == 0, F.lit(w + 1)).otherwise(F.lit(w + 1) - F.length(F.bin(tail)))
+    # integer shift, NOT division: h has 60 significant bits and a
+    # double-typed divide would round past the 53-bit mantissa
+    return F.shiftright(h, w).cast("int").alias("register"), rank.cast("int").alias("rank")
+
+
 def hll_registers(df: DataFrame, key_col: str, b: int = 12) -> DataFrame:
     """Per-register max rank for the distinct values of `key_col`.
 
@@ -41,20 +56,10 @@ def hll_registers(df: DataFrame, key_col: str, b: int = 12) -> DataFrame:
     (≤ 2^b rows). NULL keys are ignored (COUNT DISTINCT semantics). This is
     the map-side-combinable shape: Spark's partial aggregation reduces each
     partition to ≤2^b rows before the single tiny shuffle."""
-    if not 4 <= b <= 18:
-        raise ValueError(f"b must be in [4, 18], got {b}")
-    w = HASH_BITS - b
-    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast("long")
-    tail = h % F.lit(1 << w).cast("long")
-    rank = F.when(tail == 0, F.lit(w + 1)).otherwise(F.lit(w + 1) - F.length(F.bin(tail)))
+    register, rank = hll_register_rank(key_col, b)
     return (
         df.filter(F.col(key_col).isNotNull())
-        .select(
-            # integer shift, NOT division: h has 60 significant bits and a
-            # double-typed divide would round past the 53-bit mantissa
-            F.shiftright(h, w).cast("int").alias("register"),
-            rank.cast("int").alias("rank"),
-        )
+        .select(register, rank)
         .groupBy("register")
         .agg(F.max("rank").alias("max_rank"))
     )

@@ -114,6 +114,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # TF-IDF salient terms: text family driver-exercised via
         # doc_text_features/doc_token_stats; pytest-oracled
         "doc_tfidf_terms",
+        # windowed streaming HLL: stream family driver-exercised via
+        # stream_hourly/stream_dedup_exact/stream_sessionize_stateful;
+        # pytest-oracled (drained == batch registers)
+        "stream_hll_hourly",
     }
 )
 DRIVER_QUERY_CAP = 50

@@ -222,3 +222,40 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return out
+
+
+def _hll_hourly_oracle(b: int = 8) -> str:
+    w = 60 - b
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', cast(ts as timestamp)) AS hour,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+rr AS (
+  SELECT hour, CAST(hv // {1 << w} AS INTEGER) AS register,
+         CAST(CASE WHEN hv % {1 << w} = 0 THEN {w + 1}
+              ELSE {w + 1} - length(bin(hv % {1 << w})) END AS INTEGER) AS rank
+  FROM h
+)
+SELECT hour, register, max(rank) AS max_rank
+FROM rr GROUP BY hour, register
+ORDER BY hour, register
+"""
+
+
+@register("stream_hll_hourly", oracle=_hll_hourly_oracle(),
+          doc="Structured Streaming per-hour HLL distinct-user sketch == batch registers when drained")
+def stream_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming cardinality: 2^b register rows per window no
+    matter the event volume; hours merge into days via hll_merge without
+    re-reading events. Fully drained == the batch/DuckDB register table."""
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    stream = ev.streaming_hourly_hll(ev.read_events_stream(spark, sf_dir))
+    q = ev.run_stream_to_memory(stream, name, output_mode="complete")
+    try:
+        out = spark.table(name).orderBy("hour", "register").cache()
+        out.count()
+    finally:
+        q.stop()
+    return out

@@ -224,3 +224,25 @@ def streaming_view_purchase_join(views: DataFrame, purchases: DataFrame, horizon
             (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts"))).alias("lag_us"),
         )
     )
+
+
+def streaming_hourly_hll(events: DataFrame, key_col: str = "user_id", b: int = 8) -> DataFrame:
+    """Windowed HyperLogLog registers: per-hour distinct-`key_col` sketch.
+
+    The canonical streaming use of a mergeable sketch — state per window is
+    bounded at 2^b rows regardless of event volume, late events fold in by
+    the same MAX algebra the watermark allows, and downstream consumers
+    merge hours into days (operators/sketch.hll_merge) without re-reading
+    events. Register derivation is shared with the batch operator, so a
+    fully-drained stream hash-matches the batch/DuckDB computation."""
+    from duckdb_routing_spark.operators.sketch import hll_register_rank
+
+    register, rank = hll_register_rank(key_col, b)
+    return (
+        events.filter(F.col(key_col).isNotNull())
+        .withWatermark("ts", "2 hours")
+        .select("ts", register, rank)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "register")
+        .agg(F.max("rank").alias("max_rank"))
+        .select(F.col("win.start").alias("hour"), "register", "max_rank")
+    )
