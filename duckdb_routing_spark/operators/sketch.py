@@ -114,3 +114,96 @@ rr AS (
 )
 SELECT register, max(rank) AS max_rank FROM rr GROUP BY register
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency counts / heavy hitters
+# ---------------------------------------------------------------------------
+#
+# 100 TB posture: an exact per-key frequency table over a heavy-tailed key
+# (URLs, shingles, user ids) is a full shuffle of every distinct key; a CMS
+# reduces map-side to <= depth*width cells, merges associatively across
+# partitions / files / days (groupBy cell, SUM), and answers point queries
+# with one-sided error: est >= true always, est <= true + eps*N with
+# probability 1-delta at width=e/eps, depth=ln(1/delta) (Cormode &
+# Muthukrishnan 2005). The cell TABLE is the output contract — cells are
+# deterministic integers off the same md5 double-hash idiom as
+# operators/bloom.py (Kirsch-Mitzenmacher: pos_i = h1 + i*h2), so stock
+# DuckDB derives the byte-identical table and the value-hash oracle
+# applies. The reference engine ships no sketches; this is LLM-pipeline
+# surface on top of SURVEY §2, same family as hll_registers above.
+
+
+def _cms_h1h2(key_col: str):
+    md5 = F.md5(F.col(key_col).cast("string"))
+    h1 = F.conv(F.substring(md5, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(md5, 16, 15), 16, 10).cast("long")
+    return h1, h2
+
+
+def cms_cells(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> DataFrame:
+    """Count-Min cell table of `key_col`: (row INT, col INT, cnt BIGINT),
+    one output row per NON-EMPTY cell (<= depth*width rows). NULL keys are
+    ignored. Map-side combinable: partial aggregation reduces each partition
+    to <= depth*width rows before the single tiny shuffle."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}x{width}")
+    if depth > 8:  # h1 + (depth-1)*h2 < depth * 2^60 must stay in int64
+        raise ValueError("depth too large for the 60-bit hash base")
+    h1, h2 = _cms_h1h2(key_col)
+    cell = F.posexplode(
+        F.array(*[((h1 + F.lit(i) * h2) % F.lit(width)).cast("int") for i in range(depth)])
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(cell.alias("row", "col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union cell tables into one sketch: groupBy cell, SUM. Associative and
+    commutative — the sketch of any partitioning's union is exactly the
+    merged sketch (counters are linear)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cells: DataFrame, keys: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-query estimates for `keys[key_col]`: (key, est BIGINT) with
+    est = min over the key's depth cells (absent cell -> 0). The cell table
+    is tiny (<= depth*width rows) so the join broadcasts; the keys side
+    never shuffles."""
+    h1, h2 = _cms_h1h2(key_col)
+    cell = F.posexplode(
+        F.array(*[((h1 + F.lit(i) * h2) % F.lit(width)).cast("int") for i in range(depth)])
+    )
+    probes = keys.select(F.col(key_col).alias("key"), cell.alias("row", "col"))
+    from pyspark.sql.functions import broadcast
+
+    return (
+        probes.join(broadcast(cells), ["row", "col"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def cms_cells_oracle_sql(table: str, key_col: str, depth: int = 4, width: int = 256) -> str:
+    """The byte-identical cell derivation in portable DuckDB SQL."""
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 16, 15))::BIGINT AS h2
+  FROM {table} WHERE {key_col} IS NOT NULL
+),
+cells AS (
+  SELECT CAST(i AS INTEGER) AS row, CAST((h1 + i * h2) % {width} AS INTEGER) AS col
+  FROM h, range({depth}) t(i)
+)
+SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col
+"""

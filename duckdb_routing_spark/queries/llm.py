@@ -1026,6 +1026,22 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sketch.hll_registers(table(spark, sf_dir, "orders"), "o_custkey", b=10).orderBy("register")
 
 
+CMS_ORACLE = _sketch.cms_cells_oracle_sql("orders", "o_custkey", depth=4, width=256) + "ORDER BY row, col"
+
+
+@register("sketch_cms_cells", oracle=CMS_ORACLE,
+          doc="Count-Min cell table (4x256) over orders.o_custkey — mergeable frequency sketch")
+def sketch_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Kirsch-Mitzenmacher Count-Min cells: the <=depth*width-row
+    mergeable shape an incremental pipeline persists per slice for heavy-hitter
+    frequency queries (est >= true; est <= true + eps*N w.h.p.). Cells are
+    exact integers off the shared md5 double-hash idiom (operators/bloom.py),
+    so the value-hash oracle applies; the estimate path (broadcast cell join,
+    one-sided bound) is tested in tests/test_sketch.py."""
+    return _sketch.cms_cells(table(spark, sf_dir, "orders"), "o_custkey",
+                             depth=4, width=256).orderBy("row", "col")
+
+
 TFIDF_ORACLE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents

@@ -107,6 +107,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # sketch family: register-exact oracle, pytest-covered; distinct-
         # count shape already driver-exercised via dedup_exact_stats
         "sketch_hll_registers",
+        # CMS cell table: same mergeable-sketch family as sketch_hll_registers
+        # (register-exact oracle, pytest-covered)
+        "sketch_cms_cells",
         # bloom runtime-filter semi join: result-identical to the plain
         # semi join (anti/semi family driver-exercised via
         # anti_join_quiet_customers/q22); pytest-oracled

@@ -91,3 +91,67 @@ def test_invalid_b_rejected(spark, keys):
         hll_registers(keys, "k", b=3)
     with pytest.raises(ValueError):
         hll_registers(keys, "k", b=19)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (cell-table value parity vs DuckDB is covered by
+# test_oracle_parity, query `sketch_cms_cells`; these cover the merge
+# algebra, the one-sided error guarantee, and the map-side partial agg)
+# ---------------------------------------------------------------------------
+
+from duckdb_routing_spark.operators.sketch import (  # noqa: E402
+    cms_cells,
+    cms_estimate,
+    cms_merge,
+)
+
+
+def test_cms_merge_of_splits_equals_whole(spark, keys):
+    whole = cms_cells(keys, "k", depth=4, width=128)
+    lo = cms_cells(keys.filter(F.col("id") < 8_000), "k", depth=4, width=128)
+    hi = cms_cells(keys.filter(F.col("id") >= 8_000), "k", depth=4, width=128)
+    merged = cms_merge(lo, hi)
+    a = {(r.row, r.col): r.cnt for r in whole.collect()}
+    m = {(r.row, r.col): r.cnt for r in merged.collect()}
+    assert a == m
+
+
+def test_cms_estimates_one_sided_and_bounded(spark, keys):
+    # est >= true always; est <= true + eps*N w.h.p. at width=e/eps
+    depth, width = 4, 256
+    cells = cms_cells(keys, "k", depth=depth, width=width)
+    true = keys.groupBy("k").count().withColumnRenamed("k", "key")
+    est = cms_estimate(cells, keys.select("k").distinct(), "k", depth=depth, width=width)
+    joined = est.join(true, "key").collect()
+    n_total = keys.count()
+    eps = math.e / width
+    assert all(r["est"] >= r["count"] for r in joined)
+    over = [r for r in joined if r["est"] > r["count"] + eps * n_total]
+    # delta = e^-depth ~ 1.8%; allow 5x slack on 7k point queries
+    assert len(over) <= 0.09 * len(joined), len(over)
+
+
+def test_cms_absent_key_estimates_from_zero_floor(spark, keys):
+    # a key never inserted can still collide, but min() over depth rows
+    # with the 0-floor for absent cells keeps tiny estimates tiny
+    cells = cms_cells(keys, "k", depth=4, width=256)
+    ghosts = spark.range(7_000, 7_050).select(F.col("id").alias("k"))
+    est = cms_estimate(cells, ghosts, "k", depth=4, width=256)
+    rows = est.collect()
+    assert len(rows) == 50
+    n_total = 20_000
+    assert all(0 <= r["est"] <= math.e / 256 * n_total * 5 for r in rows)
+
+
+def test_cms_partial_aggregation_in_plan(spark, keys):
+    plan = cms_cells(keys, "k", depth=4, width=256)._jdf.queryExecution().executedPlan().toString()
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1
+    assert "partial_count" in plan[first_exchange:], plan
+
+
+def test_cms_invalid_params_rejected(spark, keys):
+    with pytest.raises(ValueError):
+        cms_cells(keys, "k", depth=0)
+    with pytest.raises(ValueError):
+        cms_cells(keys, "k", depth=9)
