@@ -563,3 +563,110 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         return out
     finally:
         edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span detection (substring-level exact dedup)
+# ---------------------------------------------------------------------------
+
+def duplicated_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Maximal duplicated token spans per document: every position range
+    whose word n-grams appear more than once ANYWHERE in the corpus
+    (cross-doc or within-doc), with overlapping hits merged into maximal
+    spans. This is the substring-granularity exact dedup of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr) re-expressed for a shuffle engine: the suffix array is
+    replaced by hashed n-gram anchors, which finds exactly the duplicated
+    substrings of >= n tokens (shorter repeats are invisible — that's the
+    standard length threshold, 50 tokens in the paper).
+
+    Output: (doc_id, span_start, span_end, n_grams, n_tokens), token
+    positions 1-based inclusive. Downstream consumers either cut the spans
+    out of the text or drop docs whose dup_token fraction is high.
+
+    Scale shape: one shuffle on the gram hash (the duplicate test), one
+    shuffle on doc_id (the island merge) — both keyed, no self-join, no
+    pair space. The gram table is |tokens| rows; at 100 TB that is the same
+    cardinality every shingle pipeline above already carries."""
+    docs = spread_small_scan(docs, id_col)
+    from pyspark.sql import Window
+
+    ws = F.split(F.col(text_col), " ")
+    ln = F.size(ws)
+    # arrays_zip over n shifted slices, posexploded once: row-local, and the
+    # 0-based zip index IS the gram's start position minus one (same
+    # construction as shingles(); transform(sequence) lambdas measured ~100x
+    # slower interpreted)
+    zipped = F.arrays_zip(*[F.slice(ws, j + 1, ln - (n - 1)) for j in range(n)])
+    grams = (
+        docs.filter(ln >= n)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(zipped).alias("pos0", "g"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5(F.concat_ws(" ", *[F.col(f"g.{j}") for j in range(n)])).alias("g"),
+        )
+    )
+    dup = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("cnt") > 1)
+        .drop("cnt", "g")
+    )
+    # gaps-and-islands: two duplicated grams overlap iff their starts differ
+    # by < n; merge overlapping hits, keep touching-but-disjoint spans apart
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(wd) < n, F.lit(0)).otherwise(F.lit(1))
+    isl = dup.withColumn("island", F.sum(brk).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .withColumn("n_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .drop("island")
+    )
+
+
+def duplicated_spans_oracle_sql(table: str = "documents", n: int = 8) -> str:
+    """The identical span derivation in portable DuckDB SQL."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM {table}
+),
+pos_ AS (
+  -- scalar range() returns a LIST, so unnest() expands per-row positions
+  -- (the table-function form cannot lateral-correlate on ws)
+  SELECT doc_id, ws, unnest(range(1, len(ws) - {n} + 2)) AS pos
+  FROM toks WHERE len(ws) >= {n}
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(ws, pos, pos + {n - 1}), ' ')) AS g
+  FROM pos_
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt FROM grams
+  ) WHERE cnt > 1
+),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) < {n}
+              THEN 0 ELSE 1 END AS brk
+  FROM dup
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM brk
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {n - 1} AS span_end,
+       count(*) AS n_grams,
+       max(pos) + {n - 1} - min(pos) + 1 AS n_tokens
+FROM isl GROUP BY doc_id, island
+"""

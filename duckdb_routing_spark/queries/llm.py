@@ -235,6 +235,23 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup_stats(table(spark, sf_dir, "documents"))
 
 
+DUP_SPANS_ORACLE = dedup.duplicated_spans_oracle_sql("documents", n=8) + "ORDER BY doc_id, span_start"
+
+
+@register("dedup_dup_spans", oracle=DUP_SPANS_ORACLE,
+          doc="maximal duplicated word-8-gram spans per doc (substring-level exact dedup)")
+def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granularity exact dedup (Lee et al. 2021 ExactSubstr,
+    hashed-anchor formulation): token positions of every >=8-token text run
+    whose n-grams repeat anywhere in the corpus, merged into maximal spans.
+    Two keyed shuffles (gram hash, doc_id), no pair space. Span surgery —
+    cutting dup spans out instead of dropping whole docs — is what
+    substring dedup buys over document-level MinHash at training scale."""
+    return dedup.duplicated_spans(table(spark, sf_dir, "documents"), n=8).orderBy(
+        "doc_id", "span_start"
+    )
+
+
 LSH_ORACLE = f"""
 WITH {MINHASH_BANDS_CTE}
 SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b

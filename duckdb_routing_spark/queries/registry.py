@@ -107,6 +107,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # sketch family: register-exact oracle, pytest-covered; distinct-
         # count shape already driver-exercised via dedup_exact_stats
         "sketch_hll_registers",
+        # substring-level dup spans: dedup family driver-exercised via
+        # dedup_exact_stats/dedup_minhash_lsh/dedup_near_dups; pytest-oracled
+        "dedup_dup_spans",
         # CMS cell table: same mergeable-sketch family as sketch_hll_registers
         # (register-exact oracle, pytest-covered)
         "sketch_cms_cells",

@@ -385,3 +385,50 @@ def test_tfidf_plan_partial_aggregates(spark, docs):
     plan = tfidf_terms(docs)._jdf.queryExecution().executedPlan().toString()
     first_exchange = plan.find("Exchange")
     assert "partial_count" in plan[first_exchange:]
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span substring dedup (corpus parity vs DuckDB is covered by
+# test_oracle_parity query `dedup_dup_spans`; these pin the span semantics)
+# ---------------------------------------------------------------------------
+
+def _spans(spark, texts, n=4):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {
+        (r.doc_id, r.span_start, r.span_end): (r.n_grams, r.n_tokens)
+        for r in dedup.duplicated_spans(df, n=n).collect()
+    }
+
+
+def test_dup_spans_cross_doc_exact_location(spark):
+    # "c d e f" (positions 3-6 in doc0, 1-4 in doc1) is the only repeated 4-gram
+    out = _spans(spark, ["a b c d e f", "c d e f x y"], n=4)
+    assert out == {(0, 3, 6): (1, 4), (1, 1, 4): (1, 4)}
+
+
+def test_dup_spans_overlapping_hits_merge_to_maximal(spark):
+    # a 6-token shared run yields three overlapping 4-gram hits -> ONE span
+    out = _spans(spark, ["p q r s t u", "z p q r s t u w"], n=4)
+    assert out == {(0, 1, 6): (3, 6), (1, 2, 7): (3, 6)}
+
+
+def test_dup_spans_within_doc_repeat_detected(spark):
+    # the same 4 tokens twice in one doc: both occurrences are spans
+    out = _spans(spark, ["m n o p x x2 x3 x4 m n o p"], n=4)
+    assert out == {(0, 1, 4): (1, 4), (0, 9, 12): (1, 4)}
+
+
+def test_dup_spans_disjoint_repeats_stay_separate(spark):
+    # two separate shared runs with a unique gap stay two spans per doc
+    out = _spans(spark, ["a b c d GAP1 GAP2 e f g h", "a b c d OTHER e f g h"], n=4)
+    assert out == {
+        (0, 1, 4): (1, 4), (0, 7, 10): (1, 4),
+        (1, 1, 4): (1, 4), (1, 6, 9): (1, 4),
+    }
+
+
+def test_dup_spans_short_docs_and_unique_text_empty(spark):
+    out = _spans(spark, ["only three words", "entirely unique text here today"], n=4)
+    assert out == {}
