@@ -569,6 +569,38 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
 # duplicated-span detection (substring-level exact dedup)
 # ---------------------------------------------------------------------------
 
+def _dup_gram_starts(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, pos) of every word n-gram that occurs more than once in the
+    corpus — the shared first stage of span detection and span surgery.
+    One shuffle (on the gram hash, for the duplicate test)."""
+    from pyspark.sql import Window
+
+    docs = spread_small_scan(docs, id_col)
+    ws = F.split(F.col(text_col), " ")
+    ln = F.size(ws)
+    # arrays_zip over n shifted slices, posexploded once: row-local, and the
+    # 0-based zip index IS the gram's start position minus one (same
+    # construction as shingles(); transform(sequence) lambdas measured ~100x
+    # slower interpreted)
+    zipped = F.arrays_zip(*[F.slice(ws, j + 1, ln - (n - 1)) for j in range(n)])
+    grams = (
+        docs.filter(ln >= n)
+        .select(F.col(id_col).alias("doc_id"), F.posexplode(zipped).alias("pos0", "g"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.md5(F.concat_ws(" ", *[F.col(f"g.{j}") for j in range(n)])).alias("g"),
+        )
+    )
+    return (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("cnt") > 1)
+        .drop("cnt", "g")
+    )
+
+
 def duplicated_spans(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
 ) -> DataFrame:
@@ -590,30 +622,9 @@ def duplicated_spans(
     shuffle on doc_id (the island merge) — both keyed, no self-join, no
     pair space. The gram table is |tokens| rows; at 100 TB that is the same
     cardinality every shingle pipeline above already carries."""
-    docs = spread_small_scan(docs, id_col)
     from pyspark.sql import Window
 
-    ws = F.split(F.col(text_col), " ")
-    ln = F.size(ws)
-    # arrays_zip over n shifted slices, posexploded once: row-local, and the
-    # 0-based zip index IS the gram's start position minus one (same
-    # construction as shingles(); transform(sequence) lambdas measured ~100x
-    # slower interpreted)
-    zipped = F.arrays_zip(*[F.slice(ws, j + 1, ln - (n - 1)) for j in range(n)])
-    grams = (
-        docs.filter(ln >= n)
-        .select(F.col(id_col).alias("doc_id"), F.posexplode(zipped).alias("pos0", "g"))
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.md5(F.concat_ws(" ", *[F.col(f"g.{j}") for j in range(n)])).alias("g"),
-        )
-    )
-    dup = (
-        grams.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter(F.col("cnt") > 1)
-        .drop("cnt", "g")
-    )
+    dup = _dup_gram_starts(docs, id_col, text_col, n)
     # gaps-and-islands: two duplicated grams overlap iff their starts differ
     # by < n; merge overlapping hits, keep touching-but-disjoint spans apart
     wd = Window.partitionBy("doc_id").orderBy("pos")
@@ -669,4 +680,101 @@ SELECT doc_id, min(pos) AS span_start, max(pos) + {n - 1} AS span_end,
        count(*) AS n_grams,
        max(pos) + {n - 1} - min(pos) + 1 AS n_tokens
 FROM isl GROUP BY doc_id, island
+"""
+
+
+def cut_duplicated_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Span surgery: the corpus with every duplicated >= n-token run CUT OUT
+    of the text. Output: (doc_id, clean_text, n_tokens, n_dup_tokens) — one
+    row per input document, clean_text preserving original token order with
+    dup-span tokens removed.
+
+    This removes ALL occurrences of duplicated text (the conservative
+    variant; Lee et al.'s ExactSubstr keeps one occurrence, which needs a
+    global canonical choice per duplicate cluster — at pipeline scale the
+    repeated runs are overwhelmingly boilerplate where removing every copy
+    is the intent).
+
+    Scale shape: dup positions come from :func:`_dup_gram_starts` (one
+    gram-hash shuffle); covered token positions explode row-locally from
+    the gram starts; the cut itself is a doc_id-keyed anti join plus one
+    doc_id-keyed re-assembly groupBy. No pair space, no range join — the
+    span->token expansion is sequence(pos, pos+n-1), never a BETWEEN
+    predicate (which would plan as a nested-loop join)."""
+    docs = spread_small_scan(docs, id_col)
+    dup_tok = (
+        _dup_gram_starts(docs, id_col, text_col, n)
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    ws = F.split(F.col(text_col), " ")
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.posexplode(ws).alias("pos0", "tok")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "tok"
+    )
+    kept = toks.join(dup_tok, ["doc_id", "pos"], "left_anti")
+    assembled = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = docs.select(F.col(id_col).alias("doc_id"), F.size(ws).alias("n_tokens"))
+    return (
+        totals.join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_dup_tokens"),
+        )
+    )
+
+
+def cut_duplicated_spans_oracle_sql(table: str = "documents", n: int = 8) -> str:
+    """The identical span-surgery derivation in portable DuckDB SQL."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM {table}
+),
+pos_ AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) - {n} + 2)) AS pos
+  FROM toks WHERE len(ws) >= {n}
+),
+grams AS (
+  SELECT doc_id, pos,
+         md5(array_to_string(list_slice(ws, pos, pos + {n - 1}), ' ')) AS g
+  FROM pos_
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt FROM grams
+  ) WHERE cnt > 1
+),
+dup_tok AS (
+  SELECT DISTINCT doc_id, unnest(range(pos, pos + {n})) AS pos FROM dup
+),
+tok AS (
+  -- parallel unnests of equal length zip positionally in DuckDB
+  SELECT doc_id, unnest(ws) AS tok, unnest(range(1, len(ws) + 1)) AS pos FROM toks
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM tok t
+  ANTI JOIN dup_tok d ON t.doc_id = d.doc_id AND t.pos = d.pos
+),
+assembled AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+final AS (
+  SELECT t.doc_id,
+         coalesce(a.clean_text, '') AS clean_text,
+         len(t.ws) AS n_tokens,
+         len(t.ws) - coalesce(a.n_kept, 0) AS n_dup_tokens
+  FROM toks t LEFT JOIN assembled a ON t.doc_id = a.doc_id
+)
+SELECT * FROM final
 """

@@ -252,6 +252,20 @@ def dedup_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_CUT_ORACLE = dedup.cut_duplicated_spans_oracle_sql("documents", n=8) + "ORDER BY doc_id"
+
+
+@register("dedup_span_cut", oracle=SPAN_CUT_ORACLE,
+          doc="span surgery: corpus with duplicated word-8-gram runs cut out of the text")
+def dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The payoff stage of substring dedup: clean_text per document with
+    every duplicated >=8-token run removed (all occurrences — boilerplate
+    semantics), plus n_dup_tokens for quality filtering. Byte-exact text
+    reassembly is the oracle contract; the span->token expansion is
+    sequence(), never a BETWEEN range join."""
+    return dedup.cut_duplicated_spans(table(spark, sf_dir, "documents"), n=8).orderBy("doc_id")
+
+
 LSH_ORACLE = f"""
 WITH {MINHASH_BANDS_CTE}
 SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b

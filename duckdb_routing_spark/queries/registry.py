@@ -107,6 +107,8 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # sketch family: register-exact oracle, pytest-covered; distinct-
         # count shape already driver-exercised via dedup_exact_stats
         "sketch_hll_registers",
+        # span surgery output of the dup-span stage above; pytest-oracled
+        "dedup_span_cut",
         # substring-level dup spans: dedup family driver-exercised via
         # dedup_exact_stats/dedup_minhash_lsh/dedup_near_dups; pytest-oracled
         "dedup_dup_spans",

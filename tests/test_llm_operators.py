@@ -432,3 +432,32 @@ def test_dup_spans_disjoint_repeats_stay_separate(spark):
 def test_dup_spans_short_docs_and_unique_text_empty(spark):
     out = _spans(spark, ["only three words", "entirely unique text here today"], n=4)
     assert out == {}
+
+
+def _cut(spark, texts, n=4):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {
+        r.doc_id: (r.clean_text, r.n_tokens, r.n_dup_tokens)
+        for r in dedup.cut_duplicated_spans(df, n=n).collect()
+    }
+
+
+def test_span_cut_removes_all_occurrences_in_order(spark):
+    out = _cut(spark, ["a b c d e f", "c d e f x y"], n=4)
+    assert out == {0: ("a b", 6, 4), 1: ("x y", 6, 4)}
+
+
+def test_span_cut_untouched_docs_pass_through(spark):
+    out = _cut(spark, ["totally unique words here now", "other text entirely differs", "a b c"], n=4)
+    assert out == {
+        0: ("totally unique words here now", 5, 0),
+        1: ("other text entirely differs", 4, 0),
+        2: ("a b c", 3, 0),
+    }
+
+
+def test_span_cut_fully_duplicated_doc_empties(spark):
+    out = _cut(spark, ["p q r s", "p q r s"], n=4)
+    assert out == {0: ("", 4, 4), 1: ("", 4, 4)}
