@@ -207,3 +207,85 @@ cells AS (
 )
 SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col
 """
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram: mergeable quantiles / distribution sketch
+# ---------------------------------------------------------------------------
+#
+# 100 TB posture: exact percentiles need a global sort (or Spark's
+# percentile agg holding every distinct value); a fixed-bin histogram
+# reduces map-side to <= n_bins rows, merges linearly across slices like
+# the CMS above, and answers any quantile within one bin width. The bin
+# TABLE is the output contract — bin indices are exact integer arithmetic
+# over doubles that both engines evaluate identically (same expression,
+# same IEEE ops), so the value-hash oracle applies. Range [lo, hi) is
+# caller-supplied (a first pass or domain knowledge); values outside clamp
+# into the edge bins, so the sketch never drops rows.
+
+
+def hist_bins(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int = 128
+) -> DataFrame:
+    """Histogram cell table of `value_col`: (bin INT, cnt BIGINT), one row
+    per NON-EMPTY bin (<= n_bins rows). NULL values are ignored; out-of-range
+    values clamp into bins 0 / n_bins-1. Map-side combinable."""
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.filter(x.isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*sketches: DataFrame) -> DataFrame:
+    """Union bin tables: groupBy bin, SUM — linear, like cms_merge."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(bins: DataFrame, q: float, lo: float, hi: float, n_bins: int = 128) -> float:
+    """Quantile estimate from a bin table: the upper edge of the bin where
+    the cumulative count crosses q * total (error <= one bin width +
+    whatever mass clamped into the edge bins). Collects <= n_bins rows —
+    the sketch, not the data."""
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    rows = sorted((r["bin"], r["cnt"]) for r in bins.collect())
+    total = sum(c for _, c in rows)
+    if total == 0:
+        raise ValueError("empty sketch")
+    target = q * total
+    width = (hi - lo) / n_bins
+    acc = 0
+    for b, c in rows:
+        acc += c
+        if acc >= target:
+            return lo + (b + 1) * width
+    return hi
+
+
+def hist_bins_oracle_sql(
+    table: str, value_col: str, lo: float, hi: float, n_bins: int = 128
+) -> str:
+    """The byte-identical bin derivation in portable DuckDB SQL. The
+    clamped floor runs the same IEEE double ops in the same order, so bin
+    indices match Spark exactly."""
+    return f"""
+WITH b AS (
+  SELECT CAST(least(greatest(
+           floor((CAST({value_col} AS DOUBLE) - {float(lo)!r}) / {float(hi - lo)!r} * {float(n_bins)!r}),
+           0), {n_bins - 1}) AS INTEGER) AS bin
+  FROM {table} WHERE {value_col} IS NOT NULL
+)
+SELECT bin, count(*) AS cnt FROM b GROUP BY bin
+"""

@@ -1073,6 +1073,23 @@ def sketch_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                              depth=4, width=256).orderBy("row", "col")
 
 
+HIST_ORACLE = _sketch.hist_bins_oracle_sql("lineitem", "l_extendedprice", 0.0, 120000.0, 128) + "ORDER BY bin"
+
+
+@register("sketch_hist_bins", oracle=HIST_ORACLE,
+          doc="fixed-bin histogram (128 bins) over lineitem.l_extendedprice — mergeable quantile sketch")
+def sketch_hist_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distribution sketch: <=n_bins rows per slice instead of a
+    global sort for percentiles; any quantile answers within one bin width
+    (hist_quantile, accuracy-tested in tests/test_sketch.py). The clamped
+    floor runs identical IEEE double ops in both engines, so the bin table
+    value-hash oracle applies — same contract family as the HLL registers
+    and CMS cells above."""
+    return _sketch.hist_bins(
+        table(spark, sf_dir, "lineitem"), "l_extendedprice", 0.0, 120000.0, 128
+    ).orderBy("bin")
+
+
 TFIDF_ORACLE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents

@@ -112,6 +112,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # substring-level dup spans: dedup family driver-exercised via
         # dedup_exact_stats/dedup_minhash_lsh/dedup_near_dups; pytest-oracled
         "dedup_dup_spans",
+        # histogram bin table: same mergeable-sketch family; exact
+        # percentiles driver-exercised via percentiles_by_priority
+        "sketch_hist_bins",
         # CMS cell table: same mergeable-sketch family as sketch_hll_registers
         # (register-exact oracle, pytest-covered)
         "sketch_cms_cells",

@@ -155,3 +155,52 @@ def test_cms_invalid_params_rejected(spark, keys):
         cms_cells(keys, "k", depth=0)
     with pytest.raises(ValueError):
         cms_cells(keys, "k", depth=9)
+
+
+# ---------------------------------------------------------------------------
+# fixed-bin histogram (bin-table value parity vs DuckDB is covered by
+# test_oracle_parity, query `sketch_hist_bins`)
+# ---------------------------------------------------------------------------
+
+from duckdb_routing_spark.operators.sketch import (  # noqa: E402
+    hist_bins,
+    hist_merge,
+    hist_quantile,
+)
+
+
+def test_hist_merge_of_splits_equals_whole(spark, keys):
+    whole = hist_bins(keys, "k", 0.0, 7000.0, 64)
+    lo = hist_bins(keys.filter(F.col("id") < 8_000), "k", 0.0, 7000.0, 64)
+    hi = hist_bins(keys.filter(F.col("id") >= 8_000), "k", 0.0, 7000.0, 64)
+    a = {r.bin: r.cnt for r in whole.collect()}
+    m = {r.bin: r.cnt for r in hist_merge(lo, hi).collect()}
+    assert a == m
+
+
+def test_hist_quantile_within_bin_width(spark, keys):
+    n_bins, lo, hi = 128, 0.0, 7000.0
+    bins = hist_bins(keys, "k", lo, hi, n_bins)
+    width = (hi - lo) / n_bins
+    for q in (0.1, 0.5, 0.9):
+        est = hist_quantile(bins, q, lo, hi, n_bins)
+        exact = keys.selectExpr(f"percentile(k, {q}) p").collect()[0].p
+        assert abs(est - exact) <= width + 1e-9, (q, est, exact)
+
+
+def test_hist_out_of_range_clamps_into_edge_bins(spark):
+    df = spark.range(10).select((F.col("id") * 1000 - 2000).cast("double").alias("v"))
+    bins = {r.bin: r.cnt for r in hist_bins(df, "v", 0.0, 1000.0, 10).collect()}
+    # values: -2000,-1000 clamp to bin 0; 0..900? no: 0,1000..7000 -> >=1000 clamp to 9
+    assert sum(bins.values()) == 10
+    assert bins[0] == 3  # -2000, -1000, 0
+    assert bins[9] == 7  # 1000..7000 all clamp high
+
+
+def test_hist_invalid_params_rejected(spark, keys):
+    with pytest.raises(ValueError):
+        hist_bins(keys, "k", 5.0, 5.0, 10)
+    with pytest.raises(ValueError):
+        hist_bins(keys, "k", 0.0, 1.0, 0)
+    with pytest.raises(ValueError):
+        hist_quantile(hist_bins(keys, "k", 0.0, 7000.0, 8), 1.5, 0.0, 7000.0, 8)
