@@ -141,6 +141,16 @@ def _cms_h1h2(key_col: str):
     return h1, h2
 
 
+def cms_rowcol(key_col: str, depth: int, width: int):
+    """posexplode generator yielding the (row, col) cells for one key — the
+    per-row map step, shared by the batch aggregate below and the streaming
+    windowed sketch (streaming/events.py). Alias as ("row", "col")."""
+    h1, h2 = _cms_h1h2(key_col)
+    return F.posexplode(
+        F.array(*[((h1 + F.lit(i) * h2) % F.lit(width)).cast("int") for i in range(depth)])
+    )
+
+
 def cms_cells(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> DataFrame:
     """Count-Min cell table of `key_col`: (row INT, col INT, cnt BIGINT),
     one output row per NON-EMPTY cell (<= depth*width rows). NULL keys are
@@ -150,10 +160,7 @@ def cms_cells(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> 
         raise ValueError(f"depth/width must be >= 1, got {depth}x{width}")
     if depth > 8:  # h1 + (depth-1)*h2 < depth * 2^60 must stay in int64
         raise ValueError("depth too large for the 60-bit hash base")
-    h1, h2 = _cms_h1h2(key_col)
-    cell = F.posexplode(
-        F.array(*[((h1 + F.lit(i) * h2) % F.lit(width)).cast("int") for i in range(depth)])
-    )
+    cell = cms_rowcol(key_col, depth, width)
     return (
         df.filter(F.col(key_col).isNotNull())
         .select(cell.alias("row", "col"))

@@ -125,6 +125,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # TF-IDF salient terms: text family driver-exercised via
         # doc_text_features/doc_token_stats; pytest-oracled
         "doc_tfidf_terms",
+        # windowed streaming CMS: same bounded-state contract as the
+        # streaming HLL below; pytest-oracled (drained == batch cells)
+        "stream_cms_hourly",
         # windowed streaming HLL: stream family driver-exercised via
         # stream_hourly/stream_dedup_exact/stream_sessionize_stateful;
         # pytest-oracled (drained == batch registers)

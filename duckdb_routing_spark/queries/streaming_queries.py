@@ -244,6 +244,41 @@ ORDER BY hour, register
 """
 
 
+def _cms_hourly_oracle(depth: int = 4, width: int = 64) -> str:
+    return f"""
+WITH h AS (
+  SELECT date_trunc('hour', cast(ts as timestamp)) AS hour,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h1,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 16, 15))::BIGINT AS h2
+  FROM events WHERE user_id IS NOT NULL
+),
+cells AS (
+  SELECT hour, CAST(i AS INTEGER) AS row, CAST((h1 + i * h2) % {width} AS INTEGER) AS col
+  FROM h, range({depth}) t(i)
+)
+SELECT hour, row, col, count(*) AS cnt FROM cells GROUP BY hour, row, col
+ORDER BY hour, row, col
+"""
+
+
+@register("stream_cms_hourly", oracle=_cms_hourly_oracle(),
+          doc="Structured Streaming per-hour Count-Min frequency sketch == batch cells when drained")
+def stream_cms_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming frequencies: <=depth*width counter rows per
+    window no matter the event volume; counters are linear, so hours merge
+    into days via cms_merge without re-reading events. Fully drained == the
+    batch/DuckDB cell table."""
+    name = f"stream_cms_{uuid.uuid4().hex[:8]}"
+    stream = ev.streaming_hourly_cms(ev.read_events_stream(spark, sf_dir))
+    q = ev.run_stream_to_memory(stream, name, output_mode="complete")
+    try:
+        out = spark.table(name).orderBy("hour", "row", "col").cache()
+        out.count()
+    finally:
+        q.stop()
+    return out
+
+
 @register("stream_hll_hourly", oracle=_hll_hourly_oracle(),
           doc="Structured Streaming per-hour HLL distinct-user sketch == batch registers when drained")
 def stream_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

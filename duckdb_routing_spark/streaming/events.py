@@ -246,3 +246,27 @@ def streaming_hourly_hll(events: DataFrame, key_col: str = "user_id", b: int = 8
         .agg(F.max("rank").alias("max_rank"))
         .select(F.col("win.start").alias("hour"), "register", "max_rank")
     )
+
+
+def streaming_hourly_cms(
+    events: DataFrame, key_col: str = "user_id", depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Windowed Count-Min cells: per-hour `key_col` frequency sketch.
+
+    Same bounded-state contract as streaming_hourly_hll — state per window
+    is <= depth*width counter rows regardless of event volume, counters are
+    linear so late events within the watermark fold in by SUM, and
+    downstream consumers merge hours into days (operators/sketch.cms_merge)
+    without re-reading events. Cell derivation is shared with the batch
+    operator, so a fully-drained stream hash-matches batch/DuckDB."""
+    from duckdb_routing_spark.operators.sketch import cms_rowcol
+
+    cell = cms_rowcol(key_col, depth, width)
+    return (
+        events.filter(F.col(key_col).isNotNull())
+        .withWatermark("ts", "2 hours")
+        .select("ts", cell.alias("row", "col"))
+        .groupBy(F.window("ts", "1 hour").alias("win"), "row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("hour"), "row", "col", "cnt")
+    )
