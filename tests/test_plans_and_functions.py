@@ -303,3 +303,25 @@ def test_round4_operator_plans_are_scale_shaped(spark):
 
     p_temp = audit.formatted_plan(temperature_sample(docs))
     assert "BroadcastHashJoin" in p_temp, "per-source rate table should broadcast"
+
+
+def test_dup_span_plans_stay_keyed(spark):
+    """Substring dedup must never materialize a pair space or a range join:
+    span detection is two keyed shuffles past the spread repartition (gram
+    hash for the duplicate test, doc_id for the island merge — the final
+    groupBy(doc_id, island) must REUSE the window's doc_id partitioning),
+    and span surgery's span->token expansion must be sequence(), planned as
+    keyed hash joins only."""
+    from duckdb_routing_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+    spans = audit.formatted_plan(dedup.duplicated_spans(docs, n=8))
+    cut = audit.formatted_plan(dedup.cut_duplicated_spans(docs, n=8))
+    for name, plan in (("spans", spans), ("cut", cut)):
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name} planned a range join"
+    # exchange budget: spread + gram window + doc window; a 4th exchange
+    # means the islands groupBy stopped reusing the doc_id partitioning
+    assert spans.count("Exchange hashpartitioning") <= 3, spans
+    assert cut.count("Exchange hashpartitioning") <= 5, cut
