@@ -341,3 +341,78 @@ def tfidf_terms(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             ).alias("tfidf"),
         )
     )
+
+
+def lm_doc_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-bigram language-model score per document — the CCNet-style
+    quality signal (Wenzek et al. 2020 filter corpora by LM perplexity; the
+    distributable core is the same: score each doc under a model fit on the
+    corpus itself, low-probability docs are boilerplate/noise/outliers).
+
+    Model: add-one-smoothed bigram conditional over lowercased whitespace
+    tokens, P(w2|w1) = (C2(w1,w2) + 1) / (C1(w1) + V), fit on the corpus
+    being scored. Output per doc:
+      (doc_id, n_bigrams, sum_c2, sum_c1, avg_logprob)
+    where sum_c2 / sum_c1 are the integer corpus-count sums over the doc's
+    bigrams — the exact surrogate the hash oracle checks — and avg_logprob
+    = mean ln P(w2|w1) is the float consumers threshold on (ln differs by
+    1 ulp across engines ~8% of the time, so it is reference-tested in
+    pytest, not hash-oracled; see tfidf_terms).
+
+    Plan shape at 100 TB: bigram extraction is row-local (arrays_zip); the
+    corpus bigram table is one (w1,w2)-keyed groupBy; unigram counts are a
+    w1-keyed groupBy (≤ vocabulary rows); scoring joins the doc bigrams to
+    both count tables on their keys (the dominant shuffle carries one row
+    per doc-bigram occurrence) and folds per doc_id. All Catalyst."""
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    pairs = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(_word_kgrams(ws, 2)).alias("bg"))
+        # drop pairs touching an empty token: leading/trailing/double space
+        # in the joined bigram betrays an empty w1/w2 (tokens never contain
+        # spaces by construction)
+        .filter(
+            ~F.col("bg").contains("  ")
+            & ~F.col("bg").startswith(" ")
+            & ~F.col("bg").endswith(" ")
+        )
+    )
+    corpus_bg = pairs.groupBy("bg").agg(F.count("*").alias("c2"))
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    corpus_w1 = pairs.select(w1.alias("w1")).groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = corpus_w1.select(F.countDistinct("w1").alias("v"))
+    scored = (
+        pairs.join(corpus_bg, "bg")
+        .withColumn("w1", w1)
+        .join(corpus_w1, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("c2").alias("sum_c2"),
+        F.sum("c1").alias("sum_c1"),
+        F.avg(
+            F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")).cast("double"))
+        ).alias("avg_logprob"),
+    )
+
+
+def lm_doc_scores_oracle_sql(table: str = "documents") -> str:
+    """Integer-surrogate oracle (n_bigrams, sum_c2, sum_c1) in portable
+    DuckDB SQL — the float avg_logprob column is excluded (ln ulp)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM {table}
+),
+pos_ AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM toks WHERE len(ws) >= 2
+),
+pairs AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg, ws[i] AS w1
+  FROM pos_ WHERE ws[i] != '' AND ws[i + 1] != ''
+),
+corpus_bg AS (SELECT bg, count(*) AS c2 FROM pairs GROUP BY bg),
+corpus_w1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1)
+SELECT doc_id, count(*) AS n_bigrams, sum(c2) AS sum_c2, sum(c1) AS sum_c1
+FROM pairs JOIN corpus_bg USING (bg) JOIN corpus_w1 USING (w1)
+GROUP BY doc_id
+"""

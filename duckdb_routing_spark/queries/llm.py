@@ -1090,6 +1090,24 @@ def sketch_hist_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("bin")
 
 
+LM_SCORE_ORACLE = text.lm_doc_scores_oracle_sql("documents") + "ORDER BY doc_id"
+
+
+@register("doc_lm_score", oracle=LM_SCORE_ORACLE,
+          doc="corpus-bigram LM quality score per doc (CCNet-style perplexity filter, integer-exact oracle)")
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed corpus-bigram score per document — the perplexity
+    quality filter shape (CCNet): low-avg-logprob docs are boilerplate or
+    noise. The hash oracle checks the integer corpus-count surrogate
+    (n_bigrams, sum_c2, sum_c1); the float avg_logprob is reference-tested
+    in tests/test_llm_operators.py (ln ulp, see doc_tfidf_terms)."""
+    return (
+        text.lm_doc_scores(table(spark, sf_dir, "documents"))
+        .select("doc_id", "n_bigrams", "sum_c2", "sum_c1")
+        .orderBy("doc_id")
+    )
+
+
 TFIDF_ORACLE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents

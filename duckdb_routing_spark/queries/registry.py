@@ -122,6 +122,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # semi join (anti/semi family driver-exercised via
         # anti_join_quiet_customers/q22); pytest-oracled
         "bloom_semi_revenue",
+        # corpus-bigram LM score: text-quality family driver-exercised via
+        # doc_text_features; pytest-oracled on the integer surrogate
+        "doc_lm_score",
         # TF-IDF salient terms: text family driver-exercised via
         # doc_text_features/doc_token_stats; pytest-oracled
         "doc_tfidf_terms",

@@ -461,3 +461,28 @@ def test_span_cut_untouched_docs_pass_through(spark):
 def test_span_cut_fully_duplicated_doc_empties(spark):
     out = _cut(spark, ["p q r s", "p q r s"], n=4)
     assert out == {0: ("", 4, 4), 1: ("", 4, 4)}
+
+
+def test_lm_score_float_matches_reference(spark):
+    """avg_logprob against a plain-Python reference model on a tiny corpus
+    (the integer surrogate is hash-oracled via doc_lm_score; this pins the
+    smoothing arithmetic the oracle can't: P = (c2+1)/(c1+V))."""
+    import math
+
+    from duckdb_routing_spark.operators import text as t
+
+    corpus = ["the cat sat", "the cat ran", "dogs bark"]
+    df = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    got = {r.doc_id: r.avg_logprob for r in t.lm_doc_scores(df).collect()}
+
+    from collections import Counter
+    pairs = []
+    for i, s in enumerate(corpus):
+        ws = s.split(" ")
+        pairs += [(i, (a, b)) for a, b in zip(ws, ws[1:]) if a and b]
+    c2 = Counter(p for _, p in pairs)
+    c1 = Counter(p[0] for _, p in pairs)
+    v = len(c1)
+    for i in range(len(corpus)):
+        mine = [math.log((c2[p] + 1) / (c1[p[0]] + v)) for j, p in pairs if j == i]
+        assert got[i] == pytest.approx(sum(mine) / len(mine), rel=1e-12), i
