@@ -1057,6 +1057,29 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sketch.hll_registers(table(spark, sf_dir, "orders"), "o_custkey", b=10).orderBy("register")
 
 
+from duckdb_routing_spark.operators import layout as _layout  # noqa: E402
+
+_Z_SPECS = [("l_partkey", 0.0, 2000.0), ("l_suppkey", 0.0, 100.0)]
+ZORDER_ORACLE = _layout.zorder_key_oracle_sql(
+    "lineitem", _Z_SPECS, extra_cols="l_orderkey, l_linenumber"
+) + " ORDER BY l_orderkey, l_linenumber"
+
+
+@register("layout_zorder_key", oracle=ZORDER_ORACLE,
+          doc="Morton (Z-order) clustering key over (l_partkey, l_suppkey) — multi-column file pruning layout")
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE ZORDER primitive: bucket each column to 2^8, interleave
+    bits so every clustered file bounds min/max on BOTH columns — filters
+    on either prune files, where a lexicographic sort only serves the
+    first. Exact integer arithmetic end to end (value-hash oracle); the
+    locality payoff is measured in tests/test_llm_operators.py."""
+    return (
+        _layout.zorder_key(table(spark, sf_dir, "lineitem"), _Z_SPECS)
+        .select("l_orderkey", "l_linenumber", "zkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 CMS_ORACLE = _sketch.cms_cells_oracle_sql("orders", "o_custkey", depth=4, width=256) + "ORDER BY row, col"
 
 

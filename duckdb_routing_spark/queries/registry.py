@@ -115,6 +115,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # histogram bin table: same mergeable-sketch family; exact
         # percentiles driver-exercised via percentiles_by_priority
         "sketch_hist_bins",
+        # Z-order clustering key: layout primitive, pytest-oracled; the
+        # storage-layout family is studied in tools/scale_study.py --bucketed
+        "layout_zorder_key",
         # CMS cell table: same mergeable-sketch family as sketch_hll_registers
         # (register-exact oracle, pytest-covered)
         "sketch_cms_cells",

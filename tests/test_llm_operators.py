@@ -486,3 +486,57 @@ def test_lm_score_float_matches_reference(spark):
     for i in range(len(corpus)):
         mine = [math.log((c2[p] + 1) / (c1[p[0]] + v)) for j, p in pairs if j == i]
         assert got[i] == pytest.approx(sum(mine) / len(mine), rel=1e-12), i
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (key parity vs DuckDB is covered by test_oracle_parity,
+# query `layout_zorder_key`; these pin the round-trip and the locality win)
+# ---------------------------------------------------------------------------
+
+def test_zorder_key_round_trips_buckets(spark):
+    from duckdb_routing_spark.operators import layout
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(0, 256, 17) for b in range(0, 256, 23)], "a long, b long"
+    )
+    keyed = layout.zorder_key(df, [("a", 0.0, 256.0), ("b", 0.0, 256.0)], bits=8)
+    # de-interleave: even bits -> a bucket, odd bits -> b bucket
+    decoded = keyed.selectExpr(
+        "a", "b",
+        "aggregate(sequence(0, 7), 0L, (acc, j) -> acc | (((zkey >> (2*j)) & 1) << j)) AS da",
+        "aggregate(sequence(0, 7), 0L, (acc, j) -> acc | (((zkey >> (2*j+1)) & 1) << j)) AS db",
+    )
+    bad = decoded.filter("da != a OR db != b").count()
+    assert bad == 0
+
+
+def test_zorder_bounds_both_dims_where_lex_sort_does_not(spark):
+    """Chunk the sorted table into 16 blocks and measure each block's value
+    span per dimension: lexicographic sort leaves the second column's span
+    at ~full range, z-order bounds both — the file-pruning payoff."""
+    from pyspark.sql import Window
+
+    from duckdb_routing_spark.operators import layout
+
+    df = spark.createDataFrame(
+        [(a, b) for a in range(64) for b in range(64)], "a long, b long"
+    )
+    specs = [("a", 0.0, 64.0), ("b", 0.0, 64.0)]
+
+    def mean_b_span(keyed_df, *sort_cols):
+        w = Window.orderBy(*sort_cols)
+        blocks = keyed_df.withColumn("blk", F.ntile(16).over(w))
+        spans = blocks.groupBy("blk").agg((F.max("b") - F.min("b")).alias("span"))
+        return spans.agg(F.avg("span")).collect()[0][0]
+
+    lex = mean_b_span(df, "a", "b")
+    z = mean_b_span(layout.zorder_key(df, specs, bits=6), "zkey")
+    assert z < lex / 2, (z, lex)
+
+
+def test_zorder_overflow_guard(spark):
+    from duckdb_routing_spark.operators import layout
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(ValueError):
+        layout.zorder_key(df, [("a", 0.0, 1.0), ("b", 0.0, 1.0)], bits=32)
