@@ -597,6 +597,61 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # curation operators: deterministic split / quota sample / k-means
 # ---------------------------------------------------------------------------
 
+PIPELINE_CURATE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, n_chars, lower(text) AS lt, string_split(text, ' ') AS ws
+  FROM documents
+),
+q AS (
+  SELECT *, (CASE WHEN len(ws) BETWEEN 10 AND 2000 THEN 1.0 ELSE 0.0 END
+           + len(list_distinct(ws))::DOUBLE / len(ws)
+           + CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in'))) > 0
+                  THEN 1.0 ELSE 0.0 END) / 3.0 AS quality
+  FROM t
+),
+filtered AS (SELECT * FROM q WHERE quality > 0.5),
+keep AS (SELECT md5(lt) AS fp, min(doc_id) AS keep_id FROM filtered GROUP BY md5(lt)),
+deduped AS (
+  SELECT f.* FROM filtered f JOIN keep k ON f.doc_id = k.keep_id AND md5(f.lt) = k.fp
+),
+split AS (
+  SELECT lang, n_chars,
+         CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM (SELECT *, ('0x' || substr(md5(doc_id || ':split'), 1, 15))::BIGINT % 10000 AS b
+        FROM deduped)
+)
+SELECT split, lang, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS total_chars
+FROM split GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@register("pipeline_curate", oracle=PIPELINE_CURATE_ORACLE,
+          doc="end-to-end curation: quality gate -> exact dedup keep-first -> hash split -> corpus stats")
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed the way a pretraining-data pipeline actually
+    chains them: quality_score gate (> 0.5), exact-dedup keep-first
+    survivor, deterministic 80/10/10 hash split, then per-(split, lang)
+    corpus accounting. Every stage is the SAME operator the standalone
+    queries exercise — this row proves they compose under one plan: the
+    gate is a row-local filter applied at the scan, dedup shuffles only on
+    the fingerprint key (groupBy + survivor join), the split adds zero
+    shuffles, and the final rollup is a partial-agg groupBy."""
+    from duckdb_routing_spark.operators import sampling
+
+    docs = table(spark, sf_dir, "documents")
+    gated = docs.withColumn("quality", text.quality_score(F.col("text"))).filter(
+        F.col("quality") > 0.5
+    )
+    deduped = dedup.exact_dedup_keep_first(gated)
+    split = sampling.hash_split(deduped)
+    return (
+        split.groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("split", "lang")
+    )
+
+
 HASH_SPLIT_ORACLE = """
 SELECT split, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS total_chars
 FROM (

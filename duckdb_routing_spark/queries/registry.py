@@ -79,6 +79,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "doc_repetition",
         "doc_stats",
         "q7_nation_volume",
+        # plain per-segment agg + count-distinct: aggregate family covered
+        # by q1/grouping_sets/dedup_exact_stats; hidden to give the
+        # composed pipeline_curate flagship a driver row
+        "segment_stats",
         "route_snap",
         "window_running_total",
         "q11_important_stock",
