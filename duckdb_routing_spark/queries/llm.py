@@ -597,6 +597,36 @@ def dedup_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # curation operators: deterministic split / quota sample / k-means
 # ---------------------------------------------------------------------------
 
+from duckdb_routing_spark.operators import search as _search  # noqa: E402
+
+_SEARCH_TERMS = ["hash", "join", "scan"]
+CONJ_SEARCH_ORACLE = _search.conjunctive_search_oracle_sql(_SEARCH_TERMS) + "ORDER BY doc_id"
+BM25_COMP_ORACLE = _search.bm25_components_oracle_sql(_SEARCH_TERMS) + "ORDER BY doc_id, term"
+
+
+@register("search_conjunctive", oracle=CONJ_SEARCH_ORACLE,
+          doc="conjunctive (AND) term search via inverted postings — docs containing all 3 query terms")
+def search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval over the postings table: the query-term filter broadcasts,
+    the shuffle carries only the query terms' postings, and the AND is a
+    doc-keyed distinct-count fold — never a corpus scan past the postings
+    build."""
+    return _search.conjunctive_search(
+        table(spark, sf_dir, "documents"), _SEARCH_TERMS
+    ).orderBy("doc_id")
+
+
+@register("search_bm25_components", oracle=BM25_COMP_ORACLE,
+          doc="exact-integer BM25 inputs (tf, df, dl) for the fixed query — hash-oracle-able surface")
+def search_bm25_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The integer surface under BM25 ranking (float scores use ln, which
+    differs 1 ulp across engines — the ranking itself is reference-tested
+    in tests/test_llm_operators.py, same policy as doc_tfidf_terms)."""
+    return _search.bm25_components(
+        table(spark, sf_dir, "documents"), _SEARCH_TERMS
+    ).orderBy("doc_id", "term")
+
+
 PIPELINE_CURATE_ORACLE = """
 WITH t AS (
   SELECT doc_id, lang, n_chars, lower(text) AS lt, string_split(text, ' ') AS ws

@@ -122,6 +122,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # Z-order clustering key: layout primitive, pytest-oracled; the
         # storage-layout family is studied in tools/scale_study.py --bucketed
         "layout_zorder_key",
+        # retrieval family: pytest-oracled (search shape is term-keyed
+        # postings + doc-keyed folds; text family driver-exercised)
+        "search_conjunctive",
+        "search_bm25_components",
         # CMS cell table: same mergeable-sketch family as sketch_hll_registers
         # (register-exact oracle, pytest-covered)
         "sketch_cms_cells",

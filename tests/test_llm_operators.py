@@ -540,3 +540,57 @@ def test_zorder_overflow_guard(spark):
     df = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError):
         layout.zorder_key(df, [("a", 0.0, 1.0), ("b", 0.0, 1.0)], bits=32)
+
+
+# ---------------------------------------------------------------------------
+# search / retrieval (component parity vs DuckDB via test_oracle_parity,
+# queries `search_conjunctive` / `search_bm25_components`)
+# ---------------------------------------------------------------------------
+
+def test_bm25_ranking_matches_reference(spark):
+    """Float BM25 against a plain-Python reference on a tiny corpus (the
+    integer components are hash-oracled; this pins the scoring formula)."""
+    import math
+
+    from duckdb_routing_spark.operators import search
+
+    corpus = [
+        "spark shuffles the hash join build side",
+        "hash hash hash everywhere",
+        "a sort merge join avoids the hash table",
+        "nothing relevant here at all",
+        "the hash join beats the loop join on big tables",
+    ]
+    df = spark.createDataFrame(list(enumerate(corpus)), "doc_id long, text string")
+    terms, k1, b = ["hash", "join"], 1.2, 0.75
+    got = [(r.doc_id, r.score) for r in search.bm25_topk(df, terms, k=5, k1=k1, b=b).collect()]
+
+    toks = [c.lower().split() for c in corpus]
+    n, avgdl = len(corpus), sum(len(t) for t in toks) / len(corpus)
+    dfreq = {t: sum(1 for ws in toks if t in ws) for t in terms}
+    scores = {}
+    for i, ws in enumerate(toks):
+        sc = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            sc += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ws) / avgdl))
+        if sc > 0:
+            scores[i] = sc
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (d1, s1), (d2, s2) in zip(got, want):
+        assert s1 == pytest.approx(s2, rel=1e-12), (d1, d2)
+
+
+def test_conjunctive_search_requires_every_term(spark):
+    from duckdb_routing_spark.operators import search
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta"), (2, "beta gamma alpha alpha")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.total_tf for r in search.conjunctive_search(df, ["Alpha", "gamma"]).collect()}
+    assert got == {0: 2, 2: 3}
