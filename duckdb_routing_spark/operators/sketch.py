@@ -296,3 +296,35 @@ WITH b AS (
 )
 SELECT bin, count(*) AS cnt FROM b GROUP BY bin
 """
+
+
+def cms_frequency_filter(
+    facts: DataFrame,
+    fact_key: str,
+    probes: DataFrame,
+    probe_key: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 4096,
+) -> DataFrame:
+    """Result-identical frequency threshold via a CMS prefilter — the
+    frequency analog of operators/bloom.py's runtime join filter.
+
+    Returns the probe rows whose key occurs >= min_count times in `facts`,
+    EXACTLY. The CMS's one-sided guarantee (est >= true) makes the sketch a
+    safe prefilter: candidates = probes whose estimate clears the bar (a
+    superset of the truth, never a miss), then one exact keyed count over
+    the candidate-semi-joined facts trims the false positives. At 100 TB
+    the first pass is sketch-sized (<= depth*width rows broadcast), and the
+    exact groupBy only ever shuffles facts belonging to candidate keys."""
+    cells = cms_cells(facts, fact_key, depth, width)
+    est = cms_estimate(cells, probes.select(probe_key).distinct(), probe_key, depth, width)
+    cand = est.filter(F.col("est") >= min_count).select(F.col("key").alias(probe_key))
+    exact = (
+        facts.join(F.broadcast(cand.withColumnRenamed(probe_key, fact_key)), fact_key, "left_semi")
+        .groupBy(fact_key)
+        .agg(F.count(F.lit(1)).alias("n_facts"))
+        .filter(F.col("n_facts") >= min_count)
+        .withColumnRenamed(fact_key, probe_key)
+    )
+    return probes.join(exact, probe_key)

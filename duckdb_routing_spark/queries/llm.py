@@ -1181,6 +1181,30 @@ def sketch_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                              depth=4, width=256).orderBy("row", "col")
 
 
+CMS_FILTER_ORACLE = """
+SELECT c_custkey, c_name, n_orders FROM customer JOIN (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+) ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+@register("cms_frequent_customers", oracle=CMS_FILTER_ORACLE,
+          doc="CMS frequency prefilter + exact verify == plain HAVING count >= 15 (result-identical)")
+def cms_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-as-prefilter with byte-identical results: the CMS's one-sided
+    bound (est >= true) means the candidate set can never miss a truly
+    frequent key, and the exact count over candidate-semi-joined facts
+    trims false positives — so the oracle is the PLAIN groupBy-HAVING
+    query. The frequency twin of bloom_semi_revenue."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = _sketch.cms_frequency_filter(orders, "o_custkey", cust, "c_custkey", min_count=15)
+    return out.select(
+        "c_custkey", "c_name", F.col("n_facts").alias("n_orders")
+    ).orderBy("c_custkey")
+
+
 HIST_ORACLE = _sketch.hist_bins_oracle_sql("lineitem", "l_extendedprice", 0.0, 120000.0, 128) + "ORDER BY bin"
 
 

@@ -126,6 +126,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # postings + doc-keyed folds; text family driver-exercised)
         "search_conjunctive",
         "search_bm25_components",
+        # CMS frequency prefilter: result-identical to plain HAVING (the
+        # bloom_semi_revenue pattern); pytest-oracled
+        "cms_frequent_customers",
         # CMS cell table: same mergeable-sketch family as sketch_hll_registers
         # (register-exact oracle, pytest-covered)
         "sketch_cms_cells",

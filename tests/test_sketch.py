@@ -204,3 +204,26 @@ def test_hist_invalid_params_rejected(spark, keys):
         hist_bins(keys, "k", 0.0, 1.0, 0)
     with pytest.raises(ValueError):
         hist_quantile(hist_bins(keys, "k", 0.0, 7000.0, 8), 1.5, 0.0, 7000.0, 8)
+
+
+def test_cms_frequency_filter_result_identical_and_no_misses(spark, keys):
+    from duckdb_routing_spark.operators.sketch import cms_frequency_filter
+
+    probes = keys.select("k").distinct().withColumnRenamed("k", "pk")
+    got = {
+        (r.pk, r.n_facts)
+        for r in cms_frequency_filter(keys, "k", probes, "pk", min_count=5, width=512).collect()
+    }
+    want = {
+        (r.k, r.cnt)
+        for r in keys.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5).collect()
+    }
+    assert got == want
+    # tiny sketch (heavy collisions) still NEVER misses — only the exact
+    # verify pass has to work harder
+    got_tiny = {
+        r.pk for r in cms_frequency_filter(keys, "k", probes, "pk", min_count=5,
+                                           depth=2, width=32).collect()
+    }
+    assert got_tiny == {k for k, _ in want}
