@@ -184,7 +184,26 @@ def bands_from_hashes(base: DataFrame, n_hashes: int = 12, band_size: int = 3) -
 
 
 def jaccard_from_hashes(base: DataFrame, pairs: DataFrame, broadcast: bool | None = None) -> DataFrame:
-    """Exact Jaccard over the hashed shingle base for given candidate pairs.
+    """Exact Jaccard over the hashed shingle base for given candidate pairs:
+    the integer set sizes from :func:`pair_intersection_sizes`, folded to
+    n_inter / (n_a + n_b - n_inter)."""
+    s = pair_intersection_sizes(base, pairs, broadcast)
+    return s.select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+def pair_intersection_sizes(
+    base: DataFrame, pairs: DataFrame, broadcast: bool | None = None
+) -> DataFrame:
+    """Exact (n_inter, n_a, n_b) shingle-set sizes for candidate pairs —
+    the shared integer surface under Jaccard (symmetric) and containment
+    (asymmetric, n_inter / min-side: quote and subset detection).
 
     Plan shape: LSH leaves the candidate set orders of magnitude smaller
     than the corpus, so the pair list and its doc-id set are BROADCAST and
@@ -240,10 +259,9 @@ def jaccard_from_hashes(base: DataFrame, pairs: DataFrame, broadcast: bool | Non
         .select(
             "doc_a",
             "doc_b",
-            (
-                inter.cast("double")
-                / (F.size(F.col("_sa.hs")) + F.size(F.col("_sb.hs")) - inter).cast("double")
-            ).alias("jaccard"),
+            inter.cast("long").alias("n_inter"),
+            F.size(F.col("_sa.hs")).cast("long").alias("n_a"),
+            F.size(F.col("_sb.hs")).cast("long").alias("n_b"),
         )
     )
 
@@ -302,6 +320,23 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_candidates_from_hashes(
+    base: DataFrame, n_hashes: int = 12, band_size: int = 3
+) -> DataFrame:
+    """(doc_a < doc_b) LSH candidate pairs from a pre-hashed shingle base —
+    banded equi-self-join on (band, band_sig); the pair space only
+    materializes inside shared-band buckets."""
+    bands = bands_from_hashes(base, n_hashes, band_size)
+    a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
+    b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -325,16 +360,7 @@ def near_dup_pairs(
     (~6x wall-clock at sf0.1; at cluster scale these would be written to a
     staging table between stages)."""
     base = shingle_hash_base(docs, id_col, text_col, k, distinct=False).persist()
-    bands = bands_from_hashes(base, n_hashes, band_size)
-    a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
-    b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
-    cands = (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .persist()
-    )
+    cands = lsh_candidates_from_hashes(base, n_hashes, band_size).persist()
     # broadcast-vs-shuffle for the Jaccard stage is auto-decided inside
     # jaccard_from_hashes by measuring the candidate slice itself
     return jaccard_from_hashes(base, cands).filter(F.col("jaccard") >= threshold)

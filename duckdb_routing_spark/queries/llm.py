@@ -303,6 +303,43 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
 
 
+CONTAINMENT_ORACLE = f"""
+WITH {MINHASH_BANDS_CTE},
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+SELECT i.doc_a, i.doc_b, i.n_inter, sa.n AS n_a, sb.n AS n_b
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE 10 * i.n_inter >= 8 * least(sa.n, sb.n)
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_containment_pairs", oracle=CONTAINMENT_ORACLE,
+          doc="asymmetric containment >= 0.8 (n_inter vs min side) over LSH candidates — quote/subset detection")
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment catches what Jaccard misses: a short doc fully quoted
+    inside a long one has tiny Jaccard but containment ~1. Shares the
+    hashed-shingle base and integer set-size surface with the near-dup
+    pipeline (pair_intersection_sizes); the 0.8 threshold is the INTEGER
+    predicate 10*n_inter >= 8*min(n_a, n_b), so every output column is
+    hash-exact."""
+    docs = table(spark, sf_dir, "documents")
+    base = dedup.shingle_hash_base(docs, distinct=False).persist()
+    cands = dedup.lsh_candidates_from_hashes(base)
+    sizes = dedup.pair_intersection_sizes(base, cands)
+    return (
+        sizes.filter(10 * F.col("n_inter") >= 8 * F.least(F.col("n_a"), F.col("n_b")))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 _NIBBLE_SUMS = ",\n       ".join(
     f"sum(CASE WHEN strpos('0123456789abcdef', substring(h, {i + 1}, 1)) - 1 >= 8 THEN 1 ELSE -1 END) AS s{i}"
     for i in range(16)

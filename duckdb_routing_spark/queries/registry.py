@@ -113,6 +113,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "sketch_hll_registers",
         # span surgery output of the dup-span stage above; pytest-oracled
         "dedup_span_cut",
+        # asymmetric containment over the shared shingle base; dedup family
+        # driver-exercised via dedup_near_dups; pytest-oracled
+        "dedup_containment_pairs",
         # substring-level dup spans: dedup family driver-exercised via
         # dedup_exact_stats/dedup_minhash_lsh/dedup_near_dups; pytest-oracled
         "dedup_dup_spans",
