@@ -65,6 +65,7 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_label_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, vec_id, cosine, rank).
 
@@ -82,10 +83,18 @@ def cosine_topk(
     _dot_seq and DuckDB's list_dot_product), and cosine divides by
     (qnorm * cnorm) in that order. Rank ties break by vec_id, so the result
     is total-ordered and hash-stable; a per-batch top-k by the same order is
-    always a superset of the batch's contribution to the global top-k."""
-    qpdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).toPandas()
+    always a superset of the batch's contribution to the global top-k.
+
+    `exclude_label_col`: restrict neighbors to rows whose label DIFFERS
+    from the query's — the hard-negative mining shape for contrastive
+    training (nearest vectors that are NOT the query's class)."""
+    qcols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")]
+    if exclude_label_col:
+        qcols.append(F.col(exclude_label_col).alias("qlabel"))
+    qpdf = queries.select(*qcols).toPandas()
     nq = len(qpdf)
     qids = qpdf["query_id"].to_numpy()
+    qlabels = qpdf["qlabel"].to_numpy() if exclude_label_col else None
     if nq:
         qmat = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]])
         qn = np.zeros(nq, dtype=np.float64)
@@ -98,6 +107,7 @@ def cosine_topk(
             if not nq or not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy()
+            clabels = pdf["clabel"].to_numpy() if exclude_label_col else None
             cmat = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64, copy=False)
             cn = np.zeros(len(ids), dtype=np.float64)
             dots = np.zeros((nq, len(ids)), dtype=np.float64)
@@ -108,7 +118,10 @@ def cosine_topk(
             cos = dots / (qn[:, None] * np.sqrt(cn)[None, :])
             out_q, out_v, out_c = [], [], []
             for qi in range(nq):
-                sel = np.flatnonzero(ids != qids[qi])
+                keep = ids != qids[qi]
+                if clabels is not None:
+                    keep &= clabels != qlabels[qi]
+                sel = np.flatnonzero(keep)
                 order = np.lexsort((ids[sel], -cos[qi, sel]))[:k]
                 pick = sel[order]
                 out_q.append(np.full(len(pick), qids[qi]))
@@ -127,9 +140,12 @@ def cosine_topk(
     # int32 id columns at Arrow conversion time)
     q_id_t = queries.schema[id_col].dataType.simpleString()
     c_id_t = corpus.schema[id_col].dataType.simpleString()
-    scored = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
-    ).mapInPandas(score_batches, f"query_id {q_id_t}, vec_id {c_id_t}, cosine double")
+    ccols = [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")]
+    if exclude_label_col:
+        ccols.append(F.col(exclude_label_col).alias("clabel"))
+    scored = corpus.select(*ccols).mapInPandas(
+        score_batches, f"query_id {q_id_t}, vec_id {c_id_t}, cosine double"
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -392,6 +392,37 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
 
 
+HARD_NEG_ORACLE = """
+WITH c AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM c WHERE vec_id < 3),
+scored AS (
+  SELECT query_id, vec_id,
+         list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cosine
+  FROM c CROSS JOIN q
+  WHERE vec_id != query_id AND label != qlabel
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register("emb_hard_negatives", oracle=HARD_NEG_ORACLE,
+          doc="hard-negative mining: top-10 cosine neighbors with a DIFFERENT label per query vec")
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contrastive-training sampling shape: nearest vectors that are
+    NOT the query's class — high-similarity negatives are the informative
+    ones. Same single-corpus-pass map-side top-k kernel as sim_topk_cosine
+    with the label exclusion vectorized inside the batch."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=10, exclude_label_col="label"
+    )
+
+
 def _plane_comp_sql(p: int, j: int) -> str:
     """DuckDB mirror of similarity._plane_component: md5-nibble - 7.5
     (strpos is 1-based, so nibble-7.5 == strpos-8.5)."""

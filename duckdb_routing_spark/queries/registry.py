@@ -102,6 +102,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "route_batch_throughput",
         "route_isochrone",
         "route_node_count",
+        # hard-negative mining: same kernel as sim_topk_cosine with label
+        # exclusion; pytest-oracled
+        "emb_hard_negatives",
         "sim_pq_codes",
         "sim_pq_topk",
         "stream_dedup_minhash",

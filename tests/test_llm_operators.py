@@ -594,3 +594,16 @@ def test_conjunctive_search_requires_every_term(spark):
     )
     got = {r.doc_id: r.total_tf for r in search.conjunctive_search(df, ["Alpha", "gamma"]).collect()}
     assert got == {0: 2, 2: 3}
+
+
+def test_hard_negatives_exclude_query_label(spark):
+    from duckdb_routing_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    out = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=10, exclude_label_col="label"
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert labels[r.vec_id] != labels[r.query_id], (r.query_id, r.vec_id)
