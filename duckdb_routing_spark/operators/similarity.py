@@ -494,3 +494,49 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
         .filter(F.col("rank") <= topk)
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def int8_quantize(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scalar quantization: (vec_id, vmin, vmax, codes)
+    with code_j = floor((x_j - vmin) * 255 / (vmax - vmin) + 0.5) — 4x
+    storage reduction against float32 with per-vector range adaptation,
+    the tier between raw vectors and PQ codes in an ANN serving stack.
+
+    floor(x + 0.5) instead of round(): Spark rounds HALF_UP, DuckDB rounds
+    half-to-even — floor keeps the codes byte-identical across engines.
+    Degenerate constant vectors (vmax == vmin) encode as all-zero codes.
+    Row-local Catalyst expressions; dequantize(j) = vmin + code_j *
+    (vmax - vmin) / 255 reconstructs within half a step per component."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vmin, vmax = F.array_min(v), F.array_max(v)
+    scale = vmax - vmin
+    codes = F.transform(
+        v,
+        lambda x: F.when(scale == 0, F.lit(0)).otherwise(
+            F.floor((x - vmin) * 255.0 / scale + 0.5)
+        ).cast("int"),
+    )
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        vmin.alias("vmin"),
+        vmax.alias("vmax"),
+        codes.alias("codes"),
+    )
+
+
+def int8_quantize_oracle_sql(table: str = "embeddings") -> str:
+    """The byte-identical quantization in portable DuckDB SQL."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ve FROM {table}
+),
+mm AS (
+  SELECT vec_id, ve, list_min(ve) AS vmin, list_max(ve) AS vmax FROM v
+)
+SELECT vec_id, vmin, vmax,
+       list_transform(ve, x -> CAST(CASE WHEN vmax = vmin THEN 0
+         ELSE floor((x - vmin) * 255.0 / (vmax - vmin) + 0.5) END AS INTEGER)) AS codes
+FROM mm
+"""

@@ -392,6 +392,29 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
 
 
+INT8_ORACLE = (
+    "SELECT vec_id, vmin, vmax, array_to_string(codes, ',') AS codes_csv FROM ("
+    + similarity.int8_quantize_oracle_sql("embeddings")
+    + ") ORDER BY vec_id"
+)
+
+
+@register("emb_int8_codes", oracle=INT8_ORACLE,
+          doc="per-vector int8 scalar quantization (4x storage tier between raw vectors and PQ)")
+def emb_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized embedding storage: per-vector range adaptation,
+    floor(x+0.5) rounding (HALF_UP vs half-even divergence between engines
+    makes round() un-oracle-able), reconstruction within half a step per
+    component (tested). Row-local Catalyst; the serving stack reads codes
+    + (vmin, vmax) instead of float32 vectors."""
+    q = similarity.int8_quantize(table(spark, sf_dir, "embeddings"))
+    # harness canonicalization sorts cell values — arrays go through as a
+    # canonical CSV string (the operator itself returns the typed array)
+    return q.select(
+        "vec_id", "vmin", "vmax", F.concat_ws(",", F.col("codes")).alias("codes_csv")
+    ).orderBy("vec_id")
+
+
 HARD_NEG_ORACLE = """
 WITH c AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM c WHERE vec_id < 3),

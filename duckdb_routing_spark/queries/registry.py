@@ -102,6 +102,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "route_batch_throughput",
         "route_isochrone",
         "route_node_count",
+        # int8 scalar quantization: storage tier beside sim_pq_codes;
+        # pytest-oracled
+        "emb_int8_codes",
         # hard-negative mining: same kernel as sim_topk_cosine with label
         # exclusion; pytest-oracled
         "emb_hard_negatives",

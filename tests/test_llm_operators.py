@@ -607,3 +607,28 @@ def test_hard_negatives_exclude_query_label(spark):
     assert len(out) > 0
     for r in out:
         assert labels[r.vec_id] != labels[r.query_id], (r.query_id, r.vec_id)
+
+
+def test_int8_quantize_reconstruction_within_half_step(spark):
+    import numpy as np
+
+    from duckdb_routing_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.limit(50).collect()}
+    out = similarity.int8_quantize(emb.limit(50)).collect()
+    assert len(out) == 50
+    for r in out:
+        x = vecs[r.vec_id]
+        step = (r.vmax - r.vmin) / 255.0 if r.vmax > r.vmin else 0.0
+        rec = r.vmin + np.array(r.codes, dtype=np.float64) * step
+        assert np.abs(rec - x).max() <= 0.5 * step + 1e-12
+        assert min(r.codes) >= 0 and max(r.codes) <= 255
+
+
+def test_int8_quantize_constant_vector_all_zero_codes(spark):
+    from duckdb_routing_spark.operators import similarity
+
+    df = spark.createDataFrame([(0, [2.5, 2.5, 2.5])], "vec_id long, embedding array<double>")
+    r = similarity.int8_quantize(df).collect()[0]
+    assert r.codes == [0, 0, 0] and r.vmin == r.vmax == 2.5
