@@ -325,3 +325,24 @@ def test_dup_span_plans_stay_keyed(spark):
     # means the islands groupBy stopped reusing the doc_id partitioning
     assert spans.count("Exchange hashpartitioning") <= 3, spans
     assert cut.count("Exchange hashpartitioning") <= 5, cut
+
+
+def test_no_cartesian_product_across_entire_registry(spark):
+    """Sweep every BATCH registry query's physical plan at sf0.001: a
+    CartesianProduct anywhere means an unkeyed pair space that would
+    detonate at scale. (BroadcastNestedLoopJoin is allowed — every use in
+    the registry is a one-row scalar or bounded seed table crossJoin;
+    streaming queries execute streams and routing queries build graphs, so
+    both audit their plans in their own suites.)"""
+    from tests.conftest import SF_ORACLE
+
+    skipped_prefixes = ("stream_", "route_")
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if name.startswith(skipped_prefixes):
+            continue
+        df = spec.fn(spark, SF_ORACLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = plan[:400]
+    assert not offenders, list(offenders)
