@@ -62,3 +62,30 @@ def two_phase_agg(
         F.sum("_pc").alias(count_col),
         *[F.sum(f"_ps_{alias}").alias(alias) for alias in sum_cols],
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str, topk: int = 10) -> DataFrame:
+    """Diagnostic before choosing a join strategy: the top-k hottest keys
+    with exact counts and integer parts-per-million share — the number that
+    decides between a plain shuffle join, AQE skew splitting, and
+    salted_join above. (share_ppm is integer-exact: cnt * 1_000_000 / total
+    in bigint arithmetic, so the report is value-hash oracle-able.)
+
+    One keyed groupBy + a tiny global top-k — the report itself never
+    becomes the skew problem it measures."""
+    counts = df.filter(F.col(key_col).isNotNull()).groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.col(key_col).alias("key"),
+            "cnt",
+            # integer floor division on both engines (double-divide + cast
+            # would round in DuckDB but truncate in Spark)
+            F.expr("(cnt * 1000000L) div total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(topk)
+    )

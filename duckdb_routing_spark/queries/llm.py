@@ -1272,6 +1272,30 @@ def sketch_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                              depth=4, width=256).orderBy("row", "col")
 
 
+SKEW_REPORT_ORACLE = """
+WITH counts AS (
+  SELECT o_custkey AS key, count(*) AS cnt FROM orders
+  WHERE o_custkey IS NOT NULL GROUP BY o_custkey
+),
+t AS (SELECT sum(cnt) AS total FROM counts)
+SELECT key, cnt, cnt * 1000000 // total AS share_ppm
+FROM counts CROSS JOIN t
+ORDER BY cnt DESC, key LIMIT 10
+"""
+
+
+@register("skew_key_report", oracle=SKEW_REPORT_ORACLE,
+          doc="top-10 hottest join keys with exact ppm share — the pre-join skew diagnostic")
+def skew_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The number that picks a join strategy (plain shuffle vs AQE skew
+    split vs operators/skew.salted_join): exact per-key counts + integer
+    ppm share over orders.o_custkey. One keyed groupBy + broadcast total —
+    the report never becomes the skew it measures."""
+    from duckdb_routing_spark.operators import skew as _skew
+
+    return _skew.key_skew_report(table(spark, sf_dir, "orders"), "o_custkey", topk=10)
+
+
 CMS_FILTER_ORACLE = """
 SELECT c_custkey, c_name, n_orders FROM customer JOIN (
   SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey HAVING count(*) >= 15

@@ -135,6 +135,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # postings + doc-keyed folds; text family driver-exercised)
         "search_conjunctive",
         "search_bm25_components",
+        # skew diagnostic report: the skew toolkit's oracled row
+        # (salted join / two-phase agg equivalence stays in test_skew)
+        "skew_key_report",
         # CMS frequency prefilter: result-identical to plain HAVING (the
         # bloom_semi_revenue pattern); pytest-oracled
         "cms_frequent_customers",
