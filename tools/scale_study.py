@@ -55,6 +55,7 @@ QUERIES = [
     "doc_text_features",
     "dedup_minhash_lsh",
     "dedup_near_dups",
+    "dedup_dup_spans",
     "sim_topk_cosine",
     "window_topk_orders",
 ]
