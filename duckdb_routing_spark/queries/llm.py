@@ -718,6 +718,34 @@ def search_bm25_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "term")
 
 
+from duckdb_routing_spark.operators import snapshot as _snapshot  # noqa: E402
+
+_SNAP_OLD = "SELECT * FROM documents WHERE doc_id % 7 != 0"
+_SNAP_NEW = ("SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END AS text, "
+             "lang, source, n_chars FROM documents WHERE doc_id % 11 != 0")
+SNAPSHOT_DIFF_ORACLE = _snapshot.snapshot_diff_oracle_sql(
+    _SNAP_OLD, _SNAP_NEW, "doc_id", ["lang", "n_chars", "source", "text"]
+) + "ORDER BY doc_id"
+
+
+@register("snapshot_diff_docs", oracle=SNAPSHOT_DIFF_ORACLE,
+          doc="CDC snapshot diff: added/removed/changed keys between two corpus snapshots")
+def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-processing primitive: the diff IS the next run's
+    work list, sized by the delta instead of the corpus. Row-local
+    fingerprints, one keyed full-outer join; unchanged keys never leave
+    the join. (Two deterministic snapshot derivations of the documents
+    table stand in for yesterday/today.)"""
+    docs = table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 11 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" edited")))
+        .otherwise(F.col("text")),
+    )
+    return _snapshot.snapshot_diff(old, new).orderBy("doc_id")
+
+
 PIPELINE_CURATE_ORACLE = """
 WITH t AS (
   SELECT doc_id, lang, n_chars, lower(text) AS lt, string_split(text, ' ') AS ws

@@ -135,6 +135,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # postings + doc-keyed folds; text family driver-exercised)
         "search_conjunctive",
         "search_bm25_components",
+        # CDC snapshot diff: incremental-processing primitive; pytest-
+        # oracled (full-outer fingerprint join)
+        "snapshot_diff_docs",
         # skew diagnostic report: the skew toolkit's oracled row
         # (salted join / two-phase agg equivalence stays in test_skew)
         "skew_key_report",

@@ -632,3 +632,26 @@ def test_int8_quantize_constant_vector_all_zero_codes(spark):
     df = spark.createDataFrame([(0, [2.5, 2.5, 2.5])], "vec_id long, embedding array<double>")
     r = similarity.int8_quantize(df).collect()[0]
     assert r.codes == [0, 0, 0] and r.vmin == r.vmax == 2.5
+
+
+def test_snapshot_diff_semantics(spark):
+    from duckdb_routing_spark.operators import snapshot
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "doc_id long, text string, n long"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c CHANGED", 30), (4, "d", 40)], "doc_id long, text string, n long"
+    )
+    got = {r.doc_id: r.change for r in snapshot.snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # 2 unchanged -> absent
+
+
+def test_snapshot_diff_field_boundaries_and_nulls(spark):
+    from duckdb_routing_spark.operators import snapshot
+
+    # ("ab","c") vs ("a","bc") must differ; NULL vs empty string must differ
+    old = spark.createDataFrame([(1, "ab", "c"), (2, None, "x")], "doc_id long, a string, b string")
+    new = spark.createDataFrame([(1, "a", "bc"), (2, "", "x")], "doc_id long, a string, b string")
+    got = {r.doc_id: r.change for r in snapshot.snapshot_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "changed"}
