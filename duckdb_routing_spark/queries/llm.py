@@ -415,6 +415,21 @@ def emb_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+DIM_STATS_ORACLE = similarity.dim_stats_oracle_sql("embeddings") + "ORDER BY dim"
+
+
+@register("emb_dim_stats", oracle=DIM_STATS_ORACLE,
+          doc="per-dimension embedding sums (decimal-exact) — the mean/std normalization pass")
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening statistics at corpus scale: per-dim n/sum/sumsq as exact
+    BIGINT micro-unit sums (floor(x*1e6) — one IEEE multiply + identical
+    truncation in both engines), so the distributed sum is exact under ANY
+    aggregation order. The float-sum order-dependence that normally makes
+    distributed statistics un-oracle-able disappears into integer algebra
+    (double->DECIMAL casts round DIFFERENTLY across engines — measured)."""
+    return similarity.dim_stats(table(spark, sf_dir, "embeddings")).orderBy("dim")
+
+
 HARD_NEG_ORACLE = """
 WITH c AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM c WHERE vec_id < 3),

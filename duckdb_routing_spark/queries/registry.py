@@ -102,6 +102,8 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "route_batch_throughput",
         "route_isochrone",
         "route_node_count",
+        # per-dim normalization stats: decimal-exact sums; pytest-oracled
+        "emb_dim_stats",
         # int8 scalar quantization: storage tier beside sim_pq_codes;
         # pytest-oracled
         "emb_int8_codes",

@@ -655,3 +655,21 @@ def test_snapshot_diff_field_boundaries_and_nulls(spark):
     new = spark.createDataFrame([(1, "a", "bc"), (2, "", "x")], "doc_id long, a string, b string")
     got = {r.doc_id: r.change for r in snapshot.snapshot_diff(old, new).collect()}
     assert got == {1: "changed", 2: "changed"}
+
+
+def test_dim_stats_mean_std_match_numpy(spark):
+    import numpy as np
+
+    from duckdb_routing_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    mat = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    stats = {r.dim: r for r in similarity.dim_stats(emb).collect()}
+    assert len(stats) == mat.shape[1]
+    for d in (0, mat.shape[1] // 2, mat.shape[1] - 1):
+        r = stats[d]
+        mean = r.sum_x_micro / 1e6 / r.n
+        var = r.sum_x2_micro / 1e6 / r.n - mean * mean
+        # micro-unit truncation: within 1e-6 per element
+        assert mean == pytest.approx(mat[:, d].mean(), abs=1.1e-6)
+        assert var == pytest.approx(mat[:, d].var(), abs=3e-6)
