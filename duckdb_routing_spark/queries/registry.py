@@ -98,6 +98,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "q9_profit_proxy",
         "rollup_revenue",
         "events_cohorts",
+        # event transition bigrams: events family driver-exercised via
+        # events_hourly/sessionize/funnel siblings; pytest-oracled
+        "events_transitions",
         "events_funnel",
         "route_batch_throughput",
         "route_isochrone",

@@ -615,6 +615,41 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+EVENTS_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY n DESC, prev_type, next_type
+LIMIT 20
+"""
+
+
+@register("events_transitions", oracle=EVENTS_TRANSITIONS_ORACLE,
+          doc="event-sequence mining: top-20 event-type transition bigrams across user journeys")
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The markov-chain view of user journeys (what follows what): one
+    user-keyed window for the lag, one keyed groupBy for the counts, a
+    bounded top-20. Tie-break on event_id makes simultaneous events
+    deterministic, so the count table hash-matches."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "prev_type", "next_type")
+        .limit(20)
+    )
+
+
 @register("q7_nation_volume", oracle=Q7_ORACLE, doc="TPC-H Q7 cross-nation shipping volume")
 def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation")
