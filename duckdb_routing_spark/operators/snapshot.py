@@ -8,6 +8,9 @@ full-outer join; downstream stages (dedup index updates, embedding
 refresh, sketch merges) consume the diff instead of the corpus. The same
 algebra drives the streaming family's incremental indexes
 (streaming/docs.py); this is the batch form.
+
+Reference parity note: the reference engine ships no incremental
+processing — this is LLM-pipeline/scale surface on top of SURVEY §2.
 """
 
 from __future__ import annotations
