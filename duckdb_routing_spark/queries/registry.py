@@ -162,6 +162,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # TF-IDF salient terms: text family driver-exercised via
         # doc_text_features/doc_token_stats; pytest-oracled
         "doc_tfidf_terms",
+        # streaming curation: drained == pipeline_curate (its oracle row
+        # is driver-exposed); pytest-oracled
+        "stream_curate",
         # windowed streaming CMS: same bounded-state contract as the
         # streaming HLL below; pytest-oracled (drained == batch cells)
         "stream_cms_hourly",

@@ -9,9 +9,10 @@ rows-only check.
 
 from __future__ import annotations
 
+import os
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from duckdb_routing_spark.queries.registry import register
 from duckdb_routing_spark.streaming import events as ev
@@ -242,6 +243,44 @@ SELECT hour, register, max(rank) AS max_rank
 FROM rr GROUP BY hour, register
 ORDER BY hour, register
 """
+
+
+from duckdb_routing_spark.queries.llm import PIPELINE_CURATE_ORACLE  # noqa: E402
+
+
+@register("stream_curate", oracle=PIPELINE_CURATE_ORACLE,
+          doc="incremental curation stream (gate -> index dedup -> split) == batch pipeline_curate when drained")
+def stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of pipeline_curate: 4 id-ordered micro-batches, each
+    quality-gated, deduped against the accumulated fingerprint index, and
+    split — the drained per-(split, lang) accounting equals the batch
+    flagship exactly (keep-first == keep-lowest-id under the id-ordered
+    feed), so it shares pipeline_curate's DuckDB oracle verbatim."""
+    import tempfile
+
+    from duckdb_routing_spark.streaming import docs as sd
+
+    work = tempfile.mkdtemp(prefix="stream_curate_")
+    chunk_dir = sd.write_document_chunks_ordered(spark, sf_dir, os.path.join(work, "in"), chunks=4)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(chunk_dir, "chunk_*.parquet"))
+    )
+    q = sd.streaming_curate(stream, os.path.join(work, "index"), os.path.join(work, "curated"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = (
+        spark.read.parquet(os.path.join(work, "curated"))
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("split", "lang")
+        .cache()
+    )
+    out.count()
+    return out
 
 
 def _cms_hourly_oracle(depth: int = 4, width: int = 64) -> str:

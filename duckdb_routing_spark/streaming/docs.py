@@ -103,3 +103,65 @@ def streaming_minhash_candidates(
             sigs.unpersist()
 
     return stream.writeStream.outputMode("append").foreachBatch(_step).start()
+
+
+def write_document_chunks_ordered(
+    spark: SparkSession, sf_dir: str, out_dir: str, chunks: int = 4
+) -> str:
+    """Range-split the FULL documents table into doc_id-ordered chunk files
+    (chunk i holds the i-th id range), so the file stream replays documents
+    in id order — the arrival order that makes first-seen-wins incremental
+    dedup coincide with batch keep-lowest-id (the curation oracle's rule)."""
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    per = (len(pdf) + chunks - 1) // chunks
+    for b in range(chunks):
+        part = pdf.iloc[b * per : (b + 1) * per]
+        part.to_parquet(os.path.join(out_dir, f"chunk_{b}.parquet"), index=False)
+    return out_dir
+
+
+def streaming_curate(
+    stream: DataFrame, index_dir: str, curated_dir: str
+):
+    """Incremental curation (the streaming twin of the batch
+    pipeline_curate flagship): per micro-batch — quality gate, keep-first
+    exact dedup against the accumulated fingerprint index, deterministic
+    hash split — appending only NEW survivors. With an id-ordered feed the
+    drained curated table equals the batch pipeline exactly (keep-first ==
+    keep-lowest-id); out-of-order feeds keep first-seen-wins semantics.
+
+    State is the append-only fingerprint index parquet (fp per survivor),
+    never executor memory — a restart resumes from the index; at cluster
+    scale both tables are Delta/Iceberg with periodic compaction."""
+    from duckdb_routing_spark.operators import sampling, text
+
+    spark = stream.sparkSession
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        gated = batch_df.withColumn("quality", text.quality_score(F.col("text"))).filter(
+            F.col("quality") > 0.5
+        )
+        within = dedup.exact_dedup_keep_first(gated)
+        fp = F.md5(F.lower(F.col("text"))).alias("fp")
+        keyed = within.select("*", fp)
+        index_exists = os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        )
+        if index_exists:
+            seen = spark.read.parquet(index_dir)
+            keyed = keyed.join(seen, "fp", "left_anti")
+        keyed = keyed.persist()
+        try:
+            survivors = sampling.hash_split(keyed.drop("fp", "quality"))
+            survivors.write.mode("append").parquet(curated_dir)
+            keyed.select("fp").write.mode("append").parquet(index_dir)
+        finally:
+            keyed.unpersist()
+
+    return stream.writeStream.outputMode("append").foreachBatch(_step).start()
