@@ -162,3 +162,30 @@ def test_load_config_builds_missing_modes_into_existing_cache(spark, tmp_path):
     assert eng2.load_config(path, modes=("auto", "bicycle"))
     assert eng2.is_loaded("auto") and eng2.is_loaded("bicycle")
     eng.free("auto"); eng.free("bicycle"); eng2.free("auto"); eng2.free("bicycle")
+
+
+def test_osmpbf_datasource_matches_rdd_reader(spark, tmp_path):
+    """spark.read.format('osmpbf') — the Spark-4 Python DataSource packaging
+    — must produce exactly the RDD reader's rows, partitioned by blob."""
+    from duckdb_routing_spark.sources.osm_datasource import OsmPbfDataSource
+    from duckdb_routing_spark.sources.osm_pbf import read_osm_pbf
+
+    nodes = grid_nodes()
+    node_tuples = [
+        (int(r.node_id), float(r.lon), float(r.lat)) for r in nodes.itertuples(index=False)
+    ]
+    path = str(tmp_path / "grid.osm.pbf")
+    write_osm_pbf(path, node_tuples, _grid_ways(), blob_nodes=40)
+
+    spark.dataSource.register(OsmPbfDataSource)
+    w = spark.read.format("osmpbf").load(path)
+    n = spark.read.format("osmpbf").option("kind", "nodes").load(path)
+    w_old, n_old = read_osm_pbf(spark, path)
+    assert {(r.way_id, tuple(r.nodes), r.highway, r.oneway) for r in w.collect()} == {
+        (r.way_id, tuple(r.nodes), r.highway, r.oneway) for r in w_old.collect()
+    }
+    assert {tuple(r) for r in n.collect()} == {tuple(r) for r in n_old.collect()}
+    assert w.rdd.getNumPartitions() >= 2  # one task per blob bucket
+
+    with pytest.raises(Exception):
+        spark.read.format("osmpbf").option("kind", "relations").load(path).collect()
