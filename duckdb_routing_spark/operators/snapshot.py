@@ -31,7 +31,9 @@ def snapshot_diff(
 
     `content_cols` (default: every non-id column common to both sides)
     feed a row-local md5 over a null-safe concat; the join is the only
-    shuffle, keyed on the id."""
+    shuffle, keyed on the id. Assumes the id is unique within each
+    snapshot (the usual primary-key contract); duplicate ids would
+    fan out through the full-outer join."""
     if content_cols is None:
         content_cols = sorted(
             (set(old.columns) & set(new.columns)) - {id_col}
