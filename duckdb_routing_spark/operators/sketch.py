@@ -160,6 +160,8 @@ def cms_cells(df: DataFrame, key_col: str, depth: int = 4, width: int = 256) -> 
         raise ValueError(f"depth/width must be >= 1, got {depth}x{width}")
     if depth > 8:  # h1 + (depth-1)*h2 < depth * 2^60 must stay in int64
         raise ValueError("depth too large for the 60-bit hash base")
+    if width > 1 << 26:  # col is INT; also a >512 MB dense table is no sketch
+        raise ValueError(f"width {width} too large for a sketch")
     cell = cms_rowcol(key_col, depth, width)
     return (
         df.filter(F.col(key_col).isNotNull())
