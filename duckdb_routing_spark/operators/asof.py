@@ -26,13 +26,18 @@ def asof_join_backward(
     value_cols: list[str],
     seq_col: str | None = None,
     prefix: str = "asof_",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     right.on <= left.on within the same `by` group.
 
     value_cols: right-side columns to carry. seq_col: deterministic
     tie-breaker among right rows with equal `on` (required for
-    oracle-reproducible output)."""
+    oracle-reproducible output). tolerance_s: pandas-merge_asof-style
+    bound — a right row older than `tolerance_s` seconds (for timestamp
+    `on`; same-unit for numeric) yields NULLs instead of a stale carry.
+    The carried struct keeps the right row's own `on`, so the bound is a
+    row-local mask after the same single window pass — no extra shuffle."""
     order_cols = [F.col(on), F.col("_asof_tag")] + ([F.col(seq_col)] if seq_col else [])
     lhs = left.withColumn("_asof_tag", F.lit(1))
     for c in value_cols:
@@ -57,11 +62,18 @@ def asof_join_backward(
     # last(_r_c) would skip legitimately-NULL values and resurrect an older
     # non-NULL one, diverging from 'most recent right row' semantics.
     row_struct = F.when(
-        F.col("_asof_tag") == 0, F.struct(*[F.col(f"_r_{c}").alias(c) for c in value_cols])
+        F.col("_asof_tag") == 0,
+        F.struct(F.col(on).alias("_on"), *[F.col(f"_r_{c}").alias(c) for c in value_cols]),
     )
     out = out.withColumn("_asof_row", F.last(row_struct, ignorenulls=True).over(w))
+    fresh = (
+        F.lit(True)
+        if tolerance_s is None
+        else (F.col(on).cast("double") - F.col("_asof_row._on").cast("double"))
+        <= F.lit(float(tolerance_s))
+    )
     for c in value_cols:
-        out = out.withColumn(f"{prefix}{c}", F.col(f"_asof_row.{c}"))
+        out = out.withColumn(f"{prefix}{c}", F.when(fresh, F.col(f"_asof_row.{c}")))
     return out.filter(F.col("_asof_tag") == 1).drop(
         "_asof_tag", "_asof_row", *[f"_r_{c}" for c in value_cols]
     )

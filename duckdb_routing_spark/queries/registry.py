@@ -71,6 +71,9 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   union_buckets            plain UNION ALL set op
 DRIVER_HIDDEN: frozenset[str] = frozenset(
     {
+        # tolerance variant of the exposed asof_purchase_last_view;
+        # pytest-oracled
+        "asof_view_within_hour",
         "dedup_cluster_assign",
         "dedup_simhash",
         "dedup_simhash64_pairs",

@@ -782,6 +782,36 @@ def asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "value", F.col("asof_value")).orderBy("event_id")
 
 
+ASOF_TOL_ORACLE = """
+SELECT p.event_id, p.user_id, p.value,
+       (SELECT v.value FROM events v
+        WHERE v.user_id = p.user_id AND v.event_type = 'view'
+          AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_value
+FROM events p
+WHERE p.event_type = 'purchase'
+ORDER BY p.event_id
+"""
+
+
+@register("asof_view_within_hour", oracle=ASOF_TOL_ORACLE,
+          doc="as-of join with tolerance: latest prior view, but only within 1 hour")
+def asof_tol_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof-style tolerance: stale matches (prior view older than the
+    bound) yield NULL instead of a far-past carry — a row-local mask on the
+    carried struct's own timestamp, same single shuffle as the plain as-of."""
+    from duckdb_routing_spark.operators.asof import asof_join_backward
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id", "value")
+    out = asof_join_backward(
+        purchases, views, on="ts", by="user_id", value_cols=["value"],
+        seq_col="event_id", tolerance_s=3600.0,
+    )
+    return out.select("event_id", "user_id", "value", F.col("asof_value")).orderBy("event_id")
+
+
 PERCENTILE_ORACLE = """
 SELECT o_orderpriority,
        quantile_cont(o_totalprice, 0.5) AS median_price,

@@ -35,3 +35,22 @@ def test_asof_exact_ts_visible_and_seq_tiebreak(spark):
     out = asof_join_backward(left, right, on="ts", by="user_id", value_cols=["value"], seq_col="event_id")
     # exact-timestamp right rows are visible; highest seq wins the tie
     assert out.first().asof_value == 2.0
+
+
+def test_asof_tolerance_masks_stale_matches(spark):
+    from duckdb_routing_spark.operators.asof import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, "u", 100.0), (2, "u", 500.0)], "id long, k string, t double"
+    )
+    right = spark.createDataFrame(
+        [("u", 90.0, 7.0), ("u", 480.0, 9.0)], "k string, t double, v double"
+    )
+    out = {
+        r.id: r.asof_v
+        for r in asof_join_backward(
+            left, right, on="t", by="k", value_cols=["v"], tolerance_s=15.0
+        ).collect()
+    }
+    # id 1: view at 90 within 15 of 100 -> 7; id 2: latest right at 480 within 15 of 500? 20 > 15 -> NULL
+    assert out == {1: 7.0, 2: None}
