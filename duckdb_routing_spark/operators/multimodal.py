@@ -130,3 +130,73 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             yield pd.DataFrame({"media_id": ids, "frame_no": nos, "frame_bytes": chunks})
 
     return media.mapInPandas(run, schema)
+
+
+def perceptual_hash(media: DataFrame, decoder: str = "fake", grid: int = 9) -> DataFrame:
+    """64-bit dHash per media row: (media_id, phash_hi, phash_lo).
+
+    The real-image shape end to end: decode -> downsample to a grid×(grid-1)
+    grayscale patch -> horizontal gradient sign bits. decoder='fake' derives
+    the patch deterministically from the payload bytes (md5-seeded tiling of
+    the byte stream — the stub documented in extract_features); decoder='pil'
+    raises until an image library is present. Identical payloads always
+    collide; near-identical patches differ in few bits — which is what the
+    banded lookup below exploits. Arrow-batched mapInPandas; payloads never
+    visit the driver. Split into two signed 32-bit halves so the banded
+    join reuses the SimHash64 machinery (`dedup.simhash64_hamming_pairs`)."""
+    if grid * (grid - 1) != 72:
+        # 9x8 gradient grid -> 64 comparisons after dropping the seam column
+        raise ValueError("dHash layout expects grid=9")
+    if decoder not in ("fake", "pil"):
+        raise ValueError(f"unknown decoder: {decoder}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            his, los = [], []
+            for p in pdf["payload"]:
+                if decoder == "pil":
+                    raise NotImplementedError(
+                        "real image decode requires PIL (not in this image); use decoder='fake'"
+                    )
+                if p is None:
+                    his.append(None)
+                    los.append(None)
+                    continue
+                b = bytes(p)
+                # deterministic 9x8 patch: tile the payload bytes, then one
+                # md5-derived perturbation per cell so short payloads still
+                # fill the grid
+                base = np.frombuffer(hashlib.md5(b).digest(), dtype=np.uint8)
+                raw = np.frombuffer(b, dtype=np.uint8)
+                idx = np.arange(72)
+                patch = (
+                    raw[idx % max(len(raw), 1)].astype(np.int32)
+                    + base[idx % 16].astype(np.int32)
+                ).reshape(9, 8)
+                bits = (patch[1:, :] > patch[:-1, :]).flatten()  # 8x8 gradient signs
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                def _s32(x: int) -> int:  # two's-complement 32-bit view
+                    return x - (1 << 32) if x >= (1 << 31) else x
+
+                his.append(_s32((v >> 32) & 0xFFFFFFFF))
+                los.append(_s32(v & 0xFFFFFFFF))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "phash_hi": his, "phash_lo": los})
+
+    return media.mapInPandas(run, "media_id long, phash_hi long, phash_lo long")
+
+
+def perceptual_near_dup_pairs(media: DataFrame, max_hamming: int = 3, decoder: str = "fake") -> DataFrame:
+    """Image near-dup candidates: dHash signatures -> 4x16-bit banded
+    equi-join within `max_hamming` (pigeonhole-lossless, no crossJoin) —
+    the image analog of the text SimHash pipeline, sharing its banding
+    kernel. Output (doc_a, doc_b, hamming)."""
+    from duckdb_routing_spark.operators import dedup
+
+    sig = perceptual_hash(media, decoder=decoder).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("phash_hi").alias("sim_hi"),
+        F.col("phash_lo").alias("sim_lo"),
+    )
+    return dedup.simhash64_hamming_pairs(sig, max_hamming=max_hamming)

@@ -673,3 +673,45 @@ def test_dim_stats_mean_std_match_numpy(spark):
         # micro-unit truncation: within 1e-6 per element
         assert mean == pytest.approx(mat[:, d].mean(), abs=1.1e-6)
         assert var == pytest.approx(mat[:, d].var(), abs=3e-6)
+
+
+def test_perceptual_hash_dedup_finds_exact_and_near_dups(spark):
+    import numpy as np
+
+    from duckdb_routing_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over it"), (1, "the quick brown fox jumps over it"),
+         (2, "something else entirely different here"), (3, "yet another unrelated payload text")],
+        "doc_id long, text string",
+    )
+    media = multimodal.synthesize_media(docs)
+    sigs = {r.media_id: (r.phash_hi, r.phash_lo) for r in multimodal.perceptual_hash(media).collect()}
+    assert sigs[0] == sigs[1]  # identical payloads -> identical phash
+    pairs = {(r.doc_a, r.doc_b) for r in multimodal.perceptual_near_dup_pairs(media).collect()}
+    assert (0, 1) in pairs
+    # reference recompute of one signature (pins the stub's determinism)
+    import hashlib
+    b = "the quick brown fox jumps over it".encode()
+    base = np.frombuffer(hashlib.md5(b).digest(), dtype=np.uint8)
+    raw = np.frombuffer(b, dtype=np.uint8)
+    idx = np.arange(72)
+    patch = (raw[idx % len(raw)].astype(np.int32) + base[idx % 16].astype(np.int32)).reshape(9, 8)
+    v = 0
+    for bit in (patch[1:, :] > patch[:-1, :]).flatten():
+        v = (v << 1) | int(bit)
+    def _s32(x):
+        return x - (1 << 32) if x >= (1 << 31) else x
+
+    assert sigs[0] == (_s32((v >> 32) & 0xFFFFFFFF), _s32(v & 0xFFFFFFFF))
+
+
+def test_perceptual_hash_real_decoder_gated(spark):
+    import pytest as _pytest
+
+    from duckdb_routing_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(0, "x y z")], "doc_id long, text string")
+    media = multimodal.synthesize_media(docs)
+    with _pytest.raises(Exception):
+        multimodal.perceptual_hash(media, decoder="pil").collect()
