@@ -77,3 +77,28 @@ def asof_join_backward(
     return out.filter(F.col("_asof_tag") == 1).drop(
         "_asof_tag", "_asof_row", *[f"_r_{c}" for c in value_cols]
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    value_cols: list[str],
+    seq_col: str | None = None,
+    prefix: str = "asof_",
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Forward as-of: for each left row, the EARLIEST right row with
+    right.on >= left.on in the same `by` group (merge_asof
+    direction='forward'). Implemented by reflecting `on` through a
+    negated double column and reusing the backward kernel — same single
+    shuffle, same tie/tolerance semantics mirrored."""
+    neg = "_asof_neg_on"
+    lhs = left.withColumn(neg, -F.col(on).cast("double"))
+    rhs = right.withColumn(neg, -F.col(on).cast("double"))
+    out = asof_join_backward(
+        lhs, rhs, on=neg, by=by, value_cols=value_cols,
+        seq_col=seq_col, prefix=prefix, tolerance_s=tolerance_s,
+    )
+    return out.drop(neg)

@@ -54,3 +54,27 @@ def test_asof_tolerance_masks_stale_matches(spark):
     }
     # id 1: view at 90 within 15 of 100 -> 7; id 2: latest right at 480 within 15 of 500? 20 > 15 -> NULL
     assert out == {1: 7.0, 2: None}
+
+
+def test_asof_forward_attaches_next_right_row(spark):
+    from duckdb_routing_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, "u", 100.0), (2, "u", 480.0), (3, "u", 900.0)], "id long, k string, t double"
+    )
+    right = spark.createDataFrame(
+        [("u", 110.0, 7.0), ("u", 500.0, 9.0)], "k string, t double, v double"
+    )
+    out = {
+        r.id: r.asof_v
+        for r in asof_join_forward(left, right, on="t", by="k", value_cols=["v"]).collect()
+    }
+    assert out == {1: 7.0, 2: 9.0, 3: None}
+    # with tolerance: 500 - 480 = 20 > 15 -> masked
+    out_tol = {
+        r.id: r.asof_v
+        for r in asof_join_forward(
+            left, right, on="t", by="k", value_cols=["v"], tolerance_s=15.0
+        ).collect()
+    }
+    assert out_tol == {1: 7.0, 2: None, 3: None}
