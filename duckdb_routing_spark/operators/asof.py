@@ -91,14 +91,20 @@ def asof_join_forward(
 ) -> DataFrame:
     """Forward as-of: for each left row, the EARLIEST right row with
     right.on >= left.on in the same `by` group (merge_asof
-    direction='forward'). Implemented by reflecting `on` through a
-    negated double column and reusing the backward kernel — same single
-    shuffle, same tie/tolerance semantics mirrored."""
-    neg = "_asof_neg_on"
+    direction='forward'). Implemented by reflecting BOTH ordering columns
+    (`on` and `seq_col`) through negated double columns and reusing the
+    backward kernel — same single shuffle, with tie and tolerance
+    semantics properly mirrored: among equal-timestamp right rows the one
+    EARLIEST in `seq_col` wins (the mirror of backward's latest-wins).
+    `seq_col`, when given, must be numeric (exact up to 2^53)."""
+    neg, neg_seq = "_asof_neg_on", "_asof_neg_seq"
     lhs = left.withColumn(neg, -F.col(on).cast("double"))
     rhs = right.withColumn(neg, -F.col(on).cast("double"))
+    if seq_col:
+        lhs = lhs.withColumn(neg_seq, -F.col(seq_col).cast("double"))
+        rhs = rhs.withColumn(neg_seq, -F.col(seq_col).cast("double"))
     out = asof_join_backward(
         lhs, rhs, on=neg, by=by, value_cols=value_cols,
-        seq_col=seq_col, prefix=prefix, tolerance_s=tolerance_s,
+        seq_col=neg_seq if seq_col else None, prefix=prefix, tolerance_s=tolerance_s,
     )
-    return out.drop(neg)
+    return out.drop(neg, *( [neg_seq] if seq_col else [] ))

@@ -132,21 +132,20 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     return media.mapInPandas(run, schema)
 
 
-def perceptual_hash(media: DataFrame, decoder: str = "fake", grid: int = 9) -> DataFrame:
+def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """64-bit dHash per media row: (media_id, phash_hi, phash_lo).
 
-    The real-image shape end to end: decode -> downsample to a grid×(grid-1)
-    grayscale patch -> horizontal gradient sign bits. decoder='fake' derives
-    the patch deterministically from the payload bytes (md5-seeded tiling of
-    the byte stream — the stub documented in extract_features); decoder='pil'
-    raises until an image library is present. Identical payloads always
-    collide; near-identical patches differ in few bits — which is what the
-    banded lookup below exploits. Arrow-batched mapInPandas; payloads never
-    visit the driver. Split into two signed 32-bit halves so the banded
-    join reuses the SimHash64 machinery (`dedup.simhash64_hamming_pairs`)."""
-    if grid * (grid - 1) != 72:
-        # 9x8 gradient grid -> 64 comparisons after dropping the seam column
-        raise ValueError("dHash layout expects grid=9")
+    The real-image shape end to end: decode -> downsample to an 8x9
+    grayscale patch -> horizontal gradient sign bits (classic dHash: each
+    of the 8 rows compares its 9 columns pairwise -> 64 bits).
+    decoder='fake' derives the patch deterministically from the payload
+    bytes (md5-seeded tiling of the byte stream — the stub documented in
+    extract_features); decoder='pil' raises until an image library is
+    present. Identical payloads always collide; near-identical patches
+    differ in few bits — which is what the banded lookup below exploits.
+    Arrow-batched mapInPandas; payloads never visit the driver. Split into
+    two signed 32-bit halves so the banded join reuses the SimHash64
+    machinery (`dedup.simhash64_hamming_pairs`)."""
     if decoder not in ("fake", "pil"):
         raise ValueError(f"unknown decoder: {decoder}")
 
@@ -163,17 +162,20 @@ def perceptual_hash(media: DataFrame, decoder: str = "fake", grid: int = 9) -> D
                     los.append(None)
                     continue
                 b = bytes(p)
-                # deterministic 9x8 patch: tile the payload bytes, then one
+                # deterministic 8x9 patch: tile the payload bytes, then one
                 # md5-derived perturbation per cell so short payloads still
-                # fill the grid
+                # fill the grid; a zero-byte payload falls back to the md5
+                # base alone (md5(b'') is well-defined)
                 base = np.frombuffer(hashlib.md5(b).digest(), dtype=np.uint8)
                 raw = np.frombuffer(b, dtype=np.uint8)
+                if len(raw) == 0:
+                    raw = base
                 idx = np.arange(72)
                 patch = (
-                    raw[idx % max(len(raw), 1)].astype(np.int32)
+                    raw[idx % len(raw)].astype(np.int32)
                     + base[idx % 16].astype(np.int32)
-                ).reshape(9, 8)
-                bits = (patch[1:, :] > patch[:-1, :]).flatten()  # 8x8 gradient signs
+                ).reshape(8, 9)
+                bits = (patch[:, 1:] > patch[:, :-1]).flatten()  # 8x8 horizontal signs
                 v = 0
                 for bit in bits:
                     v = (v << 1) | int(bit)

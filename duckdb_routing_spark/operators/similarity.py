@@ -87,7 +87,10 @@ def cosine_topk(
 
     `exclude_label_col`: restrict neighbors to rows whose label DIFFERS
     from the query's — the hard-negative mining shape for contrastive
-    training (nearest vectors that are NOT the query's class)."""
+    training (nearest vectors that are NOT the query's class). NULL
+    semantics match the SQL predicate `label != qlabel`: a NULL on either
+    side disqualifies the row (a NULL-labeled query gets no negatives),
+    so the kernel stays hash-identical to the DuckDB oracle."""
     qcols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")]
     if exclude_label_col:
         qcols.append(F.col(exclude_label_col).alias("qlabel"))
@@ -120,7 +123,13 @@ def cosine_topk(
             for qi in range(nq):
                 keep = ids != qids[qi]
                 if clabels is not None:
-                    keep &= clabels != qlabels[qi]
+                    qv = qlabels[qi]
+                    if qv is None:
+                        keep &= False  # SQL: NULL != x is never TRUE
+                    else:
+                        keep &= np.array(
+                            [c is not None and c != qv for c in clabels], dtype=bool
+                        )
                 sel = np.flatnonzero(keep)
                 order = np.lexsort((ids[sel], -cos[qi, sel]))[:k]
                 pick = sel[order]

@@ -273,7 +273,7 @@ def stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     out = (
-        spark.read.parquet(os.path.join(work, "curated"))
+        spark.read.option("recursiveFileLookup", "true").parquet(os.path.join(work, "curated"))
         .groupBy("split", "lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
         .orderBy("split", "lang")

@@ -41,6 +41,8 @@ class _OsmPbfReader(DataSourceReader):
         if self.kind not in ("ways", "nodes"):
             raise ValueError(f"osmpbf: kind must be 'ways' or 'nodes', got {self.kind!r}")
         self.max_parts = int(options.get("partitions", "64"))
+        if self.max_parts < 1:
+            raise ValueError(f"osmpbf: partitions must be >= 1, got {self.max_parts}")
 
     def partitions(self):
         blobs = [

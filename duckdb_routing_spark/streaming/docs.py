@@ -136,12 +136,27 @@ def streaming_curate(
     drained curated table equals the batch pipeline exactly (keep-first ==
     keep-lowest-id); out-of-order feeds keep first-seen-wins semantics.
 
-    State is the append-only fingerprint index parquet (fp per survivor),
-    never executor memory — a restart resumes from the index; at cluster
-    scale both tables are Delta/Iceberg with periodic compaction."""
+    State is the fingerprint-index parquet (fp per survivor), never
+    executor memory. Both tables write per-batch SUBDIRECTORIES in
+    OVERWRITE mode (batch=<id>/), so a foreachBatch retry or a restart
+    replaying the last batch overwrites its own output instead of
+    appending duplicates — idempotent under the at-least-once contract
+    (the index read for batch N sees batches < N only, so a replay's
+    anti join is computed against exactly the state it saw first). At
+    cluster scale both tables are Delta/Iceberg with periodic
+    compaction."""
     from duckdb_routing_spark.operators import sampling, text
 
     spark = stream.sparkSession
+
+    def _index_batches_before(batch_id: int) -> list[str]:
+        if not os.path.isdir(index_dir):
+            return []
+        return [
+            os.path.join(index_dir, d)
+            for d in os.listdir(index_dir)
+            if d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id
+        ]
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
         gated = batch_df.withColumn("quality", text.quality_score(F.col("text"))).filter(
@@ -150,17 +165,19 @@ def streaming_curate(
         within = dedup.exact_dedup_keep_first(gated)
         fp = F.md5(F.lower(F.col("text"))).alias("fp")
         keyed = within.select("*", fp)
-        index_exists = os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        )
-        if index_exists:
-            seen = spark.read.parquet(index_dir)
+        prior = _index_batches_before(batch_id)
+        if prior:
+            seen = spark.read.parquet(*prior)
             keyed = keyed.join(seen, "fp", "left_anti")
         keyed = keyed.persist()
         try:
             survivors = sampling.hash_split(keyed.drop("fp", "quality"))
-            survivors.write.mode("append").parquet(curated_dir)
-            keyed.select("fp").write.mode("append").parquet(index_dir)
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(curated_dir, f"batch={batch_id}")
+            )
+            keyed.select("fp").write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch={batch_id}")
+            )
         finally:
             keyed.unpersist()
 

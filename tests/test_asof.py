@@ -78,3 +78,18 @@ def test_asof_forward_attaches_next_right_row(spark):
         ).collect()
     }
     assert out_tol == {1: 7.0, 2: None, 3: None}
+
+
+def test_asof_forward_equal_timestamp_tie_takes_earliest_seq(spark):
+    from duckdb_routing_spark.operators.asof import asof_join_forward
+
+    # seq_col must exist on both sides (same contract as backward: the
+    # union sorts on it)
+    left = spark.createDataFrame([(1, "u", 100.0, 0)], "id long, k string, t double, seq long")
+    right = spark.createDataFrame(
+        [("u", 200.0, 1, 7.0), ("u", 200.0, 2, 9.0)], "k string, t double, seq long, v double"
+    )
+    out = asof_join_forward(
+        left, right, on="t", by="k", value_cols=["v"], seq_col="seq"
+    ).collect()
+    assert out[0].asof_v == 7.0  # earliest seq among equal timestamps

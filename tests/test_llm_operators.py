@@ -696,14 +696,22 @@ def test_perceptual_hash_dedup_finds_exact_and_near_dups(spark):
     base = np.frombuffer(hashlib.md5(b).digest(), dtype=np.uint8)
     raw = np.frombuffer(b, dtype=np.uint8)
     idx = np.arange(72)
-    patch = (raw[idx % len(raw)].astype(np.int32) + base[idx % 16].astype(np.int32)).reshape(9, 8)
+    patch = (raw[idx % len(raw)].astype(np.int32) + base[idx % 16].astype(np.int32)).reshape(8, 9)
     v = 0
-    for bit in (patch[1:, :] > patch[:-1, :]).flatten():
+    for bit in (patch[:, 1:] > patch[:, :-1]).flatten():
         v = (v << 1) | int(bit)
     def _s32(x):
         return x - (1 << 32) if x >= (1 << 31) else x
 
     assert sigs[0] == (_s32((v >> 32) & 0xFFFFFFFF), _s32(v & 0xFFFFFFFF))
+
+
+def test_perceptual_hash_empty_payload_no_crash(spark):
+    from duckdb_routing_spark.operators import multimodal
+
+    docs = spark.createDataFrame([(0, ""), (1, "non empty")], "doc_id long, text string")
+    sigs = multimodal.perceptual_hash(multimodal.synthesize_media(docs)).collect()
+    assert len(sigs) == 2 and all(r.phash_hi is not None for r in sigs)
 
 
 def test_perceptual_hash_real_decoder_gated(spark):
@@ -715,3 +723,22 @@ def test_perceptual_hash_real_decoder_gated(spark):
     media = multimodal.synthesize_media(docs)
     with _pytest.raises(Exception):
         multimodal.perceptual_hash(media, decoder="pil").collect()
+
+
+def test_hard_negatives_null_labels_match_sql_semantics(spark):
+    from duckdb_routing_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a"), (1, [1.0, 0.1], None), (2, [0.9, 0.1], "b"), (3, [1.0, 0.0], None)],
+        "vec_id long, embedding array<double>, label string",
+    )
+    out = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id").isin(0, 3)), k=5, exclude_label_col="label"
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, set()).add(r.vec_id)
+    # query 0 (label 'a'): NULL-labeled rows 1,3 excluded -> only 2
+    assert by_q.get(0) == {2}
+    # query 3 (label NULL): SQL `label != NULL` is never TRUE -> no negatives
+    assert 3 not in by_q
