@@ -149,3 +149,42 @@ def test_interval_join_multibatch_equals_batch(spark, tmp_path):
     want = want.sort_values(key).reset_index(drop=True)
     assert len(got) == len(want) > 0
     assert got[key + ["user_id", "lag_us"]].equals(want[key + ["user_id", "lag_us"]])
+
+
+def test_streaming_curate_replay_is_idempotent(spark, tmp_path):
+    """Restart-without-checkpoint replays every batch; per-batch overwrite
+    subdirectories must make the second pass a no-op (identical curated
+    accounting, no double-appended survivors)."""
+    import os
+
+    from duckdb_routing_spark.streaming import docs as sd
+    from tests.conftest import SF_SMOKE
+
+    chunk_dir = sd.write_document_chunks_ordered(spark, SF_SMOKE, str(tmp_path / "in"), chunks=3)
+    index_dir, curated_dir = str(tmp_path / "index"), str(tmp_path / "curated")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(chunk_dir, "chunk_*.parquet"))
+        )
+        q = sd.streaming_curate(stream, index_dir, curated_dir)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(curated_dir)
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars"))
+            .orderBy("split", "lang")
+            .collect()
+        )
+
+    first = run_once()
+    second = run_once()  # full replay, no checkpoint
+    assert [tuple(r) for r in first] == [tuple(r) for r in second]
