@@ -761,6 +761,54 @@ def snapshot_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _snapshot.snapshot_diff(old, new).orderBy("doc_id")
 
 
+CORPUS_REPORT_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars, lower(text) AS lt, string_split(text, ' ') AS ws
+  FROM documents
+),
+q AS (
+  SELECT *, (CASE WHEN len(ws) BETWEEN 10 AND 2000 THEN 1.0 ELSE 0.0 END
+           + len(list_distinct(ws))::DOUBLE / len(ws)
+           + CASE WHEN len(list_filter(ws, w -> w IN ('the','a','of','and','is','to','in'))) > 0
+                  THEN 1.0 ELSE 0.0 END) / 3.0 AS quality
+  FROM t
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT lang) AS n_langs,
+       count(*) - count(DISTINCT md5(lt)) AS n_exact_dups,
+       cast(sum(len(ws)) AS BIGINT) AS total_tokens,
+       cast(sum(n_chars) AS BIGINT) AS total_chars,
+       count(*) FILTER (WHERE quality > 0.5) AS n_quality_pass
+FROM q
+"""
+
+
+@register("corpus_report", oracle=CORPUS_REPORT_ORACLE,
+          doc="one-row corpus data card: volume, diversity, dup rate, quality-pass count")
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-card summary a corpus release ships with — volume, source/
+    language diversity, exact-dup count, token/char totals, quality-gate
+    pass count — computed in ONE aggregation pass (every column is an
+    integer, so the value-hash oracle is exact)."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.md5(F.lower(t)).alias("fp"),
+        F.size(F.split(t, " ")).alias("n_toks"),
+        text.quality_score(t).alias("quality"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.count(F.when(F.col("quality") > 0.5, 1)).alias("n_quality_pass"),
+    )
+
+
 PIPELINE_CURATE_ORACLE = """
 WITH t AS (
   SELECT doc_id, lang, n_chars, lower(text) AS lt, string_split(text, ' ') AS ws

@@ -143,6 +143,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # postings + doc-keyed folds; text family driver-exercised)
         "search_conjunctive",
         "search_bm25_components",
+        # one-row data-card rollup; stats families driver-exercised via
+        # doc_text_features/dedup_exact_stats; pytest-oracled
+        "corpus_report",
         # CDC snapshot diff: incremental-processing primitive; pytest-
         # oracled (full-outer fingerprint join)
         "snapshot_diff_docs",
