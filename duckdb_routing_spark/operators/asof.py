@@ -42,12 +42,19 @@ def asof_join_backward(
     lhs = left.withColumn("_asof_tag", F.lit(1))
     for c in value_cols:
         lhs = lhs.withColumn(f"_r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
-    rhs = right.select(
-        by,
-        on,
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        *([F.col(seq_col)] if seq_col and seq_col not in (by, on) else []),
-    ).withColumn("_asof_tag", F.lit(0))
+    rhs = (
+        right
+        # a NULL-on right row sorts nulls-first and would be carried into
+        # every left row as a phantom match (merge_asof drops NULL keys)
+        .filter(F.col(on).isNotNull())
+        .select(
+            by,
+            on,
+            *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+            *([F.col(seq_col)] if seq_col and seq_col not in (by, on) else []),
+        )
+        .withColumn("_asof_tag", F.lit(0))
+    )
     # align schemas
     for c in lhs.columns:
         if c not in rhs.columns:
@@ -96,13 +103,20 @@ def asof_join_forward(
     backward kernel — same single shuffle, with tie and tolerance
     semantics properly mirrored: among equal-timestamp right rows the one
     EARLIEST in `seq_col` wins (the mirror of backward's latest-wins).
-    `seq_col`, when given, must be numeric (exact up to 2^53)."""
+    `seq_col`, when given, must be numeric. Integral `on`/`seq_col`
+    columns negate as exact longs; other types go through double (exact to
+    2^53 — microsecond timestamps through year 2255)."""
+
+    def _neg(df: DataFrame, col: str):
+        dt = dict(df.dtypes)[col]
+        return -F.col(col) if dt in ("bigint", "int", "smallint", "tinyint") else -F.col(col).cast("double")
+
     neg, neg_seq = "_asof_neg_on", "_asof_neg_seq"
-    lhs = left.withColumn(neg, -F.col(on).cast("double"))
-    rhs = right.withColumn(neg, -F.col(on).cast("double"))
+    lhs = left.withColumn(neg, _neg(left, on))
+    rhs = right.withColumn(neg, _neg(right, on))
     if seq_col:
-        lhs = lhs.withColumn(neg_seq, -F.col(seq_col).cast("double"))
-        rhs = rhs.withColumn(neg_seq, -F.col(seq_col).cast("double"))
+        lhs = lhs.withColumn(neg_seq, _neg(lhs, seq_col))
+        rhs = rhs.withColumn(neg_seq, _neg(rhs, seq_col))
     out = asof_join_backward(
         lhs, rhs, on=neg, by=by, value_cols=value_cols,
         seq_col=neg_seq if seq_col else None, prefix=prefix, tolerance_s=tolerance_s,

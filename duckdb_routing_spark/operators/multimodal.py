@@ -144,8 +144,9 @@ def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
     present. Identical payloads always collide; near-identical patches
     differ in few bits — which is what the banded lookup below exploits.
     Arrow-batched mapInPandas; payloads never visit the driver. Split into
-    two signed 32-bit halves so the banded join reuses the SimHash64
-    machinery (`dedup.simhash64_hamming_pairs`)."""
+    two UNSIGNED 32-bit halves in BIGINT — simhash64's exact layout — so
+    the banded join and its bit_count hamming reuse
+    `dedup.simhash64_hamming_pairs` unchanged."""
     if decoder not in ("fake", "pil"):
         raise ValueError(f"unknown decoder: {decoder}")
 
@@ -179,11 +180,12 @@ def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
                 v = 0
                 for bit in bits:
                     v = (v << 1) | int(bit)
-                def _s32(x: int) -> int:  # two's-complement 32-bit view
-                    return x - (1 << 32) if x >= (1 << 31) else x
-
-                his.append(_s32((v >> 32) & 0xFFFFFFFF))
-                los.append(_s32(v & 0xFFFFFFFF))
+                # UNSIGNED halves (0..2^32-1) in BIGINT — the layout
+                # simhash64 emits; a signed view would sign-extend through
+                # bit_count(XOR) and inflate hamming by 32 whenever bit 31
+                # differs, silently killing true near-dup pairs
+                his.append((v >> 32) & 0xFFFFFFFF)
+                los.append(v & 0xFFFFFFFF)
             yield pd.DataFrame({"media_id": pdf["media_id"], "phash_hi": his, "phash_lo": los})
 
     return media.mapInPandas(run, "media_id long, phash_hi long, phash_lo long")

@@ -124,11 +124,15 @@ def cosine_topk(
                 keep = ids != qids[qi]
                 if clabels is not None:
                     qv = qlabels[qi]
-                    if qv is None:
-                        keep &= False  # SQL: NULL != x is never TRUE
+                    # SQL NULL semantics: NULL on either side disqualifies.
+                    # Numeric NULLs surface as NaN through pandas (NaN != NaN),
+                    # string NULLs as None — treat both as NULL.
+                    if qv is None or qv != qv:
+                        keep &= False  # NULL != x is never TRUE
                     else:
                         keep &= np.array(
-                            [c is not None and c != qv for c in clabels], dtype=bool
+                            [c is not None and c == c and c != qv for c in clabels],
+                            dtype=bool,
                         )
                 sel = np.flatnonzero(keep)
                 order = np.lexsort((ids[sel], -cos[qi, sel]))[:k]

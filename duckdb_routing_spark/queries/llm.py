@@ -795,7 +795,7 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return docs.select(
         "doc_id", "lang", "source", "n_chars",
-        F.md5(F.lower(t)).alias("fp"),
+        text.fingerprint(t).alias("fp"),
         F.size(F.split(t, " ")).alias("n_toks"),
         text.quality_score(t).alias("quality"),
     ).agg(

@@ -189,7 +189,10 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
-    out = spark.read.parquet(pairs_dir).distinct().orderBy("doc_a", "doc_b").cache()
+    out = (
+        spark.read.option("recursiveFileLookup", "true").parquet(pairs_dir)
+        .distinct().orderBy("doc_a", "doc_b").cache()
+    )
     out.count()
     return out
 

@@ -19,11 +19,12 @@ where its LATER document arrives — so a fully-drained stream produces
 exactly the batch `cand` set regardless of how documents were split into
 micro-batches (the oracle-checked contract, q:stream_dedup_minhash).
 
-Scale posture: the index is an append-only parquet table keyed by
-(band, band_sig) — at cluster scale a Delta/Iceberg table with the same
-key layout, compacted periodically; the per-batch join touches only
-shared-band buckets, exactly like the batch LSH join. State never lives
-in executor memory, so a restart resumes from the index table.
+Scale posture: the index is a parquet table of per-batch OVERWRITE
+subdirectories keyed by (band, band_sig) — at cluster scale a
+Delta/Iceberg table with the same key layout, compacted periodically; the
+per-batch join touches only shared-band buckets, exactly like the batch
+LSH join. State never lives in executor memory, and per-batch overwrite
+makes replays idempotent, so a restart resumes from the index table.
 """
 
 from __future__ import annotations
@@ -73,6 +74,15 @@ def streaming_minhash_candidates(
     and read the accumulated pairs from `pairs_dir`."""
     spark = stream.sparkSession
 
+    def _index_batches_before(batch_id: int) -> list[str]:
+        if not os.path.isdir(index_dir):
+            return []
+        return [
+            os.path.join(index_dir, d)
+            for d in os.listdir(index_dir)
+            if d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id
+        ]
+
     def _step(batch_df: DataFrame, batch_id: int) -> None:
         sigs = dedup.minhash_band_rows(
             batch_df, id_col="doc_id", text_col="text", k=k, n_hashes=n_hashes, band_size=band_size
@@ -82,11 +92,9 @@ def streaming_minhash_candidates(
             b = sigs.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
             within = a.join(b, ["band", "band_sig"]).filter(F.col("doc_a") < F.col("doc_b"))
             pairs = within.select("doc_a", "doc_b")
-            index_exists = os.path.isdir(index_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(index_dir)
-            )
-            if index_exists:
-                old = spark.read.parquet(index_dir)
+            prior = _index_batches_before(batch_id)
+            if prior:
+                old = spark.read.parquet(*prior)
                 cross = (
                     sigs.select("band", "band_sig", F.col("doc_id").alias("new_id"))
                     .join(old.withColumnRenamed("doc_id", "old_id"), ["band", "band_sig"])
@@ -97,8 +105,14 @@ def streaming_minhash_candidates(
                     .filter(F.col("doc_a") != F.col("doc_b"))
                 )
                 pairs = pairs.unionByName(cross)
-            pairs.distinct().write.mode("append").parquet(pairs_dir)
-            sigs.write.mode("append").parquet(index_dir)
+            # per-batch OVERWRITE subdirectories (same idempotency mechanism
+            # as streaming_curate below): a foreachBatch retry or restart
+            # replay overwrites its own output and anti-joins against
+            # exactly the index state it saw first — no double appends
+            pairs.distinct().write.mode("overwrite").parquet(
+                os.path.join(pairs_dir, f"batch={batch_id}")
+            )
+            sigs.write.mode("overwrite").parquet(os.path.join(index_dir, f"batch={batch_id}"))
         finally:
             sigs.unpersist()
 

@@ -700,10 +700,7 @@ def test_perceptual_hash_dedup_finds_exact_and_near_dups(spark):
     v = 0
     for bit in (patch[:, 1:] > patch[:, :-1]).flatten():
         v = (v << 1) | int(bit)
-    def _s32(x):
-        return x - (1 << 32) if x >= (1 << 31) else x
-
-    assert sigs[0] == (_s32((v >> 32) & 0xFFFFFFFF), _s32(v & 0xFFFFFFFF))
+    assert sigs[0] == ((v >> 32) & 0xFFFFFFFF, v & 0xFFFFFFFF)
 
 
 def test_perceptual_hash_empty_payload_no_crash(spark):
