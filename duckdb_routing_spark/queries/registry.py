@@ -104,6 +104,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # event transition bigrams: events family driver-exercised via
         # events_hourly/sessionize/funnel siblings; pytest-oracled
         "events_transitions",
+        # robust median/MAD outlier bounds; percentile family driver-
+        # exercised via percentiles_by_priority; pytest-oracled
+        "events_outlier_bounds",
         "events_funnel",
         "route_batch_throughput",
         "route_isochrone",

@@ -615,6 +615,57 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+EVENTS_OUTLIERS_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS median_v
+  FROM events GROUP BY event_type
+),
+mad AS (
+  SELECT e.event_type, med.median_v,
+         quantile_cont(abs(e.value - med.median_v), 0.5) AS mad_v
+  FROM events e JOIN med USING (event_type)
+  GROUP BY e.event_type, med.median_v
+)
+SELECT m.event_type, m.median_v, m.mad_v,
+       count(*) FILTER (
+         WHERE abs(e.value - m.median_v) > 3 * 1.4826 * m.mad_v
+       ) AS n_outliers,
+       count(*) AS n_events
+FROM events e JOIN mad m USING (event_type)
+GROUP BY m.event_type, m.median_v, m.mad_v
+ORDER BY m.event_type
+"""
+
+
+@register("events_outlier_bounds", oracle=EVENTS_OUTLIERS_ORACLE,
+          doc="robust outlier detection per event type: median/MAD bounds + outlier counts")
+def events_outlier_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-QA shape: median + median-absolute-deviation per group (robust
+    to the outliers it hunts), then count beyond median ± 3·1.4826·MAD.
+    Spark's percentile() interpolates identically to DuckDB's
+    quantile_cont (proven by percentiles_by_priority), so even the float
+    bounds hash-match. Two grouped passes + one broadcast-joined count —
+    no sort of the full table."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("median_v"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "median_v")
+        .agg(F.expr("percentile(abs(value - median_v), 0.5)").alias("mad_v"))
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "median_v", "mad_v")
+        .agg(
+            F.count(
+                F.when(F.abs(F.col("value") - F.col("median_v")) > 3 * 1.4826 * F.col("mad_v"), 1)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 EVENTS_TRANSITIONS_ORACLE = """
 WITH seq AS (
   SELECT user_id, event_type,
