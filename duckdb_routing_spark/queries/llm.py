@@ -345,6 +345,48 @@ _NIBBLE_SUMS = ",\n       ".join(
     for i in range(16)
 )
 _SIG = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+SOURCE_DUP_ORACLE = f"""
+WITH {MINHASH_BANDS_CTE},
+lab AS (
+  SELECT c.doc_a, c.doc_b, sa.source AS source_a, sb.source AS source_b
+  FROM cand c
+  JOIN documents sa ON sa.doc_id = c.doc_a
+  JOIN documents sb ON sb.doc_id = c.doc_b
+)
+SELECT least(source_a, source_b) AS src_lo,
+       greatest(source_a, source_b) AS src_hi,
+       count(*) AS n_pairs
+FROM lab GROUP BY least(source_a, source_b), greatest(source_a, source_b)
+ORDER BY src_lo, src_hi
+"""
+
+
+@register("dedup_source_matrix", oracle=SOURCE_DUP_ORACLE,
+          doc="cross-source duplication matrix: LSH candidate pairs rolled up by (source, source)")
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation diagnostic behind source selection: which sources
+    duplicate each other (mirrors, scrapes of the same site) and how much.
+    LSH candidates join to the tiny (doc_id, source) projection twice —
+    both lookups broadcast at dim-table size — and roll up to an unordered
+    source pair."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            F.least("source_a", "source_b").alias("src_lo"),
+            F.greatest("source_a", "source_b").alias("src_hi"),
+        )
+        .groupBy("src_lo", "src_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("src_lo", "src_hi")
+    )
+
+
 SIMHASH_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, md5(unnest(string_split(lower(text), ' '))) AS h FROM documents

@@ -130,6 +130,8 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "sketch_hll_registers",
         # span surgery output of the dup-span stage above; pytest-oracled
         "dedup_span_cut",
+        # cross-source dup rollup over the LSH candidates; pytest-oracled
+        "dedup_source_matrix",
         # asymmetric containment over the shared shingle base; dedup family
         # driver-exercised via dedup_near_dups; pytest-oracled
         "dedup_containment_pairs",
