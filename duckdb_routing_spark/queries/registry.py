@@ -104,6 +104,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # event transition bigrams: events family driver-exercised via
         # events_hourly/sessionize/funnel siblings; pytest-oracled
         "events_transitions",
+        # per-session rollup downstream of events_sessionize (exposed);
+        # pytest-oracled
+        "events_session_stats",
         # robust median/MAD outlier bounds; percentile family driver-
         # exercised via percentiles_by_priority; pytest-oracled
         "events_outlier_bounds",

@@ -595,6 +595,49 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(EVENTS_SESSION_SPARK)
 
 
+def _session_stats_sql(epoch_us: str, ts_cast: str) -> str:
+    """Per-session rollup downstream of the 30-min-gap islands: duration,
+    depth, and distinct event types per (user, session)."""
+    return f"""
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN {epoch_us} - lag({epoch_us}) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+                OR lag({ts_cast}) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, event_id, event_type, {epoch_us} AS us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM seq
+)
+SELECT user_id, cast(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_event_types,
+       cast(max(us) - min(us) AS BIGINT) AS duration_us
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+SESSION_STATS_SPARK = _session_stats_sql("unix_micros(ts)", "ts")
+SESSION_STATS_ORACLE = _session_stats_sql("epoch_us(cast(ts as timestamp))", "cast(ts as timestamp)")
+
+
+@register("events_session_stats", oracle=SESSION_STATS_ORACLE,
+          doc="per-session rollup: events, distinct types, duration per 30-min-gap session")
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-level fact table downstream of sessionization — depth,
+    diversity, and exact microsecond duration per (user, session) island.
+    Same single user-keyed window chain as events_sessionize; the rollup
+    reuses its partitioning."""
+    _views(spark, sf_dir, "events")
+    return spark.sql(SESSION_STATS_SPARK)
+
+
 # ---------------------------------------------------------------------------
 # additional TPC-H shapes + as-of join
 # ---------------------------------------------------------------------------
