@@ -118,3 +118,28 @@ def test_pbf_cache_convention(spark, tmp_path):
     assert eng.load_config(str(pbf))
     assert eng.is_loaded("auto")
     assert eng.node_count("auto") == 7338
+
+
+def test_routingartifact_datasource_matches_parser(spark):
+    """spark.read.format('routingartifact') must expose exactly the parsed
+    graph: CSR-expanded edges and the node table with main flags."""
+    from duckdb_routing_spark.routing.ref_artifact import read_reference_artifact
+    from duckdb_routing_spark.sources.routing_artifact_datasource import (
+        RoutingArtifactDataSource,
+    )
+
+    spark.dataSource.register(RoutingArtifactDataSource)
+    g = read_reference_artifact(MONACO)
+    edges = spark.read.format("routingartifact").load(MONACO)
+    nodes = spark.read.format("routingartifact").option("kind", "nodes").load(MONACO)
+    assert edges.count() == len(g.indices)
+    assert nodes.count() == g.num_nodes
+    assert nodes.filter("is_main").count() == len(g.main_nodes)
+    got_w = edges.selectExpr("sum(weight_ms)").collect()[0][0]
+    assert got_w == int(g.weights_ms.sum())
+    # SQL over the artifact: top out-degree node agrees with numpy
+    import numpy as np
+
+    deg = np.diff(g.indptr)
+    top = edges.groupBy("src").count().orderBy("count", ascending=False).first()
+    assert top["count"] == int(deg.max())
