@@ -416,3 +416,43 @@ SELECT doc_id, count(*) AS n_bigrams, sum(c2) AS sum_c2, sum(c1) AS sum_c1
 FROM pairs JOIN corpus_bg USING (bg) JOIN corpus_w1 USING (w1)
 GROUP BY doc_id
 """
+
+
+def lexicon_hits(
+    docs: DataFrame,
+    lexicon: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+) -> DataFrame:
+    """Per-document lexicon scoring: (doc_id, n_tokens, n_hits, hit_frac)
+    against an arbitrary wordlist DATAFRAME — the toxicity / blocklist /
+    domain-term filter shape. Unlike the fixed stopword_ratio (a literal
+    IN over 7 words), the lexicon here is data: a 100k-term wordlist
+    broadcasts as a join relation (or shuffles if huge), which an
+    IN-literal cannot express without exploding the plan.
+
+    Token hits use the lexicon's terms lowercased-distinct; a token
+    matching multiple lexicon rows counts once (semi-join semantics).
+    One explode (row-local) + one broadcast semi join + one doc-keyed
+    fold."""
+    lex = lexicon.select(F.lower(F.col(term_col)).alias("_lex_term")).distinct()
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hits = (
+        toks.join(F.broadcast(lex), toks["tok"] == lex["_lex_term"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_tokens")).alias("hit_frac"),
+        )
+    )

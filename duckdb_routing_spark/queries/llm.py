@@ -1488,6 +1488,35 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LEXICON_TERMS = ["join", "hash", "scan", "filter", "merge", "sort"]
+LEXICON_ORACLE = f"""
+WITH lex AS (SELECT DISTINCT lower(t) AS term FROM (VALUES {", ".join(f"('{t}')" for t in _LEXICON_TERMS)}) v(t)),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+nz AS (SELECT doc_id, tok FROM toks WHERE tok != ''),
+hits AS (
+  SELECT doc_id, count(*) AS n_hits FROM nz SEMI JOIN lex ON nz.tok = lex.term GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_tokens FROM nz GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens, coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) / t.n_tokens AS hit_frac
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@register("doc_lexicon_score", oracle=LEXICON_ORACLE,
+          doc="per-doc wordlist scoring via broadcast semi join (the blocklist/toxicity filter shape)")
+def doc_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-as-data scoring: the wordlist is a DataFrame joined to the
+    token stream (a 100k-term blocklist broadcasts; an IN-literal cannot),
+    with semi-join semantics so duplicate lexicon rows never double-count.
+    The 6-term lexicon here stands in for the real list."""
+    lex = spark.createDataFrame([(t,) for t in _LEXICON_TERMS], "term string")
+    return text.lexicon_hits(table(spark, sf_dir, "documents"), lex).orderBy("doc_id")
+
+
 TFIDF_ORACLE = """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents

@@ -170,6 +170,8 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # semi join (anti/semi family driver-exercised via
         # anti_join_quiet_customers/q22); pytest-oracled
         "bloom_semi_revenue",
+        # lexicon-as-data scoring (blocklist shape); pytest-oracled
+        "doc_lexicon_score",
         # corpus-bigram LM score: text-quality family driver-exercised via
         # doc_text_features; pytest-oracled on the integer surrogate
         "doc_lm_score",

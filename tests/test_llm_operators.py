@@ -739,3 +739,15 @@ def test_hard_negatives_null_labels_match_sql_semantics(spark):
     assert by_q.get(0) == {2}
     # query 3 (label NULL): SQL `label != NULL` is never TRUE -> no negatives
     assert 3 not in by_q
+
+
+def test_lexicon_hits_semi_join_semantics(spark):
+    from duckdb_routing_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [(0, "Bad BAD word and fine text"), (1, "all clean here")], "doc_id long, text string"
+    )
+    # duplicate + mixed-case lexicon rows must not double-count
+    lex = spark.createDataFrame([("bad",), ("BAD",), ("bad",)], "term string")
+    out = {r.doc_id: (r.n_tokens, r.n_hits) for r in t.lexicon_hits(docs, lex).collect()}
+    assert out == {0: (6, 2), 1: (3, 0)}  # 'Bad' and 'BAD' tokens each hit once
