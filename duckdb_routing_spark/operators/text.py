@@ -456,3 +456,40 @@ def lexicon_hits(
             (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_tokens")).alias("hit_frac"),
         )
     )
+
+
+def phrase_lexicon_hits(
+    docs: DataFrame,
+    lexicon: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_col: str = "term",
+) -> DataFrame:
+    """Per-document PHRASE lexicon hits: (doc_id, n_hits) where lexicon
+    entries may be multi-word ("credit card number") — token-level
+    matching misses these. The lexicon's distinct phrase lengths are
+    collected driver-side (the list is small by definition); for each
+    length n the document's word n-gram stream (row-local arrays_zip)
+    semi-joins the length-n phrases. Hits count matching n-gram
+    OCCURRENCES (overlaps included); docs with no hits are absent (join
+    the result back for zero-filled scoring, as lexicon_hits does)."""
+    lex = lexicon.select(F.lower(F.col(term_col)).alias("p")).distinct()
+    lengths = [
+        r.n for r in lex.select(F.size(F.split("p", " ")).alias("n")).distinct().collect()
+    ]
+    if not lengths:
+        raise ValueError("empty lexicon")
+    ws = F.split(F.lower(F.col(text_col)), " ")
+    parts = []
+    for n in sorted(lengths):
+        lex_n = lex.filter(F.size(F.split("p", " ")) == n)
+        grams = docs.select(
+            F.col(id_col).alias("doc_id"), F.explode(_word_kgrams(ws, n)).alias("g")
+        )
+        parts.append(
+            grams.join(F.broadcast(lex_n), grams["g"] == lex_n["p"], "left_semi")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))

@@ -751,3 +751,21 @@ def test_lexicon_hits_semi_join_semantics(spark):
     lex = spark.createDataFrame([("bad",), ("BAD",), ("bad",)], "term string")
     out = {r.doc_id: (r.n_tokens, r.n_hits) for r in t.lexicon_hits(docs, lex).collect()}
     assert out == {0: (6, 2), 1: (3, 0)}  # 'Bad' and 'BAD' tokens each hit once
+
+
+def test_phrase_lexicon_hits_multiword(spark):
+    from duckdb_routing_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (0, "enter your credit card number here"),
+            (1, "credit where credit is due"),
+            (2, "totally harmless"),
+        ],
+        "doc_id long, text string",
+    )
+    lex = spark.createDataFrame([("credit card number",), ("harmless",)], "term string")
+    out = {r.doc_id: r.n_hits for r in t.phrase_lexicon_hits(docs, lex).collect()}
+    # doc 0: one 3-gram phrase hit; doc 1: no phrase despite 'credit' twice;
+    # doc 2: single-word entry still matches
+    assert out == {0: 1, 2: 1}
