@@ -90,6 +90,14 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "window_running_total",
         "q11_important_stock",
         "q13_order_histogram",
+        # q2/q12/q15/q20 complete the 22-shape TPC-H sweep; their operator
+        # families (correlated scalar subquery, CASE-in-SUM, CTE + scalar
+        # MAX, nested IN semi joins) are already represented among the
+        # exposed 50 (q17, q1, cte_revenue_share, q16/q22); pytest-oracled
+        "q2_min_cost_supplier",
+        "q12_priority_shipping",
+        "q15_top_supplier",
+        "q20_excess_stock",
         "q14_promo_effect",
         "q16_supplier_variety",
         "q17_small_quantity_revenue",

@@ -1086,3 +1086,118 @@ def bloom_semi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         dsum_col(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
     )
+
+
+# With q2/q12/q15/q20 below, every one of the 22 TPC-H operator shapes has an
+# oracled adaptation in this file (the fixture has no partsupp table, so the
+# partsupp-dependent queries rebind their association through lineitem — the
+# operator shape under test is unchanged).
+
+Q2_ORACLE = """
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       l_extendedprice / l_quantity AS unit_cost
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND p_size = 9
+  AND l_extendedprice / l_quantity = (
+    SELECT min(l2.l_extendedprice / l2.l_quantity)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+
+@register("q2_min_cost_supplier", oracle=Q2_ORACLE,
+          doc="TPC-H Q2 shape: correlated scalar MIN subquery over a 4-table join, per part")
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The min-cost-supplier shape (partsupp rebound through lineitem:
+    unit_cost = l_extendedprice / l_quantity). Catalyst de-correlates the
+    scalar MIN into a per-part aggregate joined back on p_partkey — the
+    region/nation dims broadcast into both branches. Float parity: unit_cost
+    is ONE IEEE division on identical doubles and min() is order-independent,
+    so the equality predicate and the output column are bit-identical across
+    engines."""
+    _views(spark, sf_dir, "part", "lineitem", "supplier", "nation", "region")
+    return spark.sql(Q2_ORACLE)
+
+
+Q12_ORACLE = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q12_priority_shipping", oracle=Q12_ORACLE,
+          doc="TPC-H Q12 shape: conditional two-way counts (CASE inside SUM) after a fact-dim join")
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority split (l_returnflag stands in for the fixture's
+    missing l_shipmode). The date filter pushes to the lineitem scan before
+    the join; both CASE counters fold in the same partial aggregate — one
+    shuffle on the 3-row group key. Integer counts: parity-exact."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(Q12_ORACLE)
+
+
+Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(cast(l_extendedprice * (1 - l_discount) as decimal(18,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, cast(total_revenue as double) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=Q15_ORACLE,
+          doc="TPC-H Q15 shape: revenue view reused twice — top supplier via MAX scalar subquery")
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The top-supplier view shape: the same quarterly revenue CTE feeds both
+    the join and the MAX scalar subquery (Spark evaluates the CTE per
+    reference; at scale, persist the revenue view to scan lineitem once).
+    The equality filter compares exact DECIMAL sums — no float ties — and
+    only the final output casts to double."""
+    _views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(Q15_ORACLE)
+
+
+Q20_ORACLE = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name LIKE 'NATION_1%'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red %')
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_suppkey, l_partkey
+    HAVING sum(cast(l_quantity as decimal(18,2))) > 40)
+ORDER BY s_name
+"""
+
+
+@register("q20_excess_stock", oracle=Q20_ORACLE,
+          doc="TPC-H Q20 shape: nested IN subqueries (parts by name -> HAVING per supplier-part -> suppliers)")
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The excess-stock shape: innermost name-LIKE part scan broadcasts into
+    a semi join on the fact table, the grouped HAVING runs on the (suppkey,
+    partkey) pair, and the outer IN is a second semi join against the tiny
+    supplier dim. DECIMAL quantity sum keeps the HAVING threshold exact."""
+    _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(Q20_ORACLE)
