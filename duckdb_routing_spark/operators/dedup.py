@@ -286,12 +286,40 @@ def lsh_candidate_pairs(
     if sh is None:
         sh = shingles(docs, id_col, text_col, k, distinct=False)
     bands = bands_from_shingles(sh, n_hashes, band_size)
-    a = bands.select(F.col("band"), F.col("band_sig"), F.col("doc_id").alias("doc_a"))
-    b = bands.select(F.col("band"), F.col("band_sig"), F.col("doc_id").alias("doc_b"))
+    return _pairs_in_buckets(bands)
+
+
+def _pairs_in_buckets(bands: DataFrame) -> DataFrame:
+    """(doc_a < doc_b) candidate pairs per (band, band_sig) bucket, generated
+    ROW-LOCALLY from each bucket's sorted member array.
+
+    Why not a self-join on (band, band_sig)? Measured: Catalyst broadcasts
+    the smaller side of that join, and a broadcast build side canNOT reuse
+    the probe side's shuffle exchange — the whole shingle->MinHash pipeline
+    (the expensive part) executes TWICE. One groupBy collapses it to a
+    single pass; the pair space still only materializes inside shared-band
+    buckets, exactly as before. Scale note: collect_set holds one bucket's
+    doc ids in one row — fine under LSH's design assumption (bucket sizes
+    are small; a bucket with millions of members means the band width is
+    wrong for the corpus), and the same quadratic pair space would have
+    blown up the join form too."""
+    buckets = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -324,17 +352,9 @@ def lsh_candidates_from_hashes(
     base: DataFrame, n_hashes: int = 12, band_size: int = 3
 ) -> DataFrame:
     """(doc_a < doc_b) LSH candidate pairs from a pre-hashed shingle base —
-    banded equi-self-join on (band, band_sig); the pair space only
-    materializes inside shared-band buckets."""
-    bands = bands_from_hashes(base, n_hashes, band_size)
-    a = bands.select("band", "band_sig", F.col("doc_id").alias("doc_a"))
-    b = bands.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band", "band_sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    bucket-local pair generation on (band, band_sig); the pair space only
+    materializes inside shared-band buckets (see :func:`_pairs_in_buckets`)."""
+    return _pairs_in_buckets(bands_from_hashes(base, n_hashes, band_size))
 
 
 def near_dup_pairs(
