@@ -94,6 +94,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # families (correlated scalar subquery, CASE-in-SUM, CTE + scalar
         # MAX, nested IN semi joins) are already represented among the
         # exposed 50 (q17, q1, cte_revenue_share, q16/q22); pytest-oracled
+        # ANALYZE-style profile + declarative DQ audit: data-QA family
+        # driver-exercised via skew_key_report/corpus_report; pytest-oracled
+        "profile_orders",
+        "dq_audit_orders",
         "q2_min_cost_supplier",
         "q12_priority_shipping",
         "q15_top_supplier",

@@ -1192,6 +1192,104 @@ ORDER BY s_name
 """
 
 
+def _profile_col_sql(c: str, kind: str) -> str:
+    """One UNION ALL arm of the DuckDB profile oracle for column c."""
+    if kind == "num":
+        mn, mx = f"min({c})::DOUBLE", f"max({c})::DOUBLE"
+        ms = msx = "CAST(NULL AS VARCHAR)"
+        al = "CAST(NULL AS DOUBLE)"
+    elif kind == "ts":
+        mn, mx = f"epoch_us(min({c}))::DOUBLE", f"epoch_us(max({c}))::DOUBLE"
+        ms = msx = "CAST(NULL AS VARCHAR)"
+        al = "CAST(NULL AS DOUBLE)"
+    else:
+        mn = mx = "CAST(NULL AS DOUBLE)"
+        ms, msx = f"min({c})", f"max({c})"
+        al = f"sum(length({c}))::DOUBLE / count({c})"
+    return f"""
+  SELECT '{c}' AS column_name, count(*) AS n_rows,
+         count(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+         count(DISTINCT {c}) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {ms} AS min_str, {msx} AS max_str, {al} AS avg_len
+  FROM orders"""
+
+
+PROFILE_ORDERS_ORACLE = (
+    "\nUNION ALL\n".join(
+        _profile_col_sql(c, k)
+        for c, k in [
+            ("o_orderkey", "num"), ("o_custkey", "num"), ("o_orderstatus", "str"),
+            ("o_totalprice", "num"), ("o_orderdate", "ts"), ("o_orderpriority", "str"),
+        ]
+    )
+    + "\nORDER BY column_name"
+)
+
+
+@register("profile_orders", oracle=PROFILE_ORDERS_ORACLE,
+          doc="ANALYZE-style column profile: nulls/distinct/min/max/avg_len for every orders column in ONE aggregation pass")
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profiling.profile_table — the whole profile folds in one
+    partial aggregate (single one-row shuffle) + a row-local unpivot; the
+    oracle recomputes it column-by-column. Exact distincts here (oracle-
+    checkable); exact_distinct=False switches to one-pass HLL at 100 TB."""
+    from duckdb_routing_spark.operators.profiling import profile_table
+
+    return profile_table(table(spark, sf_dir, "orders")).orderBy("column_name")
+
+
+DQ_AUDIT_ORACLE = """
+SELECT 'orderkey_unique' AS check_name, 'unique' AS kind,
+       coalesce(sum(cnt - 1), 0)::BIGINT AS n_violations,
+       coalesce(sum(cnt - 1), 0) = 0 AS passed
+FROM (SELECT count(*) AS cnt FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'custkey_not_null', 'not_null',
+       count(CASE WHEN o_custkey IS NULL THEN 1 END)::BIGINT,
+       count(CASE WHEN o_custkey IS NULL THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'custkey_resolves', 'reference', count(*)::BIGINT, count(*) = 0
+FROM (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL) o
+LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IS NULL
+UNION ALL
+SELECT 'status_enum', 'predicate',
+       count(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), false) THEN 1 END)::BIGINT,
+       count(CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), false) THEN 1 END) = 0
+FROM orders
+UNION ALL
+SELECT 'price_over_5000', 'predicate',
+       count(CASE WHEN NOT coalesce(o_totalprice > 5000, false) THEN 1 END)::BIGINT,
+       count(CASE WHEN NOT coalesce(o_totalprice > 5000, false) THEN 1 END) = 0
+FROM orders
+ORDER BY check_name
+"""
+
+
+@register("dq_audit_orders", oracle=DQ_AUDIT_ORACLE,
+          doc="declarative data-quality audit: unique/not-null/reference/enum/range checks -> violation counts")
+def dq_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/profiling.run_checks — the dbt-test/Deequ shape: each
+    constraint compiles to its minimal plan (key groupBy, scan-pushed
+    predicate count, broadcast anti join) and the report unions one-row
+    aggregates. price_over_5000 is a deliberately failing range check so
+    the violation path is exercised, not just zeros."""
+    from duckdb_routing_spark.operators.profiling import Check, run_checks
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    checks = [
+        Check("orderkey_unique", "unique", key_cols=("o_orderkey",)),
+        Check("custkey_not_null", "not_null", expr="o_custkey"),
+        Check("custkey_resolves", "reference", expr="o_custkey", ref=customer, ref_col="c_custkey"),
+        Check("status_enum", "predicate", expr="o_orderstatus IN ('F','O','P')"),
+        Check("price_over_5000", "predicate", expr="o_totalprice > 5000"),
+    ]
+    return run_checks(orders, checks).orderBy("check_name")
+
+
 @register("q20_excess_stock", oracle=Q20_ORACLE,
           doc="TPC-H Q20 shape: nested IN subqueries (parts by name -> HAVING per supplier-part -> suppliers)")
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
