@@ -98,6 +98,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # driver-exercised via skew_key_report/corpus_report; pytest-oracled
         "profile_orders",
         "dq_audit_orders",
+        # Spark-4 recursive CTE (calendar spine); set-op/CTE families
+        # driver-exercised via cte_revenue_share/union_buckets siblings;
+        # pytest-oracled with byte-identical SQL on both engines
+        "recursive_date_spine",
         "q2_min_cost_supplier",
         "q12_priority_shipping",
         "q15_top_supplier",

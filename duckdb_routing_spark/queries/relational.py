@@ -1192,6 +1192,37 @@ ORDER BY s_name
 """
 
 
+RECURSIVE_SPINE_SPARK = """
+WITH RECURSIVE spine(d) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM spine WHERE d < DATE '1995-03-01'
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT CAST(s.d AS STRING) AS day, coalesce(n, 0) AS n_orders
+FROM spine s LEFT JOIN daily ON daily.d = s.d
+ORDER BY day
+"""
+# identical ANSI text both engines except the string type spelling
+RECURSIVE_SPINE_ORACLE = RECURSIVE_SPINE_SPARK.replace("AS STRING", "AS VARCHAR")
+
+
+@register("recursive_date_spine", oracle=RECURSIVE_SPINE_ORACLE,
+          doc="WITH RECURSIVE calendar spine (Spark 4 recursive CTE) zero-filling daily order counts")
+def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-SQL recursive CTE, executed BY SPARK (4.x UnionLoop — each
+    iteration is one distributed step off the previous frame; the engine
+    bounds depth via spark.sql.cteRecursionLevelLimit): the calendar-spine
+    warehouse pattern — generate every day in the window, left-join the
+    aggregated fact so zero-activity days appear explicitly. The DuckDB
+    oracle runs the same text (VARCHAR for STRING)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(RECURSIVE_SPINE_SPARK)
+
+
 def _profile_col_sql(c: str, kind: str) -> str:
     """One UNION ALL arm of the DuckDB profile oracle for column c."""
     if kind == "num":

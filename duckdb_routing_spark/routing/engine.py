@@ -73,6 +73,30 @@ def _graph_from_bc(bc) -> RoutingGraph:
     return g
 
 
+def _matrix_rows_local(g: RoutingGraph, src_lats, src_lons, dst) -> list[tuple]:
+    """The matrix kernel loop on a local graph object — the same
+    sssp_multi_target + path-distance semantics the distributed mapInPandas
+    path runs; values are identical because the kernels are shared."""
+    tgt_nodes = g.nearest_main_nodes(
+        np.asarray([lo for _, lo in dst]), np.asarray([la for la, _ in dst])
+    )
+    src_nodes = g.nearest_main_nodes(np.asarray(src_lons), np.asarray(src_lats))
+    rows: list[tuple] = []
+    for i, s in enumerate(src_nodes):
+        s = int(s)
+        if s < 0:
+            rows.extend((i, j, None, None) for j in range(len(dst)))
+            continue
+        w_ms, pred = kernels.sssp_multi_target(g, s, tgt_nodes)
+        for j, t in enumerate(tgt_nodes):
+            if t < 0 or w_ms[j] < 0:
+                rows.append((i, j, None, None))
+                continue
+            path = kernels.path_from_pred(pred, s, int(t))
+            rows.append((i, j, float(kernels.path_distance_m(g, path)), float(w_ms[j]) / 1000.0))
+    return rows
+
+
 def _resolve(broadcasts: dict, mode: str) -> RoutingGraph:
     # unknown modes fall back to 'auto', like get_router_for_mode
     # (rust/src/lib.rs:290-296)
@@ -632,6 +656,29 @@ class RoutingEngine:
         g0 = self._local.get(mode)
         if g0 is None:
             _resolve(broadcasts, costing)  # raises the canonical not-loaded error
+
+        # Small-matrix fast path: the service limit caps a matrix CALL at
+        # 2500 pairs (like the reference's generated valhalla.json), so the
+        # per-call work is bounded by n_origins x |graph|. When that product
+        # is small, fanning origins out through createDataFrame -> shuffle ->
+        # per-origin Python batches costs ~3x the SSSPs themselves — run the
+        # whole matrix as ONE lazy task against the executor-cached broadcast
+        # graph (same kernels, same values; still executed per action, never
+        # driver-eager). Origins-many-or-graph-huge calls (2500x1 on a
+        # country graph) still distribute below; unbounded OD workloads
+        # belong to batch_travel_time_s, not matrix().
+        if len(src_lats) * max(g0.num_nodes, 1) <= 20_000_000:
+            src = [(float(la), float(lo)) for la, lo in zip(src_lats, src_lons)]
+
+            def one_task(_it):
+                g = _resolve(broadcasts, costing)
+                return iter(
+                    _matrix_rows_local(g, [la for la, _ in src], [lo for _, lo in src], dst)
+                )
+
+            rdd = self.spark.sparkContext.parallelize([0], 1).mapPartitions(one_task)
+            return self.spark.createDataFrame(rdd, MATRIX_SCHEMA)
+
         tgt_nodes = g0.nearest_main_nodes(
             np.asarray([lo for _, lo in dst]), np.asarray([la for la, _ in dst])
         )
