@@ -149,8 +149,13 @@ def test_new_operator_plans_are_scale_shaped(spark):
             assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" not in plan, name
             continue
         assert "CartesianProduct" not in plan, f"{name} materializes the full pair space"
-    # the near-dup candidate joins are hash equi-joins on bucket keys
-    assert "SortMergeJoin" in plans["lsh_candidates"] or "ShuffledHashJoin" in plans["lsh_candidates"] or "BroadcastHashJoin" in plans["lsh_candidates"]
+    # LSH candidates: NO join at all — pairs generate row-locally inside
+    # (band, band_sig) buckets (one aggregate keyed on the bucket + a pair
+    # explode); the old self-join form computed the MinHash pipeline twice
+    # because its broadcast build side couldn't reuse the probe's exchange
+    assert "Join" not in plans["lsh_candidates"], "bucket pairing must not re-join the signature stream"
+    assert "hashpartitioning(band" in plans["lsh_candidates"]
+    assert "Generate" in plans["lsh_candidates"]  # the row-local pair explode
     assert "hashpartitioning" in plans["winnow"] or "Window" in plans["winnow"]
 
 
