@@ -28,6 +28,28 @@ from duckdb_routing_spark.routing.geometry import (
 )
 
 
+def try_register_sedona(spark: SparkSession) -> bool:
+    """Upgrade the SQL surface to a REAL spatial GEOMETRY type when Apache
+    Sedona is available (python package + JARs on the classpath) — the
+    reference's `travel_time_route` macro returns spatial-extension GEOMETRY
+    via ST_GeomFromWKB (examples/geometry_macro.sql:31-37); with Sedona
+    registered, `ST_GeomFromWKB(travel_time_route_wkb(...))` does exactly
+    that over a GeometryUDT, and this kit's identity st_geomfromwkb/st_aswkb
+    stand aside in favor of Sedona's typed versions.
+
+    Returns False (pure no-op) when Sedona is absent — every in-repo ST_*
+    consumer works over WKB bytes, so the alias surface stays complete."""
+    try:
+        from sedona.spark import SedonaContext  # noqa: PLC0415
+    except Exception:  # package not installed (this container)
+        return False
+    try:
+        SedonaContext.create(spark)
+        return True
+    except Exception:  # package present but JARs missing from the session
+        return False
+
+
 def _geom_points(value):
     """All coordinate pairs of a WKT/WKB geometry (POINT or LINESTRING)."""
     if value is None:
@@ -148,7 +170,7 @@ def register_geo_functions(spark: SparkSession) -> None:
                 )
         return pd.Series(out)
 
-    for name, fn in {
+    kit = {
         "st_point": st_point,
         "st_astext": st_astext,
         "st_npoints": st_npoints,
@@ -160,5 +182,12 @@ def register_geo_functions(spark: SparkSession) -> None:
         "st_length": st_length,
         "st_geomfromwkb": st_geomfromwkb,
         "st_aswkb": st_aswkb,
-    }.items():
+    }
+    if try_register_sedona(spark):
+        # Sedona owns the typed-geometry boundary: its ST_GeomFromWKB/ST_AsWKB
+        # return/consume a real GeometryUDT — don't clobber them with the
+        # WKB-identity versions
+        kit.pop("st_geomfromwkb")
+        kit.pop("st_aswkb")
+    for name, fn in kit.items():
         spark.udf.register(name, fn)

@@ -159,6 +159,30 @@ def cosine_topk(
     scored = corpus.select(*ccols).mapInPandas(
         score_batches, f"query_id {q_id_t}, vec_id {c_id_t}, cosine double"
     )
+    out_schema = f"query_id {q_id_t}, vec_id {c_id_t}, cosine double, rank int"
+    if nq <= 64:
+        # small query set: the candidate pool is ≤ n_batches x nq x k rows —
+        # re-rank it in ONE pandas task after a 1-partition shuffle
+        # (repartition, NOT coalesce: coalesce would collapse the parallel
+        # corpus scan upstream). This replaces window + orderBy, whose
+        # range-exchange SAMPLING pass executes the whole scoring pipeline a
+        # second time just to pick output partition bounds — the fold halves
+        # the job count (measured ~0.3 -> ~0.15 s at sf0.1).
+        def rerank(batches):
+            pdfs = [p for p in batches if len(p)]
+            if not pdfs:
+                return
+            allp = pd.concat(pdfs, ignore_index=True).sort_values(
+                ["query_id", "cosine", "vec_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            allp["rank"] = (allp.groupby("query_id").cumcount() + 1).astype("int32")
+            yield allp[allp["rank"] <= k].reset_index(drop=True)
+
+        return scored.repartition(1).mapInPandas(rerank, out_schema)
+
+    # many queries: distribute the re-rank per query key
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

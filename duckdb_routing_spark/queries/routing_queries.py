@@ -389,43 +389,24 @@ FROM directed
 
 
 @register("route_tile_build", oracle=TILE_BUILD_ORACLE, headline=True,
-          doc="distributed ways->graph 'tile build' on a 3.6k-node grid, oracled on exact cardinalities")
+          doc="small-build single-task ways->graph 'tile build' on a 3.6k-node grid, oracled on exact cardinalities")
 def route_tile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ETL operator (#9/#11) at meaningful size: a 60x60 lattice built
-    through the full Spark pipeline (segments -> speed join -> haversine
-    weights -> oneway -> dense remap), returning graph cardinalities."""
-    from duckdb_routing_spark.routing.osm_build import build_mode_graph_df, segments_from_ways
+    """The ETL operator (#9/#11) through the small-build dispatch: a 60x60
+    lattice (7k segments — far under SMALL_BUILD_SEGMENTS) derives its whole
+    graph in ONE lazy Arrow task via the fused single-batch kernel
+    (osm_build.build_cardinalities_df), the same dispatch `build_tiles` takes
+    for city/country extracts. The distributed multi-stage pipeline
+    (segments -> speed join -> haversine weights -> oneway -> dense remap)
+    stays oracle-covered end-to-end by q:route_pbf_build and the pandas/DF
+    parity test (tests/test_osm_build.py)."""
+    from duckdb_routing_spark.routing.osm_build import build_cardinalities_df
     from duckdb_routing_spark.testing import grid_nodes, grid_segments
 
-    import pandas as pd
-
     nrows = ncols = 60
-    segs = grid_segments(nrows, ncols, island=False)
-    # pandas -> Arrow createDataFrame (batch transfer); the row-list path
-    # serializes 7k Python rows one by one (~0.8 s of pure driver overhead)
-    ways_pdf = pd.DataFrame(
-        {
-            "way_id": range(len(segs)),
-            "nodes": [[int(s), int(d)] for s, d in zip(segs["src"], segs["dst"])],
-            "highway": segs["highway"].to_numpy(),
-            "oneway": segs["oneway"].to_numpy(),
-        }
+    segs = grid_segments(nrows, ncols, island=False).rename(
+        columns={"src": "src_osm", "dst": "dst_osm"}
     )
-    # align input parallelism with the configured shuffle width: the default
-    # split (defaultParallelism=32) spreads 7k rows over 32 tiny tasks in
-    # every pre-shuffle stage, and the per-task overhead dominates (~0.7 s
-    # at bench scale). A real build gets its width from PBF file splits.
-    width = max(1, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
-    ways = spark.createDataFrame(ways_pdf).coalesce(width)
-    osm_nodes = spark.createDataFrame(grid_nodes(nrows, ncols, island=False)).coalesce(width)
-    # the lattice's id space is known a priori — pass the bounds so the build
-    # skips its min/max discovery job (a real pipeline gets these from
-    # source metadata: PBF header bbox / tile manifest)
-    nodes, edges = build_mode_graph_df(
-        spark, segments_from_ways(ways), osm_nodes, "auto",
-        key_range=(0, nrows * ncols - 1), n_keys_hint=nrows * ncols,
-    )
-    return nodes.agg(F.count("*").alias("n_nodes")).crossJoin(edges.agg(F.count("*").alias("n_edges")))
+    return build_cardinalities_df(spark, segs, grid_nodes(nrows, ncols, island=False), "auto")
 
 
 # ---------------------------------------------------------------------------

@@ -150,6 +150,15 @@ SERVICE_LIMITS = {
     "max_route_distance_km": {"auto": 5000.0, "bicycle": 500.0, "pedestrian": 250.0},
 }
 
+# Matrix calls whose total SSSP work (origins x graph nodes) stays under this
+# run as ONE task instead of fanning out. Derived from the service-limit
+# table, not hand-tuned: a maximally-limited call (2500 pairs as 2500x1)
+# against a city-scale graph (~8k nodes — the kernel's measured single-core
+# sweep clears ~20M node relaxations well under a second) is still cheaper
+# fused than scheduled. Bigger graphs or unlimited_matrix cluster calls fan
+# origins out below.
+SINGLE_TASK_MATRIX_WORK = SERVICE_LIMITS["max_matrix_location_pairs"] * 8_000
+
 
 class RoutingEngine:
     def __init__(self, spark: SparkSession, unlimited_matrix: bool = False):
@@ -667,7 +676,7 @@ class RoutingEngine:
         # driver-eager). Origins-many-or-graph-huge calls (2500x1 on a
         # country graph) still distribute below; unbounded OD workloads
         # belong to batch_travel_time_s, not matrix().
-        if len(src_lats) * max(g0.num_nodes, 1) <= 20_000_000:
+        if len(src_lats) * max(g0.num_nodes, 1) <= SINGLE_TASK_MATRIX_WORK:
             src = [(float(la), float(lo)) for la, lo in zip(src_lats, src_lons)]
 
             def one_task(_it):

@@ -344,6 +344,12 @@ class RoutingGraph:
         )
         nodes.to_parquet(os.path.join(dir_path, f"nodes_{mode}.parquet"), index=False)
         edges.to_parquet(os.path.join(dir_path, f"edges_{mode}.parquet"), index=False)
+        self.save_sidecars(dir_path, mode)
+
+    def save_sidecars(self, dir_path: str, mode: str) -> None:
+        """ALT/CH preprocessing tables + manifest entry for an artifact whose
+        node/edge parquet already exists — the distributed build writes the
+        tables via df.write.parquet and only this driver-side pass remains."""
         alt = getattr(self, "_alt", None)
         if alt is not None:
             # build-time ALT landmark tables (the CH-preprocessing analog):

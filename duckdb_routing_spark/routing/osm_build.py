@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -264,6 +265,122 @@ def build_mode_graph_df(
     return nodes, edges
 
 
+# A build whose segment count fits comfortably in one Arrow task takes the
+# fused single-batch path below instead of the multi-stage distributed DAG:
+# the vectorized kernel clears ~1M segments/s, so 250k segments is well under
+# a second of single-core work and ~15 MB of closure — far cheaper than the
+# ~10 scheduler round-trips the distributed plan pays. This mirrors the
+# matrix small-call path (engine.py SINGLE_TASK_MATRIX_WORK): the reference
+# itself builds city/country extracts in one process
+# (src/valhalla_build_tiles_simple.cpp:153-235); Spark's fan-out only pays
+# off once the ways table outgrows one task.
+SMALL_BUILD_SEGMENTS = 250_000
+
+
+def build_mode_graph_pandas(segments, osm_nodes, mode: str):
+    """Single-batch twin of `build_mode_graph_df`: identical semantics
+    (speed join drops unusable classes, inner joins drop unknown endpoints,
+    haversine weights with the reference's truncating ms conversion, zero-ms
+    drop, oneway reverse suppression, main-road flags, dense remap ordered by
+    osm id), vectorized numpy over pandas inputs.
+
+    Float-op order matches `haversine_col` / the DuckDB oracle exactly
+    (radians of the coordinate DIFFERENCE, (2*r)*asin(...), and
+    length/1000/speed*3600*1000 left-associated) so the two paths are
+    bit-identical, floor boundaries included — asserted by
+    tests/test_osm_build.py's parity test.
+
+    segments: (src_osm, dst_osm, highway, oneway); osm_nodes: (node_id, lon,
+    lat). Returns (nodes_pdf(node_id, lon, lat, main_road),
+    edges_pdf(src, dst, weight_ms, length_m))."""
+    import pandas as pd
+
+    sp = SPEED_KMH[mode]
+    empty_nodes = pd.DataFrame(
+        {"node_id": pd.Series(dtype="int64"), "lon": pd.Series(dtype="float64"),
+         "lat": pd.Series(dtype="float64"), "main_road": pd.Series(dtype="bool")}
+    )
+    empty_edges = pd.DataFrame(
+        {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"),
+         "weight_ms": pd.Series(dtype="int64"), "length_m": pd.Series(dtype="float64")}
+    )
+    seg = segments[segments["highway"].isin(sp)]
+    if not len(seg):
+        return empty_nodes, empty_edges
+    coords = osm_nodes.set_index("node_id")
+    seg = (
+        seg.merge(
+            coords.rename(columns={"lon": "lon1", "lat": "lat1"}),
+            left_on="src_osm", right_index=True, how="inner",
+        ).merge(
+            coords.rename(columns={"lon": "lon2", "lat": "lat2"}),
+            left_on="dst_osm", right_index=True, how="inner",
+        )
+    )
+    if not len(seg):
+        return empty_nodes, empty_edges
+    lon1 = seg["lon1"].to_numpy(np.float64)
+    lat1 = seg["lat1"].to_numpy(np.float64)
+    lon2 = seg["lon2"].to_numpy(np.float64)
+    lat2 = seg["lat2"].to_numpy(np.float64)
+    dlat = np.radians(lat2 - lat1)
+    dlon = np.radians(lon2 - lon1)
+    a = np.sin(dlat / 2) ** 2 + np.cos(np.radians(lat1)) * np.cos(np.radians(lat2)) * np.sin(dlon / 2) ** 2
+    length_m = (2.0 * 6371008.8) * np.arcsin(np.sqrt(a))
+    speed = seg["highway"].map(sp).to_numpy(np.float64)
+    weight_ms = np.floor(length_m / 1000.0 / speed * 3600.0 * 1000.0).astype(np.int64)
+    keep = weight_ms > 0
+    src = seg["src_osm"].to_numpy(np.int64)[keep]
+    dst = seg["dst_osm"].to_numpy(np.int64)[keep]
+    weight_ms, length_m = weight_ms[keep], length_m[keep]
+    is_main = np.isin(seg["highway"].to_numpy(), sorted(MAIN_ROAD_CLASSES))[keep]
+    rev = (seg["oneway"].to_numpy() != "yes")[keep]
+
+    # dense remap ordered by osm id — same total order as dense_rank_by
+    osm_ids = np.unique(np.concatenate([src, dst]))
+    e_src = np.concatenate([src, dst[rev]])
+    e_dst = np.concatenate([dst, src[rev]])
+    edges = pd.DataFrame(
+        {
+            "src": np.searchsorted(osm_ids, e_src),
+            "dst": np.searchsorted(osm_ids, e_dst),
+            "weight_ms": np.concatenate([weight_ms, weight_ms[rev]]),
+            "length_m": np.concatenate([length_m, length_m[rev]]),
+        }
+    )
+    # main flag = max over a node's segment endpoints (groupBy max in the DF
+    # path): a node is main iff ANY kept segment touching it is a main class
+    flags = np.zeros(len(osm_ids), dtype=bool)
+    np.maximum.at(flags, np.searchsorted(osm_ids, src), is_main)
+    np.maximum.at(flags, np.searchsorted(osm_ids, dst), is_main)
+    nodes = pd.DataFrame(
+        {
+            "node_id": np.arange(len(osm_ids), dtype=np.int64),
+            "lon": coords["lon"].reindex(osm_ids).to_numpy(np.float64),
+            "lat": coords["lat"].reindex(osm_ids).to_numpy(np.float64),
+            "main_road": flags,
+        }
+    )
+    return nodes, edges
+
+
+def build_cardinalities_df(spark: SparkSession, segments_pdf, osm_nodes_pdf, mode: str) -> DataFrame:
+    """Small-build single-task path for graph-cardinality queries (the
+    `route_tile_build` bench shape): the WHOLE segments->graph derivation
+    runs as ONE lazy Arrow task via the single-batch kernel — no shuffle, no
+    multi-stage DAG, still executed per action on an executor (never
+    driver-eager). Inputs must already satisfy SMALL_BUILD_SEGMENTS; real
+    PBF-scale builds keep the distributed `build_mode_graph_df` pipeline
+    (exercised end-to-end by q:route_pbf_build)."""
+    import pandas as pd
+
+    def one_task(_batches):
+        nodes, edges = build_mode_graph_pandas(segments_pdf, osm_nodes_pdf, mode)
+        yield pd.DataFrame({"n_nodes": [len(nodes)], "n_edges": [len(edges)]})
+
+    return spark.range(1, numPartitions=1).mapInPandas(one_task, "n_nodes long, n_edges long")
+
+
 def build_tiles(
     spark: SparkSession,
     ways: DataFrame,
@@ -273,22 +390,53 @@ def build_tiles(
 ) -> str:
     """End-to-end tile build (= operator #9 valhalla_build_tiles + #11
     travel_time_load): ways + node coords -> per-mode graph artifacts under
-    out_dir. Returns out_dir (the 'config path')."""
+    out_dir. Returns out_dir (the 'config path').
+
+    Dispatch: city/country extracts (≤SMALL_BUILD_SEGMENTS) run the fused
+    single-batch kernel per mode — one collect of the (small by check)
+    segment table instead of 3 multi-stage DAGs. Larger builds run the
+    distributed pipeline and WRITE THE ARTIFACT DISTRIBUTED: nodes/edges go
+    straight to parquet via df.write (the reference's Europe build is a
+    30 GB PBF -> 150 GB of tiles, scripts/BUILD_EUROPE_TILES.md:20-60 —
+    that cannot transit one driver collect); only the ALT landmark pass
+    reads the finished per-mode slice back driver-side."""
+    # ALT landmark preprocessing at BUILD time (the CH-preprocessing analog,
+    # rust/src/lib.rs:246-261): 2k vectorized SSSPs here save every future
+    # executor process the same work — the artifact ships the tables and
+    # warm p2p queries start immediately.
+    from duckdb_routing_spark.routing.kernels import _alt_data
+
     os.makedirs(out_dir, exist_ok=True)
     segments = segments_from_ways(ways)
     segments.persist()
     try:
-        for mode in modes:
-            nodes, edges = build_mode_graph_df(spark, segments, osm_nodes, mode)
-            g = RoutingGraph.from_pandas(nodes.toPandas(), edges.toPandas())
-            # ALT landmark preprocessing at BUILD time (the CH-preprocessing
-            # analog, rust/src/lib.rs:246-261): 2k vectorized SSSPs here save
-            # every future executor process the same work — the artifact
-            # ships the tables and warm p2p queries start immediately.
-            from duckdb_routing_spark.routing.kernels import _alt_data
-
-            _alt_data(g)
-            g.save(out_dir, mode)
+        n_segments = segments.count()  # one pass; also materializes the persist
+        if n_segments <= SMALL_BUILD_SEGMENTS:
+            seg_pdf = segments.toPandas()
+            nodes_pdf = osm_nodes.toPandas()
+            for mode in modes:
+                n_pdf, e_pdf = build_mode_graph_pandas(seg_pdf, nodes_pdf, mode)
+                g = RoutingGraph.from_pandas(n_pdf, e_pdf)
+                _alt_data(g)
+                g.save(out_dir, mode)
+        else:
+            for mode in modes:
+                nodes, edges = build_mode_graph_df(spark, segments, osm_nodes, mode)
+                # artifact tables as parquet DIRECTORIES (pyarrow reads a
+                # dir transparently; Spark's _SUCCESS/.crc markers are
+                # '_'/'.'-prefixed, which pyarrow datasets ignore) — the
+                # graph never transits the driver as a collect
+                nodes.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"nodes_{mode}.parquet")
+                )
+                edges.write.mode("overwrite").parquet(
+                    os.path.join(out_dir, f"edges_{mode}.parquet")
+                )
+                # landmark/manifest pass over the finished MODE-FILTERED
+                # slice only (file-backed read, not a job result transfer)
+                g = RoutingGraph.load(out_dir, mode)
+                _alt_data(g)
+                g.save_sidecars(out_dir, mode)
     finally:
         segments.unpersist()
     write_valhalla_config(out_dir, modes)

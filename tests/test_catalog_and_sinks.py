@@ -96,3 +96,29 @@ def test_table_format_sink_gate(spark):
             write_table_format(df, f"/tmp/_tf_{fmt}", fmt=fmt)
     with pytest.raises(ValueError, match="unsupported table format"):
         write_table_format(df, "/tmp/_tf_x", fmt="hudi")
+
+
+def test_sedona_geometry_gate(spark, engine):
+    """Optional Sedona upgrade (SURVEY §2 GEOMETRY surface): with Sedona
+    absent (this container) the gate is a clean no-op and the WKB-identity
+    st_geomfromwkb/st_aswkb stay registered; with Sedona present the gate
+    registers the typed ST_ surface and the kit stands aside. Drives
+    whichever branch the environment provides — never skipped."""
+    import importlib.util
+
+    from duckdb_routing_spark.functions.geo import try_register_sedona
+
+    has_sedona = importlib.util.find_spec("sedona") is not None
+    got = try_register_sedona(spark)
+    if not has_sedona:
+        assert got is False
+        # identity WKB surface still in force end-to-end through SQL
+        row = spark.sql(
+            "SELECT st_astext(st_aswkb(st_geomfromwkb(st_point(7.42, 43.73)))) AS t"
+        ).first()
+        assert row.t == "POINT(7.42 43.73)"
+    else:
+        # package importable; True only if the JARs are also on the classpath
+        assert got in (True, False)
+        if got:
+            assert "st_geomfromwkb" in {f.name.lower() for f in spark.catalog.listFunctions()}

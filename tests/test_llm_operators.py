@@ -186,10 +186,51 @@ def test_multimodal_pipeline(spark, docs):
     )
 
 
-def test_multimodal_real_decoder_raises(spark, docs):
-    media = multimodal.synthesize_media(docs.limit(5))
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
-        multimodal.extract_features(media, decoder="pil").collect()
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_multimodal_pil_decoder_gate(spark, docs):
+    """The 'pil' decoder is gated at RUNTIME: with PIL absent it raises the
+    documented NotImplementedError; with PIL present it really decodes —
+    this test drives whichever branch the environment provides, so the gate
+    has live coverage in both kinds of environments (never skipped)."""
+    if not _has_pil():
+        media = multimodal.synthesize_media(docs.limit(5))
+        with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+            multimodal.extract_features(media, decoder="pil").collect()
+        with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+            multimodal.perceptual_hash(media, decoder="pil").collect()
+        return
+
+    # real-codec branch: a genuine encoded image through the full pipeline
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    # deterministic gradient image (no randomness — stable phash)
+    import numpy as _np
+
+    arr = _np.outer(_np.arange(64, dtype=_np.uint8) * 4, _np.ones(64, dtype=_np.uint8))
+    Image.fromarray(arr, mode="L").save(buf, format="PNG")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(payload), (len(payload), 64, 64))], multimodal.MEDIA_SCHEMA
+    )
+    feats = multimodal.extract_features(media, decoder="pil").collect()
+    assert len(feats) == 1 and len(feats[0].feature) == multimodal.FEATURE_DIM
+    assert all(0.0 <= x <= 1.0 for x in feats[0].feature)
+    ph = multimodal.perceptual_hash(media, decoder="pil").collect()[0]
+    assert 0 <= ph.phash_hi < 2**32 and 0 <= ph.phash_lo < 2**32
+    # identical payloads collide — determinism of the real path
+    ph2 = multimodal.perceptual_hash(media, decoder="pil").collect()[0]
+    assert (ph.phash_hi, ph.phash_lo) == (ph2.phash_hi, ph2.phash_lo)
 
 
 def test_frame_sample(spark, docs):
