@@ -38,12 +38,43 @@ EXPECTED_SF01 = {
     "q5_local_supplier": 0.47,
     "q6_revenue_forecast": 0.12,
     "route_batch_throughput": 0.56,
-    "route_matrix": 0.74,
-    "route_tile_build": 0.30,
+    "route_matrix": 0.30,
+    "route_tile_build": 0.25,
     "route_travel_time": 0.36,
-    "sim_topk_cosine": 0.17,
+    "sim_topk_cosine": 0.33,
     "window_topk_orders": 0.43,
 }
+
+
+def _register_bucketed_facts(spark, sf_dir: str) -> None:
+    """Opt-in bucketed-layout mode (SPARK_GRAFT_BUCKETED=1): bucket
+    lineitem+orders by orderkey (32 buckets, sorted) into the local
+    warehouse and point the registry's table-override hook at the bucketed
+    tables — the SAME query code then plans bucketed sort-merge joins with
+    ZERO exchange on either fact side (tools/scale_study.py --bucketed
+    measures q3 at sf-derived-1 with no non-broadcast exchange). This is the
+    layout a 100 TB deployment bakes into its tables at write time; the
+    default bench keeps plain parquet so the number stays comparable to the
+    DuckDB baseline reading the same files. Setup cost is untimed (it is a
+    one-time write, not query work)."""
+    import shutil
+
+    from duckdb_routing_spark.queries.registry import register_table_override
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        name = f"{t}_bench_b"
+        # the in-memory catalog forgets tables across sessions while their
+        # files persist — clear and rebuild (cheap at bench scale)
+        shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+        (
+            spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            .write.mode("overwrite")
+            .bucketBy(32, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+        register_table_override(spark, sf_dir, t, spark.table(name))
 
 
 def main() -> None:
@@ -84,6 +115,10 @@ def main() -> None:
             "spark.shuffle.spill.compress": "false",
         },
     )
+
+    bucketed = os.environ.get("SPARK_GRAFT_BUCKETED", "") == "1"
+    if bucketed:
+        _register_bucketed_facts(spark, sf_dir)
 
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
 
@@ -220,6 +255,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf else sf_dir,
     }
+    if bucketed:
+        out["layout"] = "bucketed"
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -66,6 +66,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_label_col: str | None = None,
+    small_nq_threshold: int = 64,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, vec_id, cosine, rank).
 
@@ -159,31 +160,28 @@ def cosine_topk(
     scored = corpus.select(*ccols).mapInPandas(
         score_batches, f"query_id {q_id_t}, vec_id {c_id_t}, cosine double"
     )
-    out_schema = f"query_id {q_id_t}, vec_id {c_id_t}, cosine double, rank int"
-    if nq <= 64:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    if nq <= small_nq_threshold:
         # small query set: the candidate pool is ≤ n_batches x nq x k rows —
-        # re-rank it in ONE pandas task after a 1-partition shuffle
-        # (repartition, NOT coalesce: coalesce would collapse the parallel
-        # corpus scan upstream). This replaces window + orderBy, whose
-        # range-exchange SAMPLING pass executes the whole scoring pipeline a
-        # second time just to pick output partition bounds — the fold halves
-        # the job count (measured ~0.3 -> ~0.15 s at sf0.1).
-        def rerank(batches):
-            pdfs = [p for p in batches if len(p)]
-            if not pdfs:
-                return
-            allp = pd.concat(pdfs, ignore_index=True).sort_values(
-                ["query_id", "cosine", "vec_id"],
-                ascending=[True, False, True],
-                kind="mergesort",
-            )
-            allp["rank"] = (allp.groupby("query_id").cumcount() + 1).astype("int32")
-            yield allp[allp["rank"] <= k].reset_index(drop=True)
-
-        return scored.repartition(1).mapInPandas(rerank, out_schema)
+        # shuffle it to ONE partition and finish JVM-side (window + in-
+        # partition sort) instead of `orderBy`, whose range exchange runs a
+        # SAMPLING job that executes the whole scoring pipeline a second
+        # time just to pick output partition bounds. repartition, NOT
+        # coalesce: coalesce would collapse the parallel corpus scan
+        # upstream. (A pandas re-rank task here measures WORSE — a second
+        # Python stage costs more than the JVM window it replaces.)
+        return (
+            # hash-repartition ON THE WINDOW KEY: hashpartitioning(query_id, 1)
+            # satisfies the window's clustering requirement, so exactly one
+            # exchange appears in the plan (a bare repartition(1) is round-
+            # robin and Spark would add a second, key-hashed exchange)
+            scored.repartition(1, F.col("query_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .sortWithinPartitions("query_id", "rank")
+        )
 
     # many queries: distribute the re-rank per query key
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

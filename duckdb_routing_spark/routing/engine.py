@@ -679,14 +679,21 @@ class RoutingEngine:
         if len(src_lats) * max(g0.num_nodes, 1) <= SINGLE_TASK_MATRIX_WORK:
             src = [(float(la), float(lo)) for la, lo in zip(src_lats, src_lons)]
 
-            def one_task(_it):
+            def one_task(_batches):
                 g = _resolve(broadcasts, costing)
-                return iter(
-                    _matrix_rows_local(g, [la for la, _ in src], [lo for _, lo in src], dst)
+                rows = _matrix_rows_local(
+                    g, [la for la, _ in src], [lo for _, lo in src], dst
+                )
+                yield pd.DataFrame(
+                    rows, columns=["from_idx", "to_idx", "distance_m", "duration_s"]
                 )
 
-            rdd = self.spark.sparkContext.parallelize([0], 1).mapPartitions(one_task)
-            return self.spark.createDataFrame(rdd, MATRIX_SCHEMA)
+            # Arrow single-task shape (range -> mapInPandas), NOT
+            # parallelize + createDataFrame(rdd): the RDD path moves every
+            # row through py4j pickling and re-verification (~0.4 s of
+            # fixed overhead per action at bench scale); the Arrow batch
+            # is one buffer hand-off through the reused worker pool
+            return self.spark.range(1, numPartitions=1).mapInPandas(one_task, MATRIX_SCHEMA)
 
         tgt_nodes = g0.nearest_main_nodes(
             np.asarray([lo for _, lo in dst]), np.asarray([la for la, _ in dst])
