@@ -39,3 +39,36 @@ def test_bucketed_join_has_no_shuffle(warehouse, spark):
         assert joined.count() == 10_000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_bench_bucketed_override_value_parity(warehouse, spark):
+    """bench.py's SPARK_GRAFT_BUCKETED mode: overriding lineitem/orders with
+    bucketed catalog tables through the registry hook must not change query
+    VALUES (layout is a physical property), and the lineitem-orders join
+    must carry no fact-side exchange."""
+    import os
+
+    from bench import _register_bucketed_facts
+    from duckdb_routing_spark.queries import REGISTRY
+    from duckdb_routing_spark.queries.registry import _TABLE_CACHE
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    spec = REGISTRY["q3_shipping_priority"]
+    plain = [tuple(r) for r in spec.fn(spark, sf_dir).collect()]
+
+    _register_bucketed_facts(spark, sf_dir)
+    try:
+        bucketed_df = spec.fn(spark, sf_dir)
+        bucketed = [tuple(r) for r in bucketed_df.collect()]
+        assert bucketed == plain
+        plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+        # fact tables are bucket-scanned: no Exchange directly above either
+        # FileScan of the bucketed tables (the final sort/agg may still
+        # exchange its tiny input)
+        assert "Bucketed: true" in plan
+    finally:
+        # drop the overrides so later tests see plain parquet again
+        _TABLE_CACHE.get(spark, {}).pop((sf_dir, "lineitem"), None)
+        _TABLE_CACHE.get(spark, {}).pop((sf_dir, "orders"), None)
+        spark.sql("DROP TABLE IF EXISTS lineitem_bench_b")
+        spark.sql("DROP TABLE IF EXISTS orders_bench_b")
