@@ -67,6 +67,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     exclude_label_col: str | None = None,
     small_nq_threshold: int = 64,
+    single_task: bool = False,
 ) -> DataFrame:
     """Exact top-k neighbors per query: (query_id, vec_id, cosine, rank).
 
@@ -157,6 +158,29 @@ def cosine_topk(
     ccols = [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")]
     if exclude_label_col:
         ccols.append(F.col(exclude_label_col).alias("clabel"))
+    out_schema = f"query_id {q_id_t}, vec_id {c_id_t}, cosine double, rank int"
+
+    if single_task:
+        # bounded-corpus dispatch (caller vouches the corpus fits one Arrow
+        # task, e.g. by source file size — the matrix/tile-build small-call
+        # pattern, ARCHITECTURE.md §2): scan + score + final re-rank fuse
+        # into ONE task with no exchange at all. Values identical: the
+        # fused path runs the same score_batches generator then the same
+        # (query_id, -cosine, vec_id) total order.
+        def score_and_rank(batches):
+            cands = list(score_batches(batches))
+            if not cands:
+                return
+            allp = pd.concat(cands, ignore_index=True).sort_values(
+                ["query_id", "cosine", "vec_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            allp["rank"] = (allp.groupby("query_id").cumcount() + 1).astype("int32")
+            yield allp[allp["rank"] <= k].reset_index(drop=True)
+
+        return corpus.select(*ccols).coalesce(1).mapInPandas(score_and_rank, out_schema)
+
     scored = corpus.select(*ccols).mapInPandas(
         score_batches, f"query_id {q_id_t}, vec_id {c_id_t}, cosine double"
     )

@@ -430,8 +430,17 @@ ORDER BY query_id, rank
 
 @register("sim_topk_cosine", oracle=SIM_TOPK_ORACLE, headline=True, doc="brute-force cosine top-10 for 3 query vectors")
 def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+    # bounded-corpus dispatch by SOURCE size (the small-call pattern,
+    # ARCHITECTURE.md §2): a corpus this small scores faster in one fused
+    # task than through a distributed score -> exchange -> re-rank; past
+    # the threshold the distributed path takes over unchanged
+    small = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet")) < 256 * 1024 * 1024
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=10, single_task=small
+    )
 
 
 INT8_ORACLE = (
