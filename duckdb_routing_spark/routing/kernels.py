@@ -248,7 +248,30 @@ def _alt_data(g: RoutingGraph, k: int = 8):
     )
     dist_to = np.stack([sssp_frontier_ms(rg, L) for L in lms])
     g._alt = (dist_from, dist_to)
+    # fault the per-query scratch pages ONCE at prep time so the first
+    # warm query doesn't bill them (measured ~0.9 s of first-touch at 250k)
+    _alt_scratch(g, dist_from.shape)
     return g._alt
+
+
+def _alt_scratch(g: RoutingGraph, shape):
+    """Preallocated buffers for the per-query ALT h computation, cached on
+    the graph object (lives with the executor's broadcast copy). fill()
+    touches every page at allocation so queries never pay first-fault."""
+    cached = getattr(g, "_alt_scratch_buf", None)
+    if cached is not None and cached[0].shape == shape:
+        return cached
+    k, n = shape
+    t1 = np.empty(shape, dtype=np.int64)
+    t2 = np.empty(shape, dtype=np.int64)
+    m1 = np.empty(shape, dtype=bool)
+    hmax = np.empty(n, dtype=np.int64)
+    t1.fill(0)
+    t2.fill(0)
+    m1.fill(False)
+    hmax.fill(0)
+    g._alt_scratch_buf = (t1, t2, m1, hmax)
+    return g._alt_scratch_buf
 
 
 def astar_p2p_path(g: RoutingGraph, src: int, dst: int):
@@ -294,9 +317,27 @@ def astar_p2p_path(g: RoutingGraph, src: int, dst: int):
     # pass ever dominates. Landmarks that cannot reach dst (or that dst
     # cannot reach) contribute no bound — masked to 0, never +inf: the
     # search itself proves unreachability.
-    a = np.where((df_t != _INF) & (dist_from != _INF), df_t - dist_from, 0)
-    b = np.where((dt_t != _INF) & (dist_to != _INF), dist_to - dt_t, 0)
-    h = np.maximum(a.max(axis=0), b.max(axis=0)).clip(min=0).astype(np.float64)
+    #
+    # All work happens in PREALLOCATED per-graph scratch (out= ops): the
+    # naive expression allocated ~5x k*n of temporaries per query, whose
+    # first-touch page faults cost more than the search itself on a fresh
+    # process (measured 0.9 s cold vs 0.05 s warm at 250k nodes) — and at
+    # 10M-node country scale would be GBs of allocation per query.
+    t1, t2, m1, hmax = _alt_scratch(g, dist_from.shape)
+    np.subtract(df_t, dist_from, out=t1)
+    np.equal(dist_from, _INF, out=m1)
+    t1[m1] = 0
+    t1[(df_t == _INF).ravel(), :] = 0  # k-length row mask, no k*n temp
+    np.subtract(dist_to, dt_t, out=t2)
+    np.equal(dist_to, _INF, out=m1)
+    t2[m1] = 0
+    t2[(dt_t == _INF).ravel(), :] = 0
+    t1.max(axis=0, out=hmax)
+    np.maximum(hmax, t2.max(axis=0), out=hmax)
+    np.clip(hmax, 0, None, out=hmax)
+    # exact integer ms in a float view is unnecessary — heap arithmetic
+    # stays in int64 (values < 2^53, comparisons identical)
+    h = hmax
 
     indptr, indices, weights = g.indptr, g.indices, g.weights_ms
     inf = np.inf
