@@ -330,3 +330,83 @@ def cms_frequency_filter(
         .withColumnRenamed(fact_key, probe_key)
     )
     return probes.join(exact, probe_key)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: exact top-k and mergeable Misra-Gries summaries
+# ---------------------------------------------------------------------------
+
+
+def topk_frequent(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
+    """Exact top-k most frequent keys: (key, n, rank), rank ties broken by
+    key ascending so the result is total-ordered and hash-oracle-able.
+
+    One hash-partition aggregate, then orderBy().limit(k) — Catalyst
+    compiles that to TakeOrderedAndProject (per-partition top-k heaps, no
+    global sort, no single-partition exchange of the count table, which for
+    shingle-like keys can itself be huge). The rank column is assigned over
+    the k surviving rows only. This is the baseline the MG sketch below is
+    property-tested against."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(k)
+    w = Window.orderBy(F.desc("n"), F.asc("key"))
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+def mg_summaries(df: DataFrame, key_col: str, capacity: int = 1024) -> DataFrame:
+    """Per-partition Misra-Gries frequency summaries: (key, w) with at most
+    `capacity` rows PER PARTITION — the mergeable heavy-hitters sketch
+    (Misra & Gries 1982; merge rule per Agarwal et al., "Mergeable
+    Summaries", PODS'12).
+
+    100 TB posture: a raw groupBy over a high-cardinality key (URLs,
+    shingles, n-grams) shuffles every distinct key; MG caps map-side state
+    at `capacity` entries per partition and the merged table at
+    partitions x capacity rows, with the classic guarantee
+    true_n - N/(capacity+1) <= sum(w) <= true_n for every key (N = total
+    rows). With capacity >= the partition's distinct-key count the summary
+    is EXACT (no decrements) — which is what makes the small-scale oracle
+    byte-checkable.
+
+    Decrement rule on overflow (per Arrow batch): subtract the
+    (capacity+1)-th largest weight from every entry and drop the non-
+    positive ones — the batched equivalent of MG's unit decrements. The
+    summary depends on batch boundaries only through WHICH lower bounds are
+    kept; the bound above holds regardless."""
+    import pandas as pd
+
+    def summarize(batches):
+        acc: dict = {}
+        for pdf in batches:
+            vc = pdf[key_col].value_counts(dropna=True)
+            for key, n in vc.items():
+                acc[key] = acc.get(key, 0) + int(n)
+            if len(acc) > capacity:
+                # batched MG decrement: remove the smallest weights' mass
+                cut = sorted(acc.values(), reverse=True)[capacity]
+                acc = {key: n - cut for key, n in acc.items() if n > cut}
+        if acc:
+            yield pd.DataFrame({"key": list(acc.keys()), "w": list(acc.values())})
+
+    key_t = df.schema[key_col].dataType.simpleString()
+    return df.select(key_col).mapInPandas(summarize, f"key {key_t}, w long")
+
+
+def topk_frequent_sketch(
+    df: DataFrame, key_col: str, k: int = 20, capacity: int = 1024
+) -> DataFrame:
+    """Approximate top-k via merged MG summaries: (key, w, rank) where w is
+    a LOWER bound on the true count (within N/(capacity+1) of it).
+
+    The merge is one groupBy-sum over <= partitions x capacity rows — the
+    only shuffle, sketch-sized regardless of key cardinality. Exact when
+    every partition's distinct-key count fits `capacity` (tested against
+    :func:`topk_frequent`)."""
+    from pyspark.sql import Window
+
+    merged = mg_summaries(df, key_col, capacity).groupBy("key").agg(F.sum("w").alias("w"))
+    top = merged.orderBy(F.desc("w"), F.asc("key")).limit(k)  # TakeOrderedAndProject
+    w = Window.orderBy(F.desc("w"), F.asc("key"))
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")

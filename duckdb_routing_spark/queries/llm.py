@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_routing_spark.operators import dedup, similarity, text
+from duckdb_routing_spark.operators import dedup, similarity, sketch, text
 from duckdb_routing_spark.queries.registry import register, table
 
 # shared oracle CTE: distinct word-3-gram shingles per doc
@@ -173,6 +173,34 @@ SELECT doc_id,
 FROM documents
 ORDER BY doc_id
 """
+
+
+TOPK_TOKENS_ORACLE = """
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS key FROM documents
+),
+counts AS (SELECT key, count(*) AS n FROM toks WHERE key <> '' GROUP BY key)
+SELECT key, n, rank FROM (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rank FROM counts
+) WHERE rank <= 20
+ORDER BY rank
+"""
+
+
+@register("doc_topk_tokens", oracle=TOPK_TOKENS_ORACLE,
+          doc="exact top-20 most frequent tokens (heavy hitters baseline; MG sketch twin pytest-oracled)")
+def doc_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the corpus vocabulary: groupBy count + distributed
+    TakeOrderedAndProject top-k (no global sort, no single-partition count
+    exchange). The bounded-state Misra-Gries twin
+    (sketch.topk_frequent_sketch) is the 100 TB path for shingle-scale key
+    spaces and is tested equal to this exact baseline when capacity covers
+    the per-partition vocabulary."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return sketch.topk_frequent(toks, "tok", k=20)
 
 
 @register("doc_token_stats", oracle=TOKEN_STATS_ORACLE, doc="whitespace + BPE-ish regex token counts per doc")

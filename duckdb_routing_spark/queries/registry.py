@@ -78,6 +78,11 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "dedup_simhash",
         "dedup_simhash64_pairs",
         "doc_contamination",
+        # exact heavy-hitters (TakeOrderedAndProject top-k over a count
+        # agg); frequency family driver-exercised via doc_token_stats +
+        # dedup_exact_stats; the Misra-Gries sketch twin is pytest-oracled
+        # against it (test_sketch.py)
+        "doc_topk_tokens",
         "doc_temperature_sample",
         "doc_repetition",
         "doc_stats",

@@ -227,3 +227,51 @@ def test_cms_frequency_filter_result_identical_and_no_misses(spark, keys):
                                            depth=2, width=32).collect()
     }
     assert got_tiny == {k for k, _ in want}
+
+
+def test_topk_frequent_sketch_exact_when_capacity_covers(spark):
+    """With capacity >= per-partition distinct keys the MG summaries make
+    no decrements, so the sketch top-k equals the exact baseline
+    byte-for-byte (keys, counts, ranks)."""
+    from duckdb_routing_spark.operators.sketch import topk_frequent, topk_frequent_sketch
+
+    rows = [(f"k{i % 37}",) for i in range(5000)] + [("hot",)] * 500 + [("warm",)] * 100
+    df = spark.createDataFrame(rows, "tok string").repartition(4)
+    exact = [(r.key, r.n, r.rank) for r in topk_frequent(df, "tok", k=10).collect()]
+    approx = [(r.key, r.w, r.rank) for r in topk_frequent_sketch(df, "tok", k=10, capacity=64).collect()]
+    assert approx == exact
+    assert exact[0][0] == "hot" and exact[0][1] == 500
+
+
+def test_mg_summaries_bounded_state_and_error(spark):
+    """Capped capacity: per-partition summaries never exceed `capacity`
+    rows, merged weights are LOWER bounds, and every key's underestimate is
+    within the classic N/(capacity+1) Misra-Gries bound."""
+    from duckdb_routing_spark.operators.sketch import mg_summaries
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # zipf-ish skew over 2000 distinct keys, 40k rows
+    keys = [f"k{int(z)}" for z in rng.zipf(1.3, 40_000) % 2000]
+    df = spark.createDataFrame([(k,) for k in keys], "tok string").repartition(4)
+    capacity = 128
+    summaries = mg_summaries(df, "tok", capacity=capacity)
+    per_part = (
+        df.rdd.getNumPartitions()
+    )
+    rows = summaries.collect()
+    assert len(rows) <= per_part * capacity
+    merged = {}
+    for r in rows:
+        merged[r.key] = merged.get(r.key, 0) + r.w
+    true = {}
+    for k in keys:
+        true[k] = true.get(k, 0) + 1
+    bound = len(keys) / (capacity + 1)
+    for k, w in merged.items():
+        assert w <= true[k], f"overestimate for {k}"
+        assert true[k] - w <= bound
+    # the heavy head survives the cap
+    top_true = max(true, key=lambda k: true[k])
+    assert top_true in merged
