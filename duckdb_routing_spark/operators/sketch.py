@@ -349,7 +349,13 @@ def topk_frequent(df: DataFrame, key_col: str, k: int = 20) -> DataFrame:
     property-tested against."""
     from pyspark.sql import Window
 
-    counts = df.groupBy(F.col(key_col).alias("key")).agg(F.count(F.lit(1)).alias("n"))
+    # NULL keys are dropped, matching the MG summaries (value_counts
+    # dropna) so the exact and sketch twins agree on any input
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     top = counts.orderBy(F.desc("n"), F.asc("key")).limit(k)
     w = Window.orderBy(F.desc("n"), F.asc("key"))
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")

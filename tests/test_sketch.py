@@ -275,3 +275,17 @@ def test_mg_summaries_bounded_state_and_error(spark):
     # the heavy head survives the cap
     top_true = max(true, key=lambda k: true[k])
     assert top_true in merged
+
+
+def test_topk_frequent_twins_agree_on_null_keys(spark):
+    """NULL keys: both the exact and MG paths drop them, so the twins agree
+    on inputs with missing values (SQL GROUP BY would keep a NULL group —
+    the frequency operator's contract is explicit about dropping it)."""
+    from duckdb_routing_spark.operators.sketch import topk_frequent, topk_frequent_sketch
+
+    rows = [("a",)] * 5 + [("b",)] * 3 + [(None,)] * 10 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "tok string").repartition(2)
+    exact = [(r.key, r.n) for r in topk_frequent(df, "tok", k=5).collect()]
+    approx = [(r.key, r.w) for r in topk_frequent_sketch(df, "tok", k=5, capacity=16).collect()]
+    assert exact == [("a", 5), ("b", 3), ("c", 1)]
+    assert approx == exact
