@@ -21,12 +21,18 @@ def test_alt_astar_scales_to_quarter_million_nodes():
     pairs = [(0, g.num_nodes - 1), (0, g.num_nodes // 2), (499, 250_000 - 500)]
     t_uni = t_alt = 0.0
     for s, t in pairs:
-        t0 = time.perf_counter()
-        w_uni, _ = kernels.dijkstra_p2p_path(g, s, t)
-        t_uni += time.perf_counter() - t0
-        t0 = time.perf_counter()
-        w_alt, path = kernels.astar_p2p_path(g, s, t)
-        t_alt += time.perf_counter() - t0
+        # per-pair best-of-2 on BOTH sides: an outside-load burst poisons
+        # one run, not the ratio (this host shows multi-second bursts)
+        d_uni = d_alt = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            w_uni, _ = kernels.dijkstra_p2p_path(g, s, t)
+            d_uni = min(d_uni, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            w_alt, path = kernels.astar_p2p_path(g, s, t)
+            d_alt = min(d_alt, time.perf_counter() - t0)
+        t_uni += d_uni
+        t_alt += d_alt
         assert w_alt == w_uni
         assert path[0] == s and path[-1] == t
     # preprocessing amortizes: it must stay cheaper than a handful of
