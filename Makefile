@@ -1,6 +1,6 @@
 PY ?= python
 
-.PHONY: test test-fast parity parity-sf01 bench smoke driver-check baseline scale-study
+.PHONY: test test-fast parity parity-sf01 bench bench-bucketed smoke driver-check baseline scale-study ratio
 
 driver-check:
 	$(PY) tools/driver_emulation.py
@@ -32,3 +32,9 @@ s = importlib.util.spec_from_file_location('e', '__spark_entry__.py'); \
 m = importlib.util.module_from_spec(s); s.loader.exec_module(m); \
 from duckdb_routing_spark.session import get_spark; \
 print(m.entry(get_spark(master='local[4]', shuffle_partitions=4)).count(), 'rows')"
+
+ratio:
+	$(PY) tools/ratio.py
+
+bench-bucketed:
+	SPARK_GRAFT_BUCKETED=1 $(PY) bench.py
