@@ -92,3 +92,79 @@ def temperature_sample(
         .filter(bucket.cast("double") < F.col("_rate") * SPLIT_BUCKETS)
         .drop("_rate")
     )
+
+
+def mix_weights_plan(weights: dict[str, float], default_weight: float = 1.0) -> dict[str, tuple[int, int]]:
+    """Resolve epoch weights to exact integer plans: weight w becomes
+    (floor(w) whole epochs, round(frac(w) * 10k) hash-bucket threshold for
+    the one fractional epoch). Working in integers keeps Spark and the
+    DuckDB oracle bit-identical — no float comparisons cross the engine
+    boundary."""
+    plan = {}
+    for s, w in {**weights, None: default_weight}.items():
+        if w < 0:
+            raise ValueError(f"negative mixture weight for {s!r}: {w}")
+        reps = int(w + 1e-9)
+        frac = int(round((w - reps) * SPLIT_BUCKETS))
+        plan[s] = (reps, frac)
+    return plan
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    default_weight: float = 1.0,
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Mixture resampling WITH repetition — the pretraining data-mixture
+    operator (sample source s for `weights[s]` epochs: 2.5 means every row
+    twice plus a deterministic half of rows a third time; 0.3 keeps a 30%
+    subset; 0 drops the source). Adds an `epoch` column (1..n_copies) so
+    downstream exact-dedup / sharding can tell the copies apart.
+
+    Unlike temperature_sample (downsample-only), this implements the
+    up-sampling mixtures real pretraining runs use (rare high-quality
+    sources repeated for multiple epochs). Per-row copy counts are a pure
+    function of (key, salt, source weight): retry-safe, and reproduced
+    bit-for-bit by the DuckDB oracle's generate_series lateral.
+
+    100 TB shape: zero shuffle — a when-chain resolves the per-source plan,
+    sequence+explode is row-local, and dropped rows never leave the scan
+    (explode of an empty array eliminates them). Row expansion is bounded
+    by max(weights), which the caller controls."""
+    plan = mix_weights_plan(weights, default_weight)
+    d_reps, d_frac = plan.pop(None)
+    reps_expr, frac_expr = None, None
+    for s, (r, fr) in plan.items():
+        cond = F.col(source_col) == s
+        reps_expr = (F.when(cond, r) if reps_expr is None else reps_expr.when(cond, r))
+        frac_expr = (F.when(cond, fr) if frac_expr is None else frac_expr.when(cond, fr))
+    reps = reps_expr.otherwise(d_reps) if reps_expr is not None else F.lit(d_reps)
+    frac = frac_expr.otherwise(d_frac) if frac_expr is not None else F.lit(d_frac)
+    bucket = _hash_bucket(F.col(key_col), salt)
+    n_copies = (reps + F.when(bucket < frac, 1).otherwise(0)).cast("int")
+    # sequence(1, 0) in Spark DESCENDS to [1, 0] — guard with an explicit
+    # empty array so zero-copy rows vanish under the (inner) explode.
+    epochs = F.when(n_copies >= 1, F.sequence(F.lit(1), n_copies)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(epochs))
+
+
+def mix_sources_oracle_case(weights: dict[str, float], default_weight: float = 1.0,
+                            source_col: str = "source", key_col: str = "doc_id",
+                            salt: str = "mix") -> str:
+    """DuckDB expression computing the identical per-row copy count."""
+    plan = mix_weights_plan(weights, default_weight)
+    d_reps, d_frac = plan.pop(None)
+    if plan:
+        whens_r = " ".join(f"WHEN '{s}' THEN {r}" for s, (r, _) in plan.items())
+        whens_f = " ".join(f"WHEN '{s}' THEN {fr}" for s, (_, fr) in plan.items())
+        reps = f"CASE {source_col} {whens_r} ELSE {d_reps} END"
+        frac = f"CASE {source_col} {whens_f} ELSE {d_frac} END"
+    else:
+        reps, frac = str(d_reps), str(d_frac)
+    bucket = f"(('0x' || substr(md5({key_col} || ':{salt}'), 1, 15))::BIGINT % {SPLIT_BUCKETS})"
+    return f"({reps} + CASE WHEN {bucket} < {frac} THEN 1 ELSE 0 END)"

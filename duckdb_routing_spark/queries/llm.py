@@ -1592,3 +1592,58 @@ def doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rank", "term", "tf", "df")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-export operators: data-mixture resampling + sharded shuffle
+
+from duckdb_routing_spark.operators import sampling as _sampling  # noqa: E402
+from duckdb_routing_spark.operators import shard as _shard  # noqa: E402
+
+MIX_WEIGHTS = {"src0": 2.5, "src1": 0.4, "src2": 3.0, "src3": 0.0}
+
+MIX_ORACLE = f"""
+SELECT source, epoch, count(*) AS n_docs, cast(sum(n_chars) AS BIGINT) AS total_chars
+FROM (
+  SELECT source, n_chars, cast(unnest(generate_series(1, n_copies)) AS INT) AS epoch
+  FROM (
+    SELECT source, n_chars,
+           {_sampling.mix_sources_oracle_case(MIX_WEIGHTS)} AS n_copies
+    FROM documents
+  )
+)
+GROUP BY source, epoch
+ORDER BY source, epoch
+"""
+
+
+@register("doc_mix_sources", oracle=MIX_ORACLE,
+          doc="pretraining data mixture: per-source epoch weights (2.5 = twice + a "
+              "deterministic half third time, 0.4 = 40% subset, 0 = drop), shuffle-free")
+def doc_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling WITH repetition (sampling.mix_sources): src0 at
+    2.5 epochs, src1 at 0.4, src2 at 3, src3 dropped, everything else 1.
+    Aggregated per (source, epoch) so the oracle pins both the copy counts
+    and WHICH rows carry the fractional epoch (via total_chars)."""
+    mixed = _sampling.mix_sources(table(spark, sf_dir, "documents"), MIX_WEIGHTS)
+    return (
+        mixed.groupBy("source", "epoch")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("bigint").alias("total_chars"))
+        .orderBy("source", "epoch")
+    )
+
+
+N_TRAIN_SHARDS = 8
+
+SHARD_ORACLE = _shard.shard_manifest_oracle_sql("documents", N_TRAIN_SHARDS, size_col="n_chars")
+
+
+@register("doc_shard_manifest", oracle=SHARD_ORACLE,
+          doc=f"training-shard export manifest: deterministic md5 global shuffle into "
+              f"{N_TRAIN_SHARDS} balanced equal-width key-range shards")
+def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-assignment manifest (operators/shard.py): 60-bit md5 key,
+    equal-width ranges (balanced without a sampling pass; shard order IS the
+    global shuffle order). min/max keys pin every row's shard assignment."""
+    sharded = _shard.assign_shards(table(spark, sf_dir, "documents"), N_TRAIN_SHARDS)
+    return _shard.shard_manifest(sharded, size_col="n_chars")

@@ -209,6 +209,12 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # stream_hourly/stream_dedup_exact/stream_sessionize_stateful;
         # pytest-oracled (drained == batch registers)
         "stream_hll_hourly",
+        # training-export family (round 6): sampling/export families are
+        # driver-exercised via doc_hash_split/doc_quota_sample/pipeline_curate;
+        # both fully oracled in test_oracle_parity (mixture generate_series
+        # lateral + shard-manifest key ranges)
+        "doc_mix_sources",
+        "doc_shard_manifest",
     }
 )
 DRIVER_QUERY_CAP = 50

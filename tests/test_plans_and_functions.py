@@ -309,6 +309,17 @@ def test_round4_operator_plans_are_scale_shaped(spark):
     p_temp = audit.formatted_plan(temperature_sample(docs))
     assert "BroadcastHashJoin" in p_temp, "per-source rate table should broadcast"
 
+    # training-export family: mixture explode and shard assignment are
+    # row-local — zero exchanges before the caller's own shuffle/agg
+    from duckdb_routing_spark.operators.sampling import mix_sources
+    from duckdb_routing_spark.operators.shard import assign_shards
+
+    p_mix = audit.formatted_plan(mix_sources(docs, {"src0": 2.5, "src1": 0.4}))
+    assert "Exchange" not in p_mix, "mix_sources must stay shuffle-free"
+    p_shard = audit.formatted_plan(assign_shards(docs, 1024))
+    assert "Exchange" not in p_shard, "shard assignment must stay shuffle-free"
+    assert audit.python_eval_stages(assign_shards(docs, 1024)) == 0
+
 
 def test_dup_span_plans_stay_keyed(spark):
     """Substring dedup must never materialize a pair space or a range join:

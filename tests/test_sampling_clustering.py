@@ -87,3 +87,93 @@ def test_pretraining_pipeline_end_to_end(spark, tmp_path):
     assert again.count() == n_out
     assert again.select("doc_id").subtract(got.select("doc_id")).count() == 0
     got.unpersist()
+
+
+def test_mix_sources_epoch_semantics(spark, docs):
+    """Weight w: every row gets floor(w) epochs plus a deterministic
+    hash-selected fractional epoch; weight 0 drops the source; unlisted
+    sources default to exactly one epoch. (Value parity vs DuckDB is pinned
+    by test_oracle_parity[doc_mix_sources].)"""
+    weights = {"src0": 2.5, "src1": 0.4, "src2": 3.0, "src3": 0.0}
+    mixed = sampling.mix_sources(docs, weights)
+
+    per_doc = {
+        (r.doc_id, r.source): r.n
+        for r in mixed.groupBy("doc_id", "source").agg(F.count("*").alias("n")).collect()
+    }
+    src_of = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    for doc_id, source in src_of.items():
+        n = per_doc.get((doc_id, source), 0)
+        if source == "src0":
+            assert n in (2, 3), (doc_id, n)
+        elif source == "src1":
+            assert n in (0, 1), (doc_id, n)
+        elif source == "src2":
+            assert n == 3, (doc_id, n)
+        elif source == "src3":
+            assert n == 0, (doc_id, n)
+        else:
+            assert n == 1, (doc_id, source, n)
+
+    # epochs are 1..n_copies, no duplicate (doc, epoch) rows
+    assert mixed.groupBy("doc_id", "epoch").count().filter("count > 1").count() == 0
+    assert mixed.agg(F.min("epoch"), F.max("epoch")).collect()[0] == (1, 3)
+    # deterministic under re-execution
+    again = sampling.mix_sources(docs, weights)
+    assert mixed.exceptAll(again).count() == 0 and again.exceptAll(mixed).count() == 0
+
+
+def test_mix_sources_rejects_negative_weight():
+    with pytest.raises(ValueError, match="negative"):
+        sampling.mix_weights_plan({"a": -0.5})
+
+
+def test_shard_assignment_is_an_ordered_balanced_partition(spark, docs):
+    """Equal-width ranges over the uniform 60-bit key: every row lands in
+    exactly one shard, shard key ranges are disjoint AND ordered (the
+    concatenation of shards in id order is one deterministic global
+    permutation), and no shard is pathologically empty at 8 shards."""
+    from duckdb_routing_spark.operators import shard
+
+    sharded = shard.assign_shards(docs, 8)
+    assert sharded.count() == docs.count()
+    man = shard.shard_manifest(sharded, size_col="n_chars").collect()
+    assert [r.shard_id for r in man] == sorted(r.shard_id for r in man)
+    assert all(0 <= r.shard_id < 8 for r in man)
+    for prev, nxt in zip(man, man[1:]):
+        assert prev.max_key < nxt.min_key  # global order across shards
+    w = shard.shard_width(8)
+    for r in man:
+        assert r.shard_id * w <= r.min_key and r.max_key < (r.shard_id + 1) * w
+    assert sum(r.n_rows for r in man) == docs.count()
+
+
+def test_write_training_shards_roundtrip(spark, docs, tmp_path):
+    """Sharded write: shard_id=K dirs, per-file rows sorted by shard_key
+    (the deterministic read order), and the union of all shards reproduces
+    the input exactly."""
+    import os
+
+    from duckdb_routing_spark.operators import shard
+
+    out = str(tmp_path / "shards")
+    man = shard.write_training_shards(docs, out, n_shards=4)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard_id="))
+    assert dirs == [f"shard_id={i}" for i in range(4)]
+
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").subtract(docs.select("doc_id")).count() == 0
+    assert docs.select("doc_id").subtract(back.select("doc_id")).count() == 0
+
+    # within each shard the parquet row order IS the shard_key order
+    for i in range(4):
+        pdf = spark.read.parquet(f"{out}/shard_id={i}").select("shard_key").toPandas()
+        keys = pdf["shard_key"].tolist()
+        assert keys == sorted(keys)
+
+    # the returned manifest matches a fresh recomputation
+    fresh = shard.shard_manifest(shard.assign_shards(docs, 4)).collect()
+    assert [(r.shard_id, r.n_rows) for r in man.collect()] == [
+        (r.shard_id, r.n_rows) for r in fresh
+    ]
