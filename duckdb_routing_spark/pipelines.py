@@ -74,6 +74,48 @@ def build_pretraining_dataset(
     return out
 
 
+def export_pretraining_shards(
+    docs: DataFrame,
+    out_dir: str,
+    mix_weights: dict[str, float] | None = None,
+    n_shards: int = 64,
+    quality_min: float = 0.5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The full last mile: curate -> (optional) mixture with repetition ->
+    deterministic sharded shuffle of the TRAIN split, written as
+    <out_dir>/shard_id=K/ parquet. Returns the shard manifest.
+
+    Composition of already-tested stages: build_pretraining_dataset (same
+    shuffle budget), sampling.mix_sources (0 shuffles; requires the input's
+    `source` column, so it runs on the curated-join-source frame), and
+    shard.write_training_shards (1 exchange + per-partition sort). The
+    shard key includes the mixture epoch — each copy of a document gets its
+    own independent position in the global shuffle order (epoch copies
+    spread across the read order instead of sitting adjacent).
+    """
+    from duckdb_routing_spark.operators import shard as _shard
+    from duckdb_routing_spark.operators.sampling import mix_sources
+
+    curated = build_pretraining_dataset(
+        docs, quality_min=quality_min, jaccard_threshold=jaccard_threshold
+    ).filter(F.col("split") == "train")
+
+    if mix_weights is not None:
+        # re-attach the source column (build_pretraining_dataset projects it
+        # away); broadcast-sized at test SFs, keyed join at scale
+        mixed = mix_sources(
+            curated.join(docs.select("doc_id", "source"), "doc_id"), mix_weights
+        )
+        keyed = mixed.withColumn(
+            "_shard_doc_key", F.concat_ws("#", F.col("doc_id").cast("string"), F.col("epoch"))
+        )
+    else:
+        keyed = curated.withColumn("_shard_doc_key", F.col("doc_id").cast("string"))
+
+    return _shard.write_training_shards(keyed, out_dir, n_shards, key_col="_shard_doc_key")
+
+
 def main() -> None:
     import sys
 

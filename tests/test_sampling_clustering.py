@@ -177,3 +177,40 @@ def test_write_training_shards_roundtrip(spark, docs, tmp_path):
     assert [(r.shard_id, r.n_rows) for r in man.collect()] == [
         (r.shard_id, r.n_rows) for r in fresh
     ]
+
+
+def test_export_pretraining_shards_end_to_end(spark, docs, tmp_path):
+    """Composed last mile: curate -> mix (src0 doubled) -> sharded write.
+    The manifest covers every (doc, epoch) copy exactly once, epoch copies
+    of one document land in different shards (shard key includes epoch),
+    and the flow is deterministic."""
+    from duckdb_routing_spark.pipelines import export_pretraining_shards
+
+    out = str(tmp_path / "train_shards")
+    man = export_pretraining_shards(
+        docs, out, mix_weights={"src0": 2.0}, n_shards=4
+    ).collect()
+    total = sum(r.n_rows for r in man)
+    back = spark.read.parquet(out)
+    assert back.count() == total > 0
+    # every surviving src0 doc has exactly 2 copies, all others exactly 1
+    per = {
+        (r.doc_id, r.source): r.n
+        for r in back.groupBy("doc_id", "source").agg(F.count("*").alias("n")).collect()
+    }
+    assert per and all(n == (2 if s == "src0" else 1) for (_, s), n in per.items())
+    # epoch copies get independent shuffle positions: every copy has a
+    # distinct shard_key, and the two copies are NOT systematically
+    # co-located (some src0 pair must straddle shards at 4 shards)
+    assert back.select("shard_key").distinct().count() == total
+    split_pairs = (
+        back.filter(F.col("source") == "src0")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shard_id").alias("n_shards"))
+        .filter("n_shards > 1")
+        .count()
+    )
+    assert split_pairs > 0
+    # (determinism of each stage is pinned by test_mix_sources_epoch_semantics
+    # and test_write_training_shards_roundtrip — no need to re-run the full
+    # curation here)
