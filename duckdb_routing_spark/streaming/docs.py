@@ -196,3 +196,35 @@ def streaming_curate(
             keyed.unpersist()
 
     return stream.writeStream.outputMode("append").foreachBatch(_step).start()
+
+
+def streaming_shard_export(
+    stream: DataFrame, out_dir: str, n_shards: int, key_col: str = "doc_id", salt: str = "shard"
+):
+    """Continuous training-shard ingestion — the streaming twin of
+    shard.write_training_shards. Shard assignment is a pure function of the
+    row key (operators/shard.py), so a document's shard NEVER depends on
+    how the feed was chunked into micro-batches: the drained table is
+    row-identical to the batch export, whatever the arrival order.
+
+    Per micro-batch the rows land in batch=<id>/shard_id=K/ parquet,
+    overwritten per batch id — the same idempotent-replay layout as
+    streaming_curate (an at-least-once replay overwrites its own output).
+    Files cannot maintain a global order under continuous append, so the
+    read order is a property of the KEY, not the layout: a consumer of
+    shard K sorts its files on shard_key to replay the deterministic
+    permutation, and the batch manifest (min/max key per shard) still
+    serves as the resume cursor."""
+    import os as _os
+
+    from duckdb_routing_spark.operators import shard as _shard
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            _shard.assign_shards(batch_df, n_shards, key_col, salt)
+            .write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(_os.path.join(out_dir, f"batch={batch_id}"))
+        )
+
+    return stream.writeStream.outputMode("append").foreachBatch(_step).start()

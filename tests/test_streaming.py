@@ -188,3 +188,47 @@ def test_streaming_curate_replay_is_idempotent(spark, tmp_path):
     first = run_once()
     second = run_once()  # full replay, no checkpoint
     assert [tuple(r) for r in first] == [tuple(r) for r in second]
+
+
+def test_streaming_shard_export_equals_batch(spark, tmp_path):
+    """Shard assignment is a pure row function, so the drained streaming
+    export must be row-identical to the batch shard assignment regardless
+    of micro-batch chunking, and a full no-checkpoint replay must be a
+    no-op (per-batch overwrite layout)."""
+    import os
+
+    from duckdb_routing_spark.operators import shard
+    from duckdb_routing_spark.streaming import docs as sd
+    from tests.conftest import SF_SMOKE
+
+    chunk_dir = sd.write_document_chunks(spark, SF_SMOKE, str(tmp_path / "in"), chunks=3)
+    out_dir = str(tmp_path / "shards")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string, n_chars long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(chunk_dir, "chunk_*.parquet"))
+        )
+        q = sd.streaming_shard_export(stream, out_dir, n_shards=4)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # plain partition discovery surfaces batch= and shard_id= dirs as
+        # columns (recursiveFileLookup would strip them)
+        return spark.read.parquet(out_dir).select("doc_id", "shard_key", "shard_id")
+
+    drained = run_once()
+    batch = shard.assign_shards(
+        spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet")), 4
+    ).select("doc_id", "shard_key", "shard_id")
+    assert drained.count() == batch.count() > 0
+    assert drained.exceptAll(batch).count() == 0
+    assert batch.exceptAll(drained).count() == 0
+
+    replay = run_once()  # full replay, no checkpoint
+    assert replay.count() == batch.count()
+    assert replay.exceptAll(batch).count() == 0
