@@ -72,6 +72,7 @@ class CHIndex:
         "down_weights",
         "down_mid",
         "n_shortcuts",
+        "dist_cache",
     )
 
     def __init__(self, rank, up, down, n_shortcuts):
@@ -79,6 +80,10 @@ class CHIndex:
         self.up_indptr, self.up_indices, self.up_weights, self.up_mid = up
         self.down_indptr, self.down_indices, self.down_weights, self.down_mid = down
         self.n_shortcuts = n_shortcuts
+        # (u, v, mid) -> haversine meters of the edge's ORIGINAL-node
+        # expansion; shared across matrix cells (high-rank shortcuts repeat
+        # constantly), never persisted (derived, rebuilt on first use)
+        self.dist_cache: dict = {}
 
     def to_arrays(self) -> dict:
         """Flat array dict for artifact sidecars (npz) and broadcast
@@ -368,30 +373,21 @@ def _find_edge(ch, a, b):
     return best
 
 
-def ch_p2p_path(g: RoutingGraph, src: int, dst: int):
-    """kernels-compatible (weight_ms, path_node_list) using the CH index
-    cached on the graph (built on first use per process)."""
-    ch = getattr(g, "_ch", None)
-    if ch is None:
-        ch = build_ch(g)
-        g._ch = ch
-    w, fwd_chain, bwd_chain, meet = ch_p2p(ch, int(src), int(dst))
-    if w < 0:
-        return -1.0, None
-    if src == dst:
-        return 0.0, [int(src)]
+def _reconstruct_path(ch: CHIndex, src: int, dst: int, fwd_chain, bwd_chain) -> list[int]:
+    """Original-graph node path from the two search chains.
+
+    fwd_chain is [pred(meet), ..., pred-edge leaving src] (up-CSR edge
+    indices); bwd_chain is [ei_1, ..., ei_m] where edge ei_j represents the
+    ORIGINAL-direction edge r_{j-1} -> r_j with r_0 = meet, r_m = dst, and
+    down_indices[ei_j] = r_{j-1} (the row node r_j is implicit)."""
     path = [int(src)]
     node = int(src)
-    # fwd_chain is [pred(meet), ..., pred-edge leaving src]; reverse to walk
-    # src -> meet. Each up edge ei lives in the row of its SOURCE node.
+    # walk src -> meet; each up edge ei lives in the row of its SOURCE node
     for ei in reversed(fwd_chain):
         v = int(ch.up_indices[ei])
         path.extend(_unpack(ch, node, v, int(ch.up_mid[ei])))
         node = v
-    # bwd_chain is [ei_1, ..., ei_m] where edge ei_j represents the
-    # ORIGINAL-direction edge r_{j-1} -> r_j with r_0 = meet, r_m = dst, and
-    # down_indices[ei_j] = r_{j-1} (the row node r_j is implicit). Rebuild
-    # the (u, v) pairs by walking from the dst end, then emit forward.
+    # rebuild the (u, v) pairs by walking from the dst end, then emit forward
     pairs = []
     v_node = int(dst)
     for ei in reversed(bwd_chain):
@@ -400,4 +396,197 @@ def ch_p2p_path(g: RoutingGraph, src: int, dst: int):
         v_node = u_node
     for u_node, v_node, mid in reversed(pairs):
         path.extend(_unpack(ch, u_node, v_node, mid))
-    return float(w), path
+    return path
+
+
+def _edge_distance_m(ch: CHIndex, g: RoutingGraph, u: int, v: int, mid: int) -> float:
+    """Hop-haversine meters of one hierarchy edge's original-node expansion,
+    memoized on the index (kernels.path_distance_m semantics: each original
+    edge (a, b) contributes haversine(a, b)). Iterative post-order over the
+    shortcut tree — nesting depth grows with hierarchy height."""
+    cache = ch.dist_cache
+    got = cache.get((u, v, mid))
+    if got is not None:
+        return got
+    from duckdb_routing_spark.routing.geometry import haversine_m_scalar
+
+    stack = [(u, v, mid, False)]
+    while stack:
+        a, b, m, expanded = stack.pop()
+        if (a, b, m) in cache:
+            continue
+        if m < 0:
+            cache[(a, b, m)] = haversine_m_scalar(
+                float(g.node_lon[a]), float(g.node_lat[a]),
+                float(g.node_lon[b]), float(g.node_lat[b]),
+            )
+            continue
+        _, mid_r = _find_edge(ch, m, b)
+        _, mid_l = _find_edge(ch, a, m)
+        if expanded:
+            cache[(a, b, m)] = cache[(a, m, mid_l)] + cache[(m, b, mid_r)]
+        else:
+            stack.append((a, b, m, True))
+            stack.append((a, m, mid_l, False))
+            stack.append((m, b, mid_r, False))
+    return cache[(u, v, mid)]
+
+
+def ch_p2p_path(g: RoutingGraph, src: int, dst: int):
+    """kernels-compatible (weight_ms, path_node_list) using the CH index
+    cached on the graph (built on first use per process)."""
+    ch = ensure_ch(g)
+    w, fwd_chain, bwd_chain, meet = ch_p2p(ch, int(src), int(dst))
+    if w < 0:
+        return -1.0, None
+    if src == dst:
+        return 0.0, [int(src)]
+    return float(w), _reconstruct_path(ch, int(src), int(dst), fwd_chain, bwd_chain)
+
+
+def ensure_ch(g: RoutingGraph) -> CHIndex:
+    """The per-process CH handle: restored from the artifact/broadcast
+    payload when it shipped with the graph, built once otherwise."""
+    ch = getattr(g, "_ch", None)
+    if ch is None:
+        ch = build_ch(g)
+        g._ch = ch
+    return ch
+
+
+def ch_upward_sssp(indptr, indices, weights, src: int):
+    """FULL upward Dijkstra over one side of the hierarchy — no target, no
+    early stop; the search space is the CH upward cone of src, which is
+    what makes bucket many-to-many cheap. Returns (dist, pred) dicts with
+    the same pred structure as ch_p2p (node -> (prev_node, csr_edge_ix))."""
+    dist = {int(src): 0}
+    pred: dict[int, tuple[int, int]] = {}
+    heap = [(0, int(src))]
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, _INF):
+            continue
+        for ei in range(indptr[u], indptr[u + 1]):
+            v = int(indices[ei])
+            nd = d + int(weights[ei])
+            if nd < dist.get(v, _INF):
+                dist[v] = nd
+                pred[v] = (u, ei)
+                heapq.heappush(heap, (nd, v))
+    return dist, pred
+
+
+def ch_many_to_many(ch: CHIndex, src_nodes, dst_nodes):
+    """Bucket-based exact many-to-many over the hierarchy (the CH
+    adaptation of Knopp et al. 2007, "Computing Many-to-Many Shortest Paths
+    Using Highway Hierarchies"): ONE full upward search per target over the
+    down side scatters (target, dist) entries into per-node buckets, then
+    ONE full upward search per source scans the buckets of its settled
+    nodes — N+M upward-cone searches total instead of N full-graph SSSPs,
+    the asymptotic win on country-scale graphs where the upward cone is
+    orders of magnitude smaller than the graph. Exact by the CH cover
+    property: dist(s, t) = min over v of ds_up(v) + dt_down(v).
+
+    Negative node ids (failed snaps) yield unreachable rows. Returns
+    (time_ms float64[N, M] with -1.0 unreachable, meet int64[N, M],
+    src_states, dst_states) where the states are each search's (dist, pred)
+    dicts, kept so callers can unpack per-pair paths via ch_m2m_path."""
+    m = len(dst_nodes)
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    dst_states: list[tuple[dict, dict] | None] = []
+    for ti, t in enumerate(dst_nodes):
+        t = int(t)
+        if t < 0:
+            dst_states.append(None)
+            continue
+        dist, pred = ch_upward_sssp(ch.down_indptr, ch.down_indices, ch.down_weights, t)
+        dst_states.append((dist, pred))
+        for v, dv in dist.items():
+            buckets.setdefault(v, []).append((ti, dv))
+
+    n = len(src_nodes)
+    time_ms = np.full((n, m), -1.0, dtype=np.float64)
+    meets = np.full((n, m), -1, dtype=np.int64)
+    src_states: list[tuple[dict, dict] | None] = []
+    int_inf = np.iinfo(np.int64).max  # module _INF is float('inf')
+    best = np.empty(m, dtype=np.int64)
+    bmeet = np.empty(m, dtype=np.int64)
+    for si, s in enumerate(src_nodes):
+        s = int(s)
+        if s < 0:
+            src_states.append(None)
+            continue
+        dist, pred = ch_upward_sssp(ch.up_indptr, ch.up_indices, ch.up_weights, s)
+        src_states.append((dist, pred))
+        best.fill(int_inf)
+        bmeet.fill(-1)
+        for v, dv in dist.items():
+            for ti, dt in buckets.get(v, ()):
+                c = dv + dt
+                # same deterministic tie-break as ch_p2p: lowest meet node
+                if c < best[ti] or (c == best[ti] and v < bmeet[ti]):
+                    best[ti] = c
+                    bmeet[ti] = v
+        hit = best < int_inf
+        time_ms[si, hit] = best[hit].astype(np.float64)
+        meets[si, hit] = bmeet[hit]
+    return time_ms, meets, src_states, dst_states
+
+
+def ch_m2m_path(
+    ch: CHIndex, src: int, dst: int, meet: int, src_state, dst_state
+) -> list[int] | None:
+    """Original-node path for one matrix cell from the bucket search states
+    (the same chain walk + shortcut unpack as ch_p2p_path)."""
+    src, dst, meet = int(src), int(dst), int(meet)
+    if meet < 0 or src_state is None or dst_state is None:
+        return None
+    if src == dst:
+        return [src]
+    _, spred = src_state
+    _, dpred = dst_state
+    fwd_chain = []
+    node = meet
+    while node in spred:
+        prev, ei = spred[node]
+        fwd_chain.append(ei)
+        node = prev
+    bwd_chain = []
+    node = meet
+    while node in dpred:
+        prev, ei = dpred[node]
+        bwd_chain.append(ei)
+        node = prev
+    return _reconstruct_path(ch, src, dst, fwd_chain, bwd_chain)
+
+
+def ch_m2m_distance_m(
+    ch: CHIndex, g: RoutingGraph, src: int, dst: int, meet: int, src_state, dst_state
+) -> float | None:
+    """Hop-haversine distance of one matrix cell WITHOUT materializing the
+    node path: walk the two pred chains and sum memoized per-edge
+    expansions (_edge_distance_m) — the repeated high-rank shortcuts make
+    the cache hit rate high across a matrix call."""
+    src, dst, meet = int(src), int(dst), int(meet)
+    if meet < 0 or src_state is None or dst_state is None:
+        return None
+    if src == dst:
+        return 0.0
+    _, spred = src_state
+    _, dpred = dst_state
+    total = 0.0
+    # up side: edge ei lives in the row of its source node; walk meet -> src
+    node = meet
+    while node in spred:
+        prev, ei = spred[node]
+        total += _edge_distance_m(ch, g, prev, node, int(ch.up_mid[ei]))
+        node = prev
+    # down side: edge ei represents ORIGINAL-direction r_{j-1} -> r_j with
+    # down_indices[ei] = r_{j-1}; walking dst-side preds from meet gives the
+    # implicit row nodes
+    node = meet
+    while node in dpred:
+        prev, ei = dpred[node]
+        total += _edge_distance_m(ch, g, node, prev, int(ch.down_mid[ei]))
+        node = prev
+    return total

@@ -57,6 +57,14 @@ BBOX_CONF_KEY = "spark.routing.bbox"
 # accelerator (kernels.p2p_path); the choice ships inside the graph
 # broadcast so executors honor it without a separate conf read
 P2P_CONF_KEY = "spark.routing.p2p"
+# `SET spark.routing.matrix = frontier|ch` picks the matrix kernel:
+# 'frontier' (default) runs one full-graph vectorized SSSP per origin —
+# right when origins are few or the graph is small; 'ch' runs the bucket
+# many-to-many over the contraction hierarchy (N+M upward-cone searches,
+# kernels.matrix_rows_ch) — the asymptotic win on country-scale graphs.
+# Read at matrix() call time and captured in the closure (executors cannot
+# read spark.conf).
+MATRIX_CONF_KEY = "spark.routing.matrix"
 
 # Executor-process cache: payload uuid -> RoutingGraph (rebuilt once per
 # worker process, shared across Arrow batches).
@@ -73,14 +81,18 @@ def _graph_from_bc(bc) -> RoutingGraph:
     return g
 
 
-def _matrix_rows_local(g: RoutingGraph, src_lats, src_lons, dst) -> list[tuple]:
+def _matrix_rows_local(g: RoutingGraph, src_lats, src_lons, dst, algo: str = "frontier") -> list[tuple]:
     """The matrix kernel loop on a local graph object — the same
     sssp_multi_target + path-distance semantics the distributed mapInPandas
-    path runs; values are identical because the kernels are shared."""
+    path runs; values are identical because the kernels are shared.
+    ``algo='ch'`` swaps in the bucket many-to-many (kernels.matrix_rows_ch),
+    exact by the CH cover property."""
     tgt_nodes = g.nearest_main_nodes(
         np.asarray([lo for _, lo in dst]), np.asarray([la for la, _ in dst])
     )
     src_nodes = g.nearest_main_nodes(np.asarray(src_lons), np.asarray(src_lats))
+    if algo == "ch":
+        return kernels.matrix_rows_ch(g, src_nodes, tgt_nodes)
     rows: list[tuple] = []
     for i, s in enumerate(src_nodes):
         s = int(s)
@@ -665,6 +677,8 @@ class RoutingEngine:
         g0 = self._local.get(mode)
         if g0 is None:
             _resolve(broadcasts, costing)  # raises the canonical not-loaded error
+        # kernel choice captured here — executors cannot read spark.conf
+        matrix_algo = self.spark.conf.get(MATRIX_CONF_KEY, "frontier")
 
         # Small-matrix fast path: the service limit caps a matrix CALL at
         # 2500 pairs (like the reference's generated valhalla.json), so the
@@ -682,7 +696,7 @@ class RoutingEngine:
             def one_task(_batches):
                 g = _resolve(broadcasts, costing)
                 rows = _matrix_rows_local(
-                    g, [la for la, _ in src], [lo for _, lo in src], dst
+                    g, [la for la, _ in src], [lo for _, lo in src], dst, algo=matrix_algo
                 )
                 yield pd.DataFrame(
                     rows, columns=["from_idx", "to_idx", "distance_m", "duration_s"]
@@ -705,6 +719,18 @@ class RoutingEngine:
                 src_nodes = g.nearest_main_nodes(
                     pdf.lon.to_numpy(np.float64), pdf.lat.to_numpy(np.float64)
                 )
+                if matrix_algo == "ch":
+                    # bucket many-to-many per origin batch: the target-side
+                    # upward cones are recomputed per batch (cheap — cone,
+                    # not graph), the origin SSSPs are what the buckets
+                    # eliminate
+                    rows = kernels.matrix_rows_ch(
+                        g, src_nodes, tgt_nodes, from_idx=pdf.from_idx.astype(int)
+                    )
+                    yield pd.DataFrame(
+                        rows, columns=["from_idx", "to_idx", "distance_m", "duration_s"]
+                    )
+                    continue
                 out = []
                 for s, (_, r) in zip(src_nodes, pdf.iterrows()):
                     s = int(s)

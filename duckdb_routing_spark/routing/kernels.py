@@ -615,3 +615,30 @@ def p2p_path(g: RoutingGraph, src: int, dst: int):
     if acc == "dijkstra":
         return dijkstra_p2p_path(g, src, dst)
     return astar_p2p_path(g, src, dst)
+
+
+def matrix_rows_ch(g: RoutingGraph, src_nodes, tgt_nodes, from_idx=None) -> list[tuple]:
+    """Matrix rows [(from_idx, to_idx, distance_m, duration_s), ...] via the
+    CH bucket many-to-many (ch.ch_many_to_many) — N+M upward-cone searches
+    instead of N full-graph SSSPs, the right kernel when the graph is large
+    relative to the origin count. Row semantics identical to the frontier
+    path (None cells for unsnapped/unreachable; distance is hop-haversine
+    over the unpacked time-optimal path, lib.rs:779-795)."""
+    from duckdb_routing_spark.routing import ch as _chmod
+
+    chx = _chmod.ensure_ch(g)
+    time_ms, meets, sstates, dstates = _chmod.ch_many_to_many(chx, src_nodes, tgt_nodes)
+    idxs = list(from_idx) if from_idx is not None else list(range(len(src_nodes)))
+    rows: list[tuple] = []
+    for si, i in enumerate(idxs):
+        for j in range(len(tgt_nodes)):
+            w = time_ms[si, j]
+            if w < 0:
+                rows.append((int(i), j, None, None))
+                continue
+            d_m = _chmod.ch_m2m_distance_m(
+                chx, g, int(src_nodes[si]), int(tgt_nodes[j]), int(meets[si, j]),
+                sstates[si], dstates[j],
+            )
+            rows.append((int(i), j, float(d_m), float(w) / 1000.0))
+    return rows

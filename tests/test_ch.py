@@ -75,3 +75,79 @@ def test_engine_p2p_conf_switch(spark):
         spark.conf.unset("spark.routing.p2p")
         eng.ensure_conf()
     assert eng._local["auto"].p2p_accelerator == "alt"
+
+
+def test_ch_many_to_many_matches_dijkstra(grid_with_ch):
+    """Bucket many-to-many (ch_many_to_many / kernels.matrix_rows_ch) is
+    exact: every cell's duration equals per-pair Dijkstra, every cell's
+    distance equals the CH p2p path distance (same pred trees -> same
+    paths), negative snaps and unreachable targets yield None cells."""
+    g = grid_with_ch
+    rng = np.random.default_rng(11)
+    srcs = rng.integers(0, g.num_nodes, 7).tolist() + [-1]
+    dsts = rng.integers(0, g.num_nodes, 5).tolist() + [-1]
+    rows = kernels.matrix_rows_ch(g, srcs, dsts)
+    assert len(rows) == len(srcs) * len(dsts)
+    for i, j, dm, ds in rows:
+        s, t = srcs[i], dsts[j]
+        if s < 0 or t < 0:
+            assert dm is None and ds is None
+            continue
+        want = kernels.dijkstra_p2p(g, s, t)
+        assert ds is not None and abs(ds * 1000.0 - want) < 1e-9
+        _, p2p_path = ch.ch_p2p_path(g, s, t)
+        assert abs(dm - kernels.path_distance_m(g, p2p_path)) < 1e-9
+    # src == dst cell: zero duration, zero distance
+    [(_, _, dm0, ds0)] = kernels.matrix_rows_ch(g, [4], [4])
+    assert ds0 == 0.0 and dm0 == 0.0
+
+
+def test_engine_matrix_conf_switch(spark):
+    """`SET spark.routing.matrix = ch` swaps the matrix kernel for the
+    bucket many-to-many; durations and distances are identical to the
+    frontier default on both the single-task and distributed paths."""
+    from duckdb_routing_spark.routing.engine import RoutingEngine
+
+    eng = RoutingEngine(spark)
+    g = build_grid_graph("auto", 10, 10, island=False)
+    g._ch = ch.build_ch(g)
+    eng.load_graph(g, "auto")
+    eng.register()
+    lats = [52.0, 52.005, 52.018]
+    lons = [13.0, 13.012, 13.018]
+    base = eng.matrix(lats, lons, lats[::-1], lons[::-1]).collect()
+    assert len(base) == 9
+    try:
+        spark.conf.set("spark.routing.matrix", "ch")
+        got = eng.matrix(lats, lons, lats[::-1], lons[::-1]).collect()
+    finally:
+        spark.conf.unset("spark.routing.matrix")
+    # durations are exact across kernels; distances may differ by meters on
+    # DURATION-TIED paths (the grid has many equal-time geometries, and the
+    # frontier tight-tree and CH pred-tree break ties differently — both
+    # are valid time-optimal paths; CH distance exactness vs its own p2p
+    # path is pinned in test_ch_many_to_many_matches_dijkstra)
+    assert [(r.from_idx, r.to_idx, r.duration_s) for r in got] == [
+        (r.from_idx, r.to_idx, r.duration_s) for r in base
+    ]
+    for rg, rb in zip(got, base):
+        assert (rg.distance_m is None) == (rb.distance_m is None)
+        if rg.distance_m is not None:
+            assert rg.distance_m == pytest.approx(rb.distance_m, rel=0.05)
+
+    # force the DISTRIBUTED mapInPandas path (threshold to 0) and re-check
+    from duckdb_routing_spark.routing import engine as eng_mod
+
+    saved = eng_mod.SINGLE_TASK_MATRIX_WORK
+    try:
+        eng_mod.SINGLE_TASK_MATRIX_WORK = 0
+        spark.conf.set("spark.routing.matrix", "ch")
+        dist_rows = eng_mod.RoutingEngine.matrix(
+            eng, lats, lons, lats[::-1], lons[::-1]
+        ).collect()
+    finally:
+        eng_mod.SINGLE_TASK_MATRIX_WORK = saved
+        spark.conf.unset("spark.routing.matrix")
+    assert [(r.from_idx, r.to_idx, r.duration_s) for r in dist_rows] == [
+        (r.from_idx, r.to_idx, r.duration_s) for r in base
+    ]
