@@ -297,24 +297,45 @@ def parse_wkb_polygon_ring(data: bytes) -> list[tuple[float, float]]:
     return [struct.unpack_from("<dd", data, 13 + 16 * i) for i in range(n_pts)]
 
 
+def _orient_sign(o, a, b) -> int:
+    """Sign of the orientation cross product (o->a->b), with a
+    Shewchuk-style floating-point filter: the fast float result is trusted
+    only when it clears the rounding-error bound of its two products;
+    otherwise the predicate re-evaluates in exact rational arithmetic
+    (floats ARE exact rationals, so Fraction gives the true sign — this is
+    what makes the hull robust to underflow, where a strictly convex turn's
+    cross product rounds to 0.0 and a vertex would be wrongly dropped)."""
+    p1 = (a[0] - o[0]) * (b[1] - o[1])
+    p2 = (a[1] - o[1]) * (b[0] - o[0])
+    d = p1 - p2
+    if abs(d) > 4e-16 * (abs(p1) + abs(p2)):
+        return 1 if d > 0 else -1
+    from fractions import Fraction
+
+    ox, oy = Fraction(o[0]), Fraction(o[1])
+    de = (Fraction(a[0]) - ox) * (Fraction(b[1]) - oy) - (Fraction(a[1]) - oy) * (
+        Fraction(b[0]) - ox
+    )
+    return 0 if de == 0 else (1 if de > 0 else -1)
+
+
 def convex_hull(points: np.ndarray) -> list[tuple[float, float]]:
     """Andrew's monotone chain over an (n, 2) array of (lon, lat); returns
-    the hull ring counter-clockwise (no numpy/scipy dependency beyond sort)."""
+    the hull ring counter-clockwise (no numpy/scipy dependency beyond
+    sort). Turn decisions go through the exact-filtered orientation
+    predicate (_orient_sign)."""
     pts = sorted(map(tuple, np.asarray(points, dtype=np.float64)))
     if len(pts) <= 2:
         return [(float(x), float(y)) for x, y in pts]
 
-    def cross(o, a, b):
-        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
-
     lower: list = []
     for p in pts:
-        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+        while len(lower) >= 2 and _orient_sign(lower[-2], lower[-1], p) <= 0:
             lower.pop()
         lower.append(p)
     upper: list = []
     for p in reversed(pts):
-        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+        while len(upper) >= 2 and _orient_sign(upper[-2], upper[-1], p) <= 0:
             upper.pop()
         upper.append(p)
     return [(float(x), float(y)) for x, y in lower[:-1] + upper[:-1]]

@@ -330,3 +330,71 @@ def test_ch_warm_queries_fast_on_grid():
         assert w_ch == w_uni
         assert path[0] == s and path[-1] == t
     assert t_ch * 1.5 < t_uni, f"CH {t_ch:.4f}s not faster than Dijkstra {t_uni:.4f}s"
+
+
+# ---------------------------------------------------------------------------
+# round-6 kernels: CH bucket many-to-many, mixture plans, shard ranges
+# ---------------------------------------------------------------------------
+
+
+@settings(deadline=None, max_examples=15)
+@given(st.integers(min_value=0, max_value=10_000), st.integers(min_value=2, max_value=10))
+def test_ch_many_to_many_equals_dijkstra_on_random_graphs(seed, n):
+    """The bucket kernel is exact on arbitrary digraphs, not just grids:
+    every (s, t) duration equals per-pair Dijkstra, including unreachable
+    cells and s == t."""
+    from duckdb_routing_spark.routing import ch
+
+    rng = np.random.default_rng(seed)
+    g = _random_graph(rng, n)
+    chx = ch.build_ch(g)
+    nodes = list(range(n))
+    time_ms, meets, sstates, dstates = ch.ch_many_to_many(chx, nodes, nodes)
+    for s in range(n):
+        for t in range(n):
+            want = kernels.dijkstra_p2p(g, s, t)
+            got = time_ms[s, t]
+            if want == kernels.NO_ROUTE:
+                assert got == -1.0
+            else:
+                assert got == want
+                # the memoized chain distance matches the unpacked path walk
+                d_chain = ch.ch_m2m_distance_m(chx, g, s, t, int(meets[s, t]),
+                                               sstates[s], dstates[t])
+                path = ch.ch_m2m_path(chx, s, t, int(meets[s, t]), sstates[s], dstates[t])
+                assert abs(d_chain - kernels.path_distance_m(g, path)) < 1e-9
+
+
+@given(
+    st.dictionaries(
+        st.text(min_size=1, max_size=6), st.floats(min_value=0.0, max_value=20.0),
+        max_size=8,
+    ),
+    st.floats(min_value=0.0, max_value=20.0),
+)
+def test_mix_weights_plan_is_an_exact_integer_decomposition(weights, default_weight):
+    """Every weight decomposes to (whole epochs, 10k-bucket threshold) with
+    reps == floor(w) and the threshold recovering the fraction to 1/20000 —
+    the contract that keeps Spark and DuckDB bit-identical."""
+    from duckdb_routing_spark.operators.sampling import SPLIT_BUCKETS, mix_weights_plan
+
+    plan = mix_weights_plan(weights, default_weight)
+    assert set(plan) == set(weights) | {None}
+    for s, (reps, frac) in plan.items():
+        w = default_weight if s is None else weights[s]
+        assert reps == int(w + 1e-9)
+        assert 0 <= frac <= SPLIT_BUCKETS
+        assert abs((reps + frac / SPLIT_BUCKETS) - w) <= 0.5 / SPLIT_BUCKETS + 1e-9
+
+
+@given(st.integers(min_value=1, max_value=1 << 30))
+def test_shard_width_ranges_partition_the_key_space(n):
+    """Equal-width ceil division: n ranges cover [0, 2^60), every shard id
+    in [0, n) is reachable, and the extreme keys land in shards 0 and n-1."""
+    from duckdb_routing_spark.operators.shard import SHARD_SPACE, shard_width
+
+    w = shard_width(n)
+    assert w * n >= SHARD_SPACE  # ranges cover the space
+    assert (n - 1) * w <= SHARD_SPACE - 1  # last shard non-empty
+    assert 0 // w == 0
+    assert (SHARD_SPACE - 1) // w == n - 1
