@@ -398,3 +398,27 @@ def test_shard_width_ranges_partition_the_key_space(n):
     assert (n - 1) * w <= SHARD_SPACE - 1  # last shard non-empty
     assert 0 // w == 0
     assert (SHARD_SPACE - 1) // w == n - 1
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_geometry_sniffer_never_raises_on_bytes(data):
+    """any_geometry_to_lonlat is the user-input boundary (the reference's
+    ExtractGeometryData dispatch): arbitrary blobs must produce (lon, lat)
+    or None — never an exception (the SQL UDFs turn None into NULL)."""
+    from duckdb_routing_spark.routing.geometry import any_geometry_to_lonlat
+
+    out = any_geometry_to_lonlat(data)
+    assert out is None or (
+        isinstance(out, tuple) and len(out) == 2
+        and all(isinstance(v, float) for v in out)
+    )
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=300, deadline=None)
+def test_geometry_sniffer_never_raises_on_text(s):
+    from duckdb_routing_spark.routing.geometry import any_geometry_to_lonlat
+
+    out = any_geometry_to_lonlat(s)
+    assert out is None or (isinstance(out, tuple) and len(out) == 2)
