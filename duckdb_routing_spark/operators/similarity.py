@@ -325,6 +325,50 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
+    the corpus into `n_cells` Voronoi cells around seed vectors (the same
+    deterministic coarse quantizer as `ivf_topk`), then inside each cell
+    prune every vector that has a LOWER-id cell-mate with cosine >=
+    threshold. Returns one row per input vector: (vec_id, cell, kept).
+
+    Scale posture: the pair space is cell-local (an equi-join on `cell`), so
+    it grows with cell occupancy, not n^2 — at 100 TB the quantizer has
+    ~sqrt(n) cells and cells stay bounded; cross-cell near-dups are
+    sacrificed by design (the SemDeDup trade). The keep rule (min id per
+    similar pair survives) is a deterministic greedy canonicalization, so
+    the result is reproducible and SQL-expressible for the oracle."""
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("svec"))
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        norm_col(F.col(vec_col)).alias("nrm"),
+    )
+    cells = _cell_assignments(c, seeds, "vec_id", "v", 1)
+    a = cells.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cell")
+    b = cells.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell")
+    pruned = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_dot_seq(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= F.lit(threshold))
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(pruned.withColumn("pruned", F.lit(True)), "vec_id", "left").select(
+        "vec_id", "cell", F.coalesce(~F.col("pruned"), F.lit(True)).alias("kept")
+    )
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (random hyperplanes, md5-derived => deterministic)
 # ---------------------------------------------------------------------------

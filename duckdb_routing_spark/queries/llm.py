@@ -600,6 +600,44 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_near_dup_pairs(emb, threshold=0.3, dim=64, n_planes=4).orderBy("id_a", "id_b")
 
 
+SEMANTIC_DEDUP_ORACLE = """
+WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS cell, v AS sv FROM c WHERE vec_id < 8),
+cscore AS (
+  SELECT c.vec_id, c.v, s.cell,
+         list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(c.v, s.sv) AS score
+  FROM c CROSS JOIN seeds s
+),
+ccell AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score, cell) AS r FROM cscore
+  ) WHERE r = 1
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM ccell a JOIN ccell b USING (cell)
+  WHERE a.vec_id < b.vec_id
+    AND list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.25
+)
+SELECT c.vec_id, c.cell, p.vec_id IS NULL AS kept
+FROM ccell c LEFT JOIN pruned p USING (vec_id)
+ORDER BY c.vec_id
+"""
+
+
+@register("dedup_semantic", oracle=SEMANTIC_DEDUP_ORACLE,
+          doc="SemDeDup: Voronoi-cell partition, prune cell-mates with cosine >= 0.25 (min id survives)")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup over embeddings — the SemDeDup recipe (cluster with a
+    coarse quantizer, prune within-cluster near-duplicates). Threshold 0.25:
+    the synthetic embeddings are near-orthogonal (max pairwise cosine ~0.46),
+    so a production 0.9 would prune nothing; the operator takes the
+    threshold as a parameter."""
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.25, n_cells=8).orderBy("vec_id")
+
+
 SIM_IVF_ORACLE = """
 WITH c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
 seeds AS (SELECT vec_id AS cell, v AS sv FROM c WHERE vec_id < 8),

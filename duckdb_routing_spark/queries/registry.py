@@ -215,6 +215,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # lateral + shard-manifest key ranges)
         "doc_mix_sources",
         "doc_shard_manifest",
+        # SemDeDup (round 6): embedding-dedup family driver-exercised via
+        # dedup_embedding_cosine + sim_ivf_topk (same quantizer); fully
+        # SQL-oracled in test_oracle_parity
+        "dedup_semantic",
     }
 )
 DRIVER_QUERY_CAP = 50
