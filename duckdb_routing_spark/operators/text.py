@@ -458,6 +458,70 @@ def lexicon_hits(
     )
 
 
+def hashed_bucket(col: Column, n_features: int) -> Column:
+    """Feature-hashing bucket for a token: first 32 bits of md5, mod
+    n_features. Engine-portable (DuckDB: ('0x'||substr(md5(t),1,8))::BIGINT
+    % n), always non-negative."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % n_features
+
+
+def classifier_weights(spark, n_features: int = 256, salt: str = "qw") -> DataFrame:
+    """Deterministic surrogate for a trained linear classifier's weight
+    table: (bucket, weight) with integer weights in [-1000, 1000] derived
+    from md5 so both engines reproduce them bit-for-bit. A real fastText /
+    logistic quality model drops in unchanged — the weight table is DATA
+    (possibly millions of hashed-n-gram rows), which is why scoring joins
+    it rather than inlining literals."""
+    return spark.range(n_features).select(
+        F.col("id").alias("bucket"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{salt}:"), F.col("id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        ).alias("weight"),
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_features: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed unigram
+    features: tokens hash into `n_features` buckets, the (broadcast)
+    weight table scores each token, and a doc-keyed fold yields
+    (doc_id, n_tokens, raw_score, quality, keep).
+
+    Exactness: integer weights summed in BIGINT, one final double
+    division — hash-parity safe. Scale: one row-local explode, one
+    broadcast hash join (the model is small relative to the corpus; a
+    huge model shuffles instead — Spark picks), one doc-keyed partial
+    aggregation. No Python in the hot path."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    scored = toks.withColumn("bucket", hashed_bucket(F.col("tok"), n_features)).join(
+        F.broadcast(weights), "bucket"
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("weight").alias("raw_score"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "raw_score",
+        (F.col("raw_score").cast("double") / (F.lit(1000) * F.col("n_tokens"))).alias("quality"),
+        (F.col("raw_score") > 0).alias("keep"),
+    )
+
+
 def phrase_lexicon_hits(
     docs: DataFrame,
     lexicon: DataFrame,

@@ -1069,6 +1069,38 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_lloyd(table(spark, sf_dir, "embeddings"), k=4, iterations=3)
 
 
+QUALITY_CLF_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+w AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket
+  FROM t WHERE tok != ''
+),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(('0x' || substr(md5('qw:' || bucket), 1, 8))::BIGINT % 2001 - 1000) AS raw_score
+  FROM w GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, raw_score,
+       raw_score::DOUBLE / (1000 * n_tokens) AS quality,
+       raw_score > 0 AS keep
+FROM scored ORDER BY doc_id
+"""
+
+
+@register("doc_quality_classifier", oracle=QUALITY_CLF_ORACLE,
+          doc="hashed-unigram linear quality classifier (broadcast weight table, integer-exact score)")
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the CCNet/fastText shape: the weight
+    table here is a deterministic md5-derived surrogate so the oracle can
+    reproduce it; a trained model's (bucket, weight) parquet drops in
+    unchanged."""
+    docs = table(spark, sf_dir, "documents")
+    w = text.classifier_weights(spark, n_features=256)
+    return text.quality_classifier(docs, w, n_features=256).orderBy("doc_id")
+
+
 CLUSTER_ORACLE = f"""
 WITH RECURSIVE {MINHASH_BANDS_CTE},
 inter AS (

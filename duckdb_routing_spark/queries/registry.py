@@ -219,6 +219,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # dedup_embedding_cosine + sim_ivf_topk (same quantizer); fully
         # SQL-oracled in test_oracle_parity
         "dedup_semantic",
+        # hashed-unigram linear quality classifier (round 6): model-based
+        # filtering beside the heuristic doc_text_features (exposed); fully
+        # SQL-oracled in test_oracle_parity
+        "doc_quality_classifier",
     }
 )
 DRIVER_QUERY_CAP = 50
