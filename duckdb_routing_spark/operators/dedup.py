@@ -611,6 +611,44 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 50) -> DataFrame:
         edges.unpersist()
 
 
+def fuzzy_dedup_keep(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    band_size: int = 3,
+) -> DataFrame:
+    """The COMPLETE fuzzy-dedup pipeline as one operator, corpus in →
+    keep-decision out: MinHash bands → LSH candidate pairs → exact
+    n-gram Jaccard >= threshold → connected components → canonical
+    (minimum-id) survivor per cluster. Returns one row per input doc:
+    (doc_id, cluster_id, is_canonical); the dedup'd corpus is the
+    is_canonical slice, and cluster_id is the provenance key an audit
+    joins back on.
+
+    Scale shape: the stages inherit their plans from the building blocks
+    (bucket-local pair explode, Jaccard only on LSH survivors, O(diameter)
+    label propagation); the final assembly is one left join of the
+    (small — only docs that hit a cluster) label table against the corpus,
+    broadcast when it fits."""
+    pairs = near_dup_pairs(
+        docs, threshold=threshold, id_col=id_col, text_col=text_col,
+        n_hashes=n_hashes, band_size=band_size,
+    ).select("doc_a", "doc_b")
+    clusters = dedup_clusters(pairs)
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            cid.alias("cluster_id"),
+            (cid == F.col("doc_id")).alias("is_canonical"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicated-span detection (substring-level exact dedup)
 # ---------------------------------------------------------------------------
