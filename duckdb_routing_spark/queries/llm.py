@@ -1069,6 +1069,21 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_lloyd(table(spark, sf_dir, "embeddings"), k=4, iterations=3)
 
 
+@register("doc_bpe_tokens", oracle=None,
+          doc="BPE tokenize: train 20 merges on a 100-doc sample, encode the corpus (pytest-oracled vs a pure-Python reference)")
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-on-sample / encode-corpus, the production split: the merge
+    table comes from a bounded slice (deterministic lowest-ids), then the
+    broadcast-ranks encoder runs over everything. No SQL oracle — greedy
+    rank-based merging isn't reasonably one DuckDB query; test_bpe.py's
+    independent reference implementation is the oracle."""
+    from duckdb_routing_spark.operators import bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs.orderBy("doc_id").limit(100), n_merges=20)
+    return bpe.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens").orderBy("doc_id")
+
+
 QUALITY_CLF_ORACLE = """
 WITH t AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
@@ -1101,8 +1116,10 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_classifier(docs, w, n_features=256).orderBy("doc_id")
 
 
-CLUSTER_ORACLE = f"""
-WITH RECURSIVE {MINHASH_BANDS_CTE},
+# shared transitive-closure chain: LSH candidates -> exact Jaccard >= 0.8
+# edges -> recursive reachability (used by dedup_cluster_assign and
+# dedup_fuzzy_keep)
+_COMPONENT_CTES = f"""{MINHASH_BANDS_CTE},
 inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS n_inter
   FROM cand c
@@ -1126,10 +1143,30 @@ reach(doc, lab) AS (
   SELECT a, a FROM edges
   UNION
   SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc
-)
+)"""
+
+CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_COMPONENT_CTES}
 SELECT doc AS doc_id, min(lab) AS cluster_id
 FROM reach GROUP BY doc ORDER BY doc_id
 """
+
+FUZZY_KEEP_ORACLE = f"""
+WITH RECURSIVE {_COMPONENT_CTES},
+comp AS (SELECT doc AS doc_id, min(lab) AS cid FROM reach GROUP BY doc)
+SELECT d.doc_id,
+       coalesce(c.cid, d.doc_id) AS cluster_id,
+       coalesce(c.cid, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("dedup_fuzzy_keep", oracle=FUZZY_KEEP_ORACLE,
+          doc="end-to-end fuzzy dedup: LSH -> Jaccard -> components -> canonical keep decision per doc")
+def dedup_fuzzy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.fuzzy_dedup_keep(docs, threshold=0.8).orderBy("doc_id")
 
 
 @register("dedup_cluster_assign", oracle=CLUSTER_ORACLE,

@@ -223,6 +223,16 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # filtering beside the heuristic doc_text_features (exposed); fully
         # SQL-oracled in test_oracle_parity
         "doc_quality_classifier",
+        # end-to-end fuzzy-dedup keep decision (round 6): composition of
+        # dedup_near_dups (exposed) + dedup_cluster_assign; fully SQL-oracled
+        # (recursive-CTE closure) in test_oracle_parity
+        "dedup_fuzzy_keep",
+        # BPE tokenizer (round 6): train-on-sample + broadcast-ranks encode;
+        # greedy rank merging is not one-SQL-expressible, so the oracle is
+        # test_bpe.py's independent pure-Python reference (exact match on
+        # merges AND encodings); token family driver-exercised via
+        # doc_token_stats
+        "doc_bpe_tokens",
     }
 )
 DRIVER_QUERY_CAP = 50

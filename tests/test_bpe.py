@@ -1,0 +1,129 @@
+"""BPE tokenizer: distributed train/encode vs an independent pure-Python
+reference (Sennrich recipe), plus reconstruction and determinism
+invariants. No SQL oracle — greedy rank-based merging is not reasonably
+expressible in one DuckDB query (see registry notes) — so the reference
+implementation below IS the oracle."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_routing_spark.operators import bpe
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- pure-Python reference (independent re-derivation, no Spark) -----------
+
+def ref_train(texts, n_merges, min_count=2):
+    freqs = Counter(w for t in texts for w in t.lower().split(" ") if w)
+    vocab = {w: tuple(list(w) + [bpe.EOW]) for w in freqs}
+    merges = []
+    for _ in range(n_merges):
+        pair_counts = Counter()
+        for w, syms in vocab.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                pair_counts[(syms[i], syms[i + 1])] += f
+        if not pair_counts:
+            break
+        # max count, ties lexicographically smallest pair
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pair_counts[best] < min_count:
+            break
+        merges.append(best)
+        a, b = best
+        new_vocab = {}
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges
+
+
+def ref_encode(text, merges):
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = []
+    for w in text.lower().split(" "):
+        if not w:
+            continue
+        syms = list(w) + [bpe.EOW]
+        while len(syms) >= 2:
+            cands = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cands:
+                break
+            _, i = min(cands)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        out.extend(syms)
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+
+
+@pytest.fixture(scope="module")
+def texts(docs):
+    return [r.text for r in docs.select("text").collect()]
+
+
+@pytest.fixture(scope="module")
+def merges(docs):
+    return bpe.bpe_train(docs, n_merges=25)
+
+
+def test_train_matches_reference(merges, texts):
+    assert merges == ref_train(texts, n_merges=25)
+    assert len(merges) == 25  # corpus is big enough that no round dried up
+
+
+def test_encode_matches_reference(spark, docs, merges, texts):
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe.bpe_encode(docs, merges).collect()
+    }
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for doc_id, text in zip(ids, texts):
+        assert got[doc_id] == ref_encode(text, merges), f"doc {doc_id}"
+
+
+def test_encode_reconstructs_text(docs, merges):
+    """Lossless: stripping merge structure recovers the lowercased words."""
+    enc = bpe.bpe_encode(docs, merges)
+    joined = enc.select(
+        "doc_id",
+        F.array_join(F.transform("bpe_tokens", lambda t: F.replace(t, F.lit(bpe.EOW), F.lit(" "))), "").alias("rt"),
+    )
+    both = docs.select("doc_id", F.lower("text").alias("lt")).join(joined, "doc_id")
+    bad = both.filter(F.rtrim(F.col("rt")) != F.regexp_replace("lt", " +", " ")).count()
+    assert bad == 0
+
+
+def test_merges_compress(docs, merges):
+    """BPE must actually merge: fewer tokens than characters."""
+    enc = bpe.bpe_encode(docs, merges)
+    stats = (
+        enc.join(docs, "doc_id")
+        .select((F.sum("n_bpe_tokens")).alias("toks"), F.sum(F.length("text")).alias("chars"))
+        .first()
+    )
+    assert stats.toks < stats.chars
+
+
+def test_merges_df_roundtrip(spark, merges):
+    df = bpe.merges_df(spark, merges)
+    back = [(r.left, r.right) for r in df.orderBy("rank").collect()]
+    assert back == merges
