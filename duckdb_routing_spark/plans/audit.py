@@ -32,5 +32,8 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def python_eval_stages(df: DataFrame) -> int:
+    """Number of Python evaluation NODES in the plan. explain("formatted")
+    prints every node twice (once in the tree, once as a detail-section
+    header "(n) NodeName"), so count only the numbered headers."""
     plan = formatted_plan(df)
-    return len(re.findall(r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan))
+    return len(re.findall(r"\(\d+\) (?:ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)", plan))

@@ -321,6 +321,34 @@ def test_round4_operator_plans_are_scale_shaped(spark):
     assert audit.python_eval_stages(assign_shards(docs, 1024)) == 0
 
 
+def test_round6_operator_plans_are_scale_shaped(spark):
+    """Plan audits for the round-6 additions: the quality classifier is ONE
+    broadcast model join + ONE doc-keyed partial-agg shuffle with zero
+    Python; BPE encode is a single Arrow stage with no shuffle; semantic
+    dedup's only unkeyed join is the broadcast seed table."""
+    from duckdb_routing_spark.operators import bpe, similarity, text
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+    clf = text.quality_classifier(docs, text.classifier_weights(spark))
+    p_clf = audit.formatted_plan(clf)
+    assert "BroadcastHashJoin" in p_clf, "model weights must broadcast"
+    assert "SortMergeJoin" not in p_clf
+    # physical toString spells exchanges inline ("Exchange hashpartitioning")
+    p_clf_phys = clf._jdf.queryExecution().executedPlan().toString()
+    assert p_clf_phys.count("Exchange hashpartitioning") == 1, "one doc-keyed agg shuffle only"
+    assert audit.python_eval_stages(clf) == 0, "classifier fell off the JVM fast path"
+
+    enc = bpe.bpe_encode(docs, [("e", "</w>"), ("t", "h")])
+    p_enc = audit.formatted_plan(enc)
+    assert "Exchange" not in p_enc, "BPE encode must be a row-local map"
+    assert audit.python_eval_stages(enc) == 1, "one Arrow batch stage, not per-row Python"
+
+    p_sem = audit.formatted_plan(similarity.semantic_dedup(emb, threshold=0.25))
+    assert "CartesianProduct" not in p_sem, "pair space must stay cell-local"
+
+
 def test_dup_span_plans_stay_keyed(spark):
     """Substring dedup must never materialize a pair space or a range join:
     span detection is two keyed shuffles past the spread repartition (gram
