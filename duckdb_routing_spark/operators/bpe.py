@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, StringType
+from pyspark.sql.types import ArrayType, IntegerType, StringType
 
 EOW = "</w>"
 
@@ -187,3 +187,86 @@ def bpe_encode(
         F.col(id_col).alias("doc_id"),
         enc(F.col(text_col)).alias("bpe_tokens"),
     ).select("doc_id", "bpe_tokens", F.size("bpe_tokens").alias("n_bpe_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# token IDs + fixed-length training sequences (the text -> input_ids mile)
+# ---------------------------------------------------------------------------
+
+UNK_ID = 0
+
+
+def bpe_vocab(docs: DataFrame, merges: list[tuple[str, str]], text_col: str = "text") -> list[str]:
+    """Deterministic id table: every symbol the encoder can emit — the
+    corpus alphabet (one distinct-chars pass, bounded by the script, not
+    the corpus), the end-of-word marker, and each merge's product — sorted,
+    with position 0 reserved for <unk> (chars unseen at vocab time).
+    Returned as a plain list: id = index."""
+    chars = [
+        r.c
+        for r in docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    ]
+    syms = set(chars) | {EOW} | {a + b for a, b in merges}
+    return ["<unk>"] + sorted(syms)
+
+
+def bpe_encode_ids_udf(merges: list[tuple[str, str]], vocab: list[str]):
+    """Arrow-batched text -> input_ids: the encode UDF with the (small)
+    vocab dict folded into the same closure, so id mapping costs no extra
+    stage or shuffle — one Arrow pass, zero exchanges."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    ids = {s: i for i, s in enumerate(vocab)}
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode_ids(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[int]] = {}
+
+        def enc(text: str) -> list[int]:
+            out: list[int] = []
+            for w in text.lower().split(" "):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = [ids.get(s, UNK_ID) for s in _encode_word(w, ranks)]
+                out.extend(got)
+            return out
+
+        return texts.map(enc)
+
+    return encode_ids
+
+
+def training_sequences(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: list[str],
+    seq_len: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Text -> fixed-length training sequences: (doc_id, seq_id, input_ids,
+    n_ids), where input_ids slices the document's BPE id stream into
+    seq_len-sized windows (final partial window kept — the trainer pads or
+    drops; dropping silently here would lose tail tokens unaudited).
+
+    Scale: encode is one Arrow stage; slicing is a row-local
+    transform+posexplode (zero shuffle). Documents never concatenate across
+    doc boundaries — cross-doc packing is `chunking.pack_sequences`'s job."""
+    enc = bpe_encode_ids_udf(merges, vocab)
+    with_ids = docs.select(F.col(id_col).alias("doc_id"), enc(F.col(text_col)).alias("ids"))
+    n_seq = F.ceil(F.size("ids") / F.lit(seq_len)).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_seq - 1),
+        lambda i: F.slice(F.col("ids"), i * seq_len + 1, seq_len),
+    )
+    return (
+        with_ids.filter(F.size("ids") > 0)
+        .select("doc_id", F.posexplode(windows).alias("seq_id", "input_ids"))
+        .select("doc_id", "seq_id", "input_ids", F.size("input_ids").alias("n_ids"))
+    )

@@ -1084,6 +1084,21 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens").orderBy("doc_id")
 
 
+@register("doc_training_sequences", oracle=None,
+          doc="text -> fixed-length input_ids windows via BPE (pytest-oracled: ids decode back to the reference encoding)")
+def doc_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from duckdb_routing_spark.operators import bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs.orderBy("doc_id").limit(100), n_merges=20)
+    vocab = bpe.bpe_vocab(docs, merges)
+    return (
+        bpe.training_sequences(docs, merges, vocab, seq_len=64)
+        .select("doc_id", "seq_id", "n_ids")
+        .orderBy("doc_id", "seq_id")
+    )
+
+
 QUALITY_CLF_ORACLE = """
 WITH t AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents

@@ -233,6 +233,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # merges AND encodings); token family driver-exercised via
         # doc_token_stats
         "doc_bpe_tokens",
+        # text -> input_ids training windows (round 6): BPE ids + row-local
+        # seq_len slicing; pytest-oracled (decode-back + window-shape
+        # invariants in test_bpe.py)
+        "doc_training_sequences",
     }
 )
 DRIVER_QUERY_CAP = 50

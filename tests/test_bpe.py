@@ -123,6 +123,33 @@ def test_merges_compress(docs, merges):
     assert stats.toks < stats.chars
 
 
+def test_vocab_covers_every_emitted_token(spark, docs, merges, texts):
+    vocab = bpe.bpe_vocab(docs, merges)
+    assert vocab[bpe.UNK_ID] == "<unk>"
+    assert len(vocab) == len(set(vocab))  # ids are a bijection
+    emitted = {t for text in texts for t in ref_encode(text, merges)}
+    assert emitted <= set(vocab), emitted - set(vocab)
+
+
+def test_training_sequences_ids_decode_back(spark, docs, merges, texts):
+    vocab = bpe.bpe_vocab(docs, merges)
+    seqs = bpe.training_sequences(docs, merges, vocab, seq_len=32)
+    got = {}
+    for r in seqs.collect():
+        got.setdefault(r.doc_id, []).append((r.seq_id, list(r.input_ids), r.n_ids))
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for doc_id, text in zip(ids, texts):
+        rows = sorted(got[doc_id])
+        # window shape: seq_ids contiguous from 0, all full except the last
+        assert [s for s, _, _ in rows] == list(range(len(rows)))
+        assert all(n == 32 for _, _, n in rows[:-1])
+        assert 1 <= rows[-1][2] <= 32
+        # decoding the concatenated stream recovers the reference encoding
+        flat = [vocab[i] for _, w, _ in rows for i in w]
+        assert flat == ref_encode(text, merges), f"doc {doc_id}"
+        assert bpe.UNK_ID not in [i for _, w, _ in rows for i in w]
+
+
 def test_merges_df_roundtrip(spark, merges):
     df = bpe.merges_df(spark, merges)
     back = [(r.left, r.right) for r in df.orderBy("rank").collect()]
