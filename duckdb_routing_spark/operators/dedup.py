@@ -390,6 +390,85 @@ def near_dup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+def cross_near_dup_pairs(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 12,
+    band_size: int = 3,
+) -> DataFrame:
+    """Fuzzy DECONTAMINATION pairs: near-duplicates ACROSS two corpora —
+    (doc_id, eval_id, jaccard >= threshold) where doc_id is a training doc
+    and eval_id a benchmark doc. Word-n-gram `contamination_overlap`
+    catches verbatim leakage; this catches paraphrased/reformatted leakage
+    the same way in-corpus fuzzy dedup does, but the pair space is
+    train x eval, never train x train.
+
+    Scale shape: the eval side is small BY DEFINITION (benchmarks), so its
+    band table and shingle sets broadcast; the training corpus streams
+    map-side through the band join and only candidate docs' shingles are
+    ever set-aggregated. One shuffle on the corpus side (its own MinHash
+    groupBy)."""
+    base_c = shingle_hash_base(corpus, id_col, text_col, k, distinct=False).persist()
+    base_e = shingle_hash_base(eval_docs, id_col, text_col, k, distinct=False)
+    cands = (
+        bands_from_hashes(base_c, n_hashes, band_size)
+        .join(
+            F.broadcast(
+                bands_from_hashes(base_e, n_hashes, band_size).select(
+                    F.col("doc_id").alias("eval_id"), "band", "band_sig"
+                )
+            ),
+            ["band", "band_sig"],
+        )
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    sets_c = (
+        base_c.join(cands.select("doc_id").distinct(), "doc_id", "left_semi")
+        .select("doc_id", F.struct("h1", "h2").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.array_distinct(F.collect_list("h")).alias("hs_c"))
+    )
+    sets_e = F.broadcast(
+        base_e.select(F.col("doc_id").alias("eval_id"), F.struct("h1", "h2").alias("h"))
+        .groupBy("eval_id")
+        .agg(F.array_distinct(F.collect_list("h")).alias("hs_e"))
+    )
+    inter = F.size(F.array_intersect(F.col("hs_c"), F.col("hs_e"))).cast("long")
+    return (
+        cands.join(sets_c, "doc_id")
+        .join(sets_e, "eval_id")
+        .select(
+            "doc_id",
+            "eval_id",
+            (
+                inter.cast("double")
+                / (F.size("hs_c") + F.size("hs_e") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus minus everything fuzzy-matching the eval set: the keep slice
+    of `cross_near_dup_pairs` (anti join on the contaminated id set)."""
+    bad = cross_near_dup_pairs(
+        corpus, eval_docs, threshold=threshold, id_col=id_col, text_col=text_col
+    ).select(F.col("doc_id").alias(id_col)).distinct()
+    return corpus.join(bad, id_col, "left_anti")
+
+
 def simhash16(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """16-bit SimHash over word hashes: bit i of the signature is the
     majority vote of bit decisions derived from hex nibble i of md5(word).

@@ -1131,6 +1131,73 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_classifier(docs, w, n_features=256).orderBy("doc_id")
 
 
+def _mh_side_ctes(suffix: str, where: str) -> str:
+    """MinHash band CTE chain for one SIDE of a cross-corpus comparison —
+    the MINHASH_BANDS_CTE construction parameterized by a doc filter and a
+    name suffix (sh_X / hs_X / mh_X / bands_X)."""
+    return f"""
+sh_{suffix} AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE {where})
+),
+hs_{suffix} AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {_MH_P} AS h1,
+         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {_MH_P} AS h2
+  FROM sh_{suffix}
+),
+mh_{suffix} AS (
+  SELECT doc_id,
+         {_MH_COLS}
+  FROM hs_{suffix} GROUP BY doc_id
+),
+bands_{suffix} AS (
+  SELECT doc_id, band,
+         CASE band {_BAND_SIGS}
+              END AS band_sig
+  FROM mh_{suffix} CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+)"""
+
+
+DECONTAMINATE_ORACLE = f"""WITH {_mh_side_ctes('c', 'doc_id % 23 <> 0')},
+{_mh_side_ctes('e', 'doc_id % 23 = 0')},
+cand AS (
+  SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+  FROM bands_c c JOIN bands_e e ON c.band = e.band AND c.band_sig = e.band_sig
+),
+inter AS (
+  SELECT cd.doc_id, cd.eval_id, count(*) AS n_inter
+  FROM cand cd
+  JOIN sh_c sa ON sa.doc_id = cd.doc_id
+  JOIN sh_e sb ON sb.doc_id = cd.eval_id AND sb.shingle = sa.shingle
+  GROUP BY cd.doc_id, cd.eval_id
+),
+sz_c AS (SELECT doc_id, count(*) AS n FROM sh_c GROUP BY doc_id),
+sz_e AS (SELECT doc_id, count(*) AS n FROM sh_e GROUP BY doc_id)
+SELECT i.doc_id, i.eval_id,
+       i.n_inter::DOUBLE / (a.n + b.n - i.n_inter) AS jaccard
+FROM inter i JOIN sz_c a ON a.doc_id = i.doc_id
+             JOIN sz_e b ON b.doc_id = i.eval_id
+WHERE i.n_inter::DOUBLE / (a.n + b.n - i.n_inter) >= 0.8
+ORDER BY i.doc_id, i.eval_id
+"""
+
+
+@register("dedup_decontaminate_pairs", oracle=DECONTAMINATE_ORACLE,
+          doc="fuzzy decontamination: cross-corpus (train x eval) LSH -> exact Jaccard >= 0.8 pairs")
+def dedup_decontaminate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-benchmark near-dup leakage: the eval slice (doc_id % 23 = 0,
+    the same split doc_contamination uses) is fuzzy-matched against the
+    rest. Complements doc_contamination's verbatim n-gram overlap with
+    paraphrase-robust MinHash matching."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 23 <> 0")
+    ev = docs.filter("doc_id % 23 = 0")
+    return dedup.cross_near_dup_pairs(corpus, ev, threshold=0.8).orderBy("doc_id", "eval_id")
+
+
 # shared transitive-closure chain: LSH candidates -> exact Jaccard >= 0.8
 # edges -> recursive reachability (used by dedup_cluster_assign and
 # dedup_fuzzy_keep)

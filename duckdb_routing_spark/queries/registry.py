@@ -237,6 +237,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # seq_len slicing; pytest-oracled (decode-back + window-shape
         # invariants in test_bpe.py)
         "doc_training_sequences",
+        # cross-corpus fuzzy decontamination (round 6): contamination family
+        # driver-exercised via doc_contamination's verbatim-overlap sibling
+        # (hidden) + the exposed dedup family; fully SQL-oracled
+        "dedup_decontaminate_pairs",
     }
 )
 DRIVER_QUERY_CAP = 50

@@ -33,6 +33,26 @@ def test_lsh_finds_planted_near_dups(spark, docs):
     assert missed == 0, f"LSH missed {missed}/{n_planted} planted near-dup pairs"
 
 
+def test_decontaminate_removes_planted_leakage(spark, docs):
+    """An eval set that IS a corpus slice (verbatim leakage, jaccard 1.0)
+    must be fully removed; everything else survives, and the keep slice
+    plus the cross-pair doc set partition the corpus."""
+    ev = docs.filter("doc_id % 97 = 0").select("doc_id", "text")
+    # rename eval ids into their own space so overlap detection can't
+    # piggyback on equal ids
+    ev = ev.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    pairs = dedup.cross_near_dup_pairs(docs, ev, threshold=0.8)
+    # every planted doc pairs with its verbatim eval twin
+    planted = {r.doc_id for r in docs.filter("doc_id % 97 = 0").select("doc_id").collect()}
+    hit = {r.doc_id for r in pairs.select("doc_id").distinct().collect()}
+    assert planted <= hit
+    kept = dedup.decontaminate(docs, ev, threshold=0.8)
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept_ids == all_ids - hit
+    assert kept_ids.isdisjoint(planted)
+
+
 def test_near_dup_jaccard_bounds(spark, docs):
     rows = dedup.near_dup_pairs(docs, threshold=0.8).collect()
     assert all(0.8 <= r.jaccard <= 1.0 for r in rows)
