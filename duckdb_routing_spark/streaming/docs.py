@@ -198,6 +198,28 @@ def streaming_curate(
     return stream.writeStream.outputMode("append").foreachBatch(_step).start()
 
 
+def streaming_decontaminate(
+    stream: DataFrame, eval_docs: DataFrame, kept_dir: str, threshold: float = 0.8
+):
+    """Continuous-ingest fuzzy decontamination against a STATIC benchmark
+    set (the crawl-feed shape: filter incoming documents before they ever
+    land in the training corpus). Per micro-batch: the batch's MinHash
+    bands cross-join the broadcast eval bands, exact Jaccard on survivors,
+    anti-join the contaminated ids away (dedup.decontaminate verbatim).
+
+    Stateless by construction — the keep decision is a pure function of
+    (document, eval set) — so the drained table equals the batch
+    decontaminate() whatever the micro-batch chunking; per-batch OVERWRITE
+    subdirectories keep replays idempotent like the other twins."""
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        dedup.decontaminate(batch_df, eval_docs, threshold=threshold).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(kept_dir, f"batch={batch_id}"))
+
+    return stream.writeStream.outputMode("append").foreachBatch(_step).start()
+
+
 def streaming_shard_export(
     stream: DataFrame, out_dir: str, n_shards: int, key_col: str = "doc_id", salt: str = "shard"
 ):

@@ -7,6 +7,8 @@ implementation below IS the oracle."""
 from collections import Counter
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from duckdb_routing_spark.operators import bpe
@@ -154,3 +156,43 @@ def test_merges_df_roundtrip(spark, merges):
     df = bpe.merges_df(spark, merges)
     back = [(r.left, r.right) for r in df.orderBy("rank").collect()]
     assert back == merges
+
+
+# --- fuzz (pure-Python kernel, no Spark: runs hypothesis' full budget) ------
+
+_words = st.text(
+    alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_words, min_size=0, max_size=8), st.integers(0, 10_000))
+def test_encode_word_fuzz_lossless_and_matches_reference(words, seed):
+    """Arbitrary unicode words under an arbitrary (derived) merge table:
+    the greedy kernel never raises, matches the reference, and always
+    reconstructs the input."""
+    import random
+
+    rng = random.Random(seed)
+    # the operators lowercase on entry; fuzz the post-lowercase space so the
+    # kernel and reference see identical strings (unicode lower() can change
+    # length, so normalize BEFORE deriving merges)
+    words = [lw for w in words for lw in [w.lower()] if lw and " " not in lw]
+    # derive a plausible merge table from the words' own characters
+    chars = sorted({c for w in words for c in w}) + [bpe.EOW]
+    merges = []
+    pool = list(chars)
+    for _ in range(min(10, len(pool) * 2)):
+        a, b = rng.choice(pool), rng.choice(pool)
+        if (a, b) not in merges:
+            merges.append((a, b))
+            pool.append(a + b)
+    ranks = {p: i for i, p in enumerate(merges)}
+    text = " ".join(words)
+    for w in words:
+        got = bpe._encode_word(w, ranks)
+        assert got == ref_encode(w, merges), (w, merges)
+        assert "".join(got) == w + bpe.EOW  # lossless
+    assert ref_encode(text, merges) == [t for w in words if w for t in bpe._encode_word(w, ranks)]

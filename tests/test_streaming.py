@@ -232,3 +232,36 @@ def test_streaming_shard_export_equals_batch(spark, tmp_path):
     replay = run_once()  # full replay, no checkpoint
     assert replay.count() == batch.count()
     assert replay.exceptAll(batch).count() == 0
+
+
+def test_streaming_decontaminate_equals_batch(spark, tmp_path):
+    """The keep decision is a pure function of (document, eval set), so the
+    drained stream must be row-identical to batch decontaminate() whatever
+    the micro-batch chunking."""
+    import os
+
+    from duckdb_routing_spark.operators import dedup
+    from duckdb_routing_spark.streaming import docs as sd
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    ev = docs.filter("doc_id % 23 = 0").select("doc_id", "text")
+
+    chunk_dir = sd.write_document_chunks(spark, SF_SMOKE, str(tmp_path / "in"), chunks=3)
+    kept_dir = str(tmp_path / "kept")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(chunk_dir, "chunk_*.parquet"))
+    )
+    q = sd.streaming_decontaminate(stream, ev, kept_dir, threshold=0.8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    drained = spark.read.parquet(kept_dir).select("doc_id")
+    batch = dedup.decontaminate(docs.select("doc_id", "text"), ev, threshold=0.8).select("doc_id")
+    assert drained.count() == batch.count() > 0
+    assert drained.exceptAll(batch).count() == 0
+    assert batch.exceptAll(drained).count() == 0
