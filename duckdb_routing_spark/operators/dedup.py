@@ -697,6 +697,7 @@ def fuzzy_dedup_keep(
     text_col: str = "text",
     n_hashes: int = 12,
     band_size: int = 3,
+    prefer: str | None = None,
 ) -> DataFrame:
     """The COMPLETE fuzzy-dedup pipeline as one operator, corpus in →
     keep-decision out: MinHash bands → LSH candidate pairs → exact
@@ -706,24 +707,51 @@ def fuzzy_dedup_keep(
     is_canonical slice, and cluster_id is the provenance key an audit
     joins back on.
 
+    `prefer` names a column to maximize when choosing the survivor (the
+    keep-the-highest-quality-copy policy real dedup pipelines run —
+    quality score, length, recency) with doc id as the deterministic
+    tiebreak; None keeps the minimum id. Either way the cluster_id stays
+    the min-id component label, so provenance joins are policy-independent.
+
     Scale shape: the stages inherit their plans from the building blocks
     (bucket-local pair explode, Jaccard only on LSH survivors, O(diameter)
     label propagation); the final assembly is one left join of the
     (small — only docs that hit a cluster) label table against the corpus,
-    broadcast when it fits."""
+    broadcast when it fits; the prefer policy adds one window over the
+    label table only (cluster-keyed, never the corpus)."""
+    from pyspark.sql import Window
+
     pairs = near_dup_pairs(
         docs, threshold=threshold, id_col=id_col, text_col=text_col,
         n_hashes=n_hashes, band_size=band_size,
     ).select("doc_a", "doc_b")
     clusters = dedup_clusters(pairs)
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    if prefer is None:
+        return (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .join(clusters, "doc_id", "left")
+            .select(
+                "doc_id",
+                cid.alias("cluster_id"),
+                (cid == F.col("doc_id")).alias("is_canonical"),
+            )
+        )
+    ranked = clusters.join(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(prefer).alias("_pref")), "doc_id"
+    ).withColumn(
+        "_rk",
+        F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(F.desc("_pref"), F.asc("doc_id"))
+        ),
+    )
     return (
         docs.select(F.col(id_col).alias("doc_id"))
-        .join(clusters, "doc_id", "left")
+        .join(ranked.select("doc_id", "cluster_id", (F.col("_rk") == 1).alias("_best")), "doc_id", "left")
         .select(
             "doc_id",
             cid.alias("cluster_id"),
-            (cid == F.col("doc_id")).alias("is_canonical"),
+            F.coalesce(F.col("_best"), F.lit(True)).alias("is_canonical"),
         )
     )
 

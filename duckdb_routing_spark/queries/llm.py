@@ -1251,6 +1251,32 @@ def dedup_fuzzy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.fuzzy_dedup_keep(docs, threshold=0.8).orderBy("doc_id")
 
 
+FUZZY_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_COMPONENT_CTES},
+comp AS (SELECT doc AS doc_id, min(lab) AS cid FROM reach GROUP BY doc),
+ranked AS (
+  SELECT c.doc_id, c.cid,
+         row_number() OVER (PARTITION BY c.cid ORDER BY d.n_chars DESC, c.doc_id) AS rk
+  FROM comp c JOIN documents d USING (doc_id)
+)
+SELECT d.doc_id,
+       coalesce(r.cid, d.doc_id) AS cluster_id,
+       coalesce(r.rk = 1, TRUE) AS is_canonical
+FROM documents d LEFT JOIN ranked r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@register("dedup_fuzzy_keep_best", oracle=FUZZY_KEEP_BEST_ORACLE,
+          doc="fuzzy dedup keeping the LONGEST cluster member (prefer=n_chars, id tiebreak)")
+def dedup_fuzzy_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-the-best-copy policy: survivor = argmax n_chars per
+    cluster (quality score in production), doc id breaking ties;
+    cluster_id stays the min-id label so provenance is policy-independent."""
+    docs = table(spark, sf_dir, "documents")
+    return dedup.fuzzy_dedup_keep(docs, threshold=0.8, prefer="n_chars").orderBy("doc_id")
+
+
 @register("dedup_cluster_assign", oracle=CLUSTER_ORACLE,
           doc="connected components over near-dup pairs -> (doc_id, min-id cluster)")
 def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -241,6 +241,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # driver-exercised via doc_contamination's verbatim-overlap sibling
         # (hidden) + the exposed dedup family; fully SQL-oracled
         "dedup_decontaminate_pairs",
+        # keep-best-copy policy variant of dedup_fuzzy_keep (same closure,
+        # argmax-prefer survivor); fully SQL-oracled
+        "dedup_fuzzy_keep_best",
     }
 )
 DRIVER_QUERY_CAP = 50
