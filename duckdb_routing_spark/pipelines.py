@@ -116,6 +116,45 @@ def export_pretraining_shards(
     return _shard.write_training_shards(keyed, out_dir, n_shards, key_col="_shard_doc_key")
 
 
+def export_tokenized_shards(
+    docs: DataFrame,
+    out_dir: str,
+    merges: list[tuple[str, str]] | None = None,
+    seq_len: int = 128,
+    n_shards: int = 64,
+    train_sample: int = 1000,
+    quality_min: float = 0.5,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """The tokenized last mile: curate -> BPE-tokenize -> fixed-length
+    input_ids windows -> deterministic sharded shuffle, written as
+    <out_dir>/shard_id=K/ parquet rows (doc_id, seq_id, input_ids).
+    Returns the shard manifest.
+
+    Pass a trained merge table to reuse a tokenizer across runs (the
+    production path — the tokenizer is a versioned artifact); with
+    merges=None one is trained on the curated corpus's lowest-id
+    `train_sample` docs. The shard key is (doc_id, seq_id), so a
+    document's windows spread across the global read order instead of
+    sitting adjacent — the same dispersal contract as the mixture-epoch
+    key in export_pretraining_shards."""
+    from duckdb_routing_spark.operators import bpe
+    from duckdb_routing_spark.operators import shard as _shard
+
+    curated = build_pretraining_dataset(
+        docs, quality_min=quality_min, jaccard_threshold=jaccard_threshold
+    ).filter(F.col("split") == "train")
+    if merges is None:
+        merges = bpe.bpe_train(curated.orderBy("doc_id").limit(train_sample), n_merges=30)
+    vocab = bpe.bpe_vocab(curated, merges)
+    seqs = bpe.training_sequences(curated, merges, vocab, seq_len=seq_len)
+    keyed = seqs.withColumn(
+        "_shard_doc_key",
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("seq_id").cast("string")),
+    )
+    return _shard.write_training_shards(keyed, out_dir, n_shards, key_col="_shard_doc_key")
+
+
 def main() -> None:
     import sys
 

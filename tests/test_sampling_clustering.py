@@ -214,3 +214,38 @@ def test_export_pretraining_shards_end_to_end(spark, docs, tmp_path):
     # (determinism of each stage is pinned by test_mix_sources_epoch_semantics
     # and test_write_training_shards_roundtrip — no need to re-run the full
     # curation here)
+
+
+def test_export_tokenized_shards_end_to_end(spark, tmp_path):
+    """Tokenized last mile: curate -> BPE windows -> sharded write. Every
+    curated train doc's windows land exactly once, window ids stay intact
+    through the shuffle (input_ids arrays survive), and a document's
+    windows disperse across shards (shard key includes seq_id).
+    Runs at sf0.001 with a pre-trained merge table — training itself is
+    pinned by test_bpe.py; this test pins the COMPOSITION."""
+    from duckdb_routing_spark.operators import bpe
+    from duckdb_routing_spark.pipelines import build_pretraining_dataset, export_tokenized_shards
+
+    small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe.bpe_train(small.orderBy("doc_id").limit(40), n_merges=10)
+    out = str(tmp_path / "tok_shards")
+    man = export_tokenized_shards(small, out, merges=merges, seq_len=32, n_shards=4).collect()
+    total = sum(r.n_rows for r in man)
+    back = spark.read.parquet(out)
+    assert back.count() == total > 0
+    # windows cover every curated train doc exactly (no drops, no dups)
+    train_ids = {
+        r.doc_id
+        for r in build_pretraining_dataset(small).filter("split = 'train'").select("doc_id").collect()
+    }
+    assert {r.doc_id for r in back.select("doc_id").distinct().collect()} == train_ids
+    assert back.filter("seq_id = 0").count() == len(train_ids)
+    assert back.filter(F.size("input_ids") != F.col("n_ids")).count() == 0
+    # multi-window docs disperse across shards
+    dispersed = (
+        back.groupBy("doc_id")
+        .agg(F.countDistinct("shard_id").alias("k"), F.count("*").alias("n"))
+        .filter("n > 1 AND k > 1")
+        .count()
+    )
+    assert dispersed > 0
