@@ -219,6 +219,72 @@ SELECT row, col, count(*) AS cnt FROM cells GROUP BY row, col
 
 
 # ---------------------------------------------------------------------------
+# quantile sketch over UNBOUNDED domains: bottom-k-by-hash row sample
+# ---------------------------------------------------------------------------
+#
+# The histogram below needs a known [lo, hi); this sketch does not. State =
+# the k rows whose md5(row id) is smallest — a uniform k-row sample that is
+# a PURE FUNCTION of the row-id set: order-independent, byte-deterministic,
+# and exactly mergeable (bottom-k of a union == bottom-k over the parts'
+# bottom-k's, for disjoint parts). Quantiles read off the sorted sample with
+# standard sampling error O(sqrt(q(1-q)/k)). Unlike KLL/t-digest the state
+# carries no run-dependent compaction randomness, so the full value-hash
+# oracle applies to the STATE itself, and Spark plans the build as
+# TakeOrderedAndProject — map-side partial bottom-k per partition, k rows
+# per task to the driver-side merge, no full shuffle.
+
+
+def _sample_hash(id_col: str):
+    """60-bit md5 of the row id — uniform, engine-portable (DuckDB:
+    ('0x'||substr(md5(id::VARCHAR),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def quantile_sample(df: DataFrame, value_col: str, id_col: str, k: int = 1024) -> DataFrame:
+    """Quantile-sketch state: (hkey, value), the k rows with smallest
+    hashed id. `id_col` must be row-unique (the sample is uniform over
+    ROWS, so duplicate values weigh correctly). NULL values drop — they
+    have no rank."""
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(_sample_hash(id_col).alias("hkey"), F.col(value_col).cast("double").alias("value"))
+        .orderBy("hkey", "value")
+        .limit(k)
+    )
+
+
+def quantile_sample_merge(*sketches: DataFrame, k: int = 1024) -> DataFrame:
+    """Merge sketches built over DISJOINT row sets (shards, days, streams):
+    union + re-take bottom-k — byte-identical to building over the union."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("hkey", "value").limit(k)
+
+
+def quantile_sample_estimate(sketch: DataFrame, qs: list[float]) -> dict[float, float]:
+    """Quantile estimates from the sketch: value at floor(q*(m-1)) of the
+    sorted sample (type-1, deterministic). Collects <= k rows — the same
+    bounded-state contract as the HLL/CMS estimators."""
+    vals = sorted(r.value for r in sketch.select("value").collect())
+    if not vals:
+        return {q: float("nan") for q in qs}
+    m = len(vals)
+    return {q: vals[int(q * (m - 1))] for q in qs}
+
+
+def quantile_sample_oracle_sql(table: str, value_col: str, id_col: str, k: int = 1024) -> str:
+    return f"""
+SELECT ('0x' || substr(md5({id_col}::VARCHAR), 1, 15))::BIGINT AS hkey,
+       {value_col}::DOUBLE AS value
+FROM {table}
+WHERE {value_col} IS NOT NULL
+ORDER BY hkey, value
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # fixed-bin histogram: mergeable quantiles / distribution sketch
 # ---------------------------------------------------------------------------
 #

@@ -1618,6 +1618,20 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sketch.hll_registers(table(spark, sf_dir, "orders"), "o_custkey", b=10).orderBy("register")
 
 
+QSAMPLE_ORACLE = _sketch.quantile_sample_oracle_sql("events", "value", "event_id", k=256) + "\n"
+
+
+@register("sketch_quantile_sample", oracle=QSAMPLE_ORACLE,
+          doc="bottom-k-by-hash quantile sketch state (k=256) over events.value — unbounded-domain quantiles")
+def sketch_quantile_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile tier beside HLL/CMS/histogram for domains with no known
+    [lo, hi): state = the k rows with smallest md5(row id) — a pure
+    function of the id set, so it is order-independent, exactly mergeable
+    across disjoint slices, and value-hash oracled AS STATE. Estimation
+    accuracy and merge exactness are pinned in tests/test_sketch.py."""
+    return _sketch.quantile_sample(table(spark, sf_dir, "events"), "value", "event_id", k=256)
+
+
 from duckdb_routing_spark.operators import layout as _layout  # noqa: E402
 
 _Z_SPECS = [("l_partkey", 0.0, 2000.0), ("l_suppkey", 0.0, 100.0)]

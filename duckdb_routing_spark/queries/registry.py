@@ -244,6 +244,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # keep-best-copy policy variant of dedup_fuzzy_keep (same closure,
         # argmax-prefer survivor); fully SQL-oracled
         "dedup_fuzzy_keep_best",
+        # bottom-k quantile sketch state (round 6): same mergeable-sketch
+        # family as sketch_hll_registers/sketch_cms_cells (percentile shape
+        # driver-exercised via percentiles_by_priority); fully SQL-oracled
+        "sketch_quantile_sample",
     }
 )
 DRIVER_QUERY_CAP = 50

@@ -289,3 +289,61 @@ def test_topk_frequent_twins_agree_on_null_keys(spark):
     approx = [(r.key, r.w) for r in topk_frequent_sketch(df, "tok", k=5, capacity=16).collect()]
     assert exact == [("a", 5), ("b", 3), ("c", 1)]
     assert approx == exact
+
+
+# --- bottom-k quantile sketch ----------------------------------------------
+
+from duckdb_routing_spark.operators.sketch import (  # noqa: E402
+    quantile_sample,
+    quantile_sample_estimate,
+    quantile_sample_merge,
+)
+
+
+def test_quantile_sample_merge_is_exact(spark):
+    """The sketch is a pure function of the row-id set: building over 3
+    disjoint slices and merging must be BYTE-identical to building over
+    the whole table, and re-merging is idempotent."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    whole = quantile_sample(events, "value", "event_id", k=128).collect()
+    parts = [
+        quantile_sample(events.filter(f"event_id % 3 = {i}"), "value", "event_id", k=128)
+        for i in range(3)
+    ]
+    merged = quantile_sample_merge(*parts, k=128).collect()
+    assert [(r.hkey, r.value) for r in merged] == [(r.hkey, r.value) for r in whole]
+    again = quantile_sample_merge(*parts, *[p.limit(0) for p in parts], k=128).collect()
+    assert [(r.hkey, r.value) for r in again] == [(r.hkey, r.value) for r in whole]
+
+
+def test_quantile_sample_estimates_within_sampling_error(spark):
+    """Deterministic accuracy check (the sample is fixed, so this cannot
+    flake): every decile estimate's TRUE rank must sit inside the DKW
+    uniform band at delta=1e-4 — sup-norm, so it covers the correlation
+    between deciles of ONE sample (this fixture's sample runs ~2 sigma
+    small across all deciles; a per-decile sigma bound is the wrong test)."""
+    events = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    k = 512
+    sk = quantile_sample(events, "value", "event_id", k=k)
+    qs = [i / 10 for i in range(1, 10)]
+    est = quantile_sample_estimate(sk, qs)
+    vals = sorted(r.value for r in events.select("value").collect())
+    n = len(vals)
+    import bisect
+
+    tol = math.sqrt(math.log(2 / 1e-4) / (2 * k))  # ~0.098 at k=512
+    for q, v in est.items():
+        true_rank = bisect.bisect_right(vals, v) / n
+        assert abs(true_rank - q) <= tol, (q, v, true_rank, tol)
+
+
+def test_quantile_sample_plan_is_partial_topk(spark):
+    """The build must plan as TakeOrderedAndProject — map-side partial
+    bottom-k, k rows per task, no full shuffle/sort of the data."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        quantile_sample(events, "value", "event_id", k=128)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:500]
+    assert "Exchange" not in plan
