@@ -248,6 +248,40 @@ def streaming_hourly_hll(events: DataFrame, key_col: str = "user_id", b: int = 8
     )
 
 
+def streaming_quantile_sample(
+    stream: DataFrame, state_dir: str, value_col: str = "value",
+    id_col: str = "event_id", k: int = 1024,
+):
+    """Continuous quantile sketch: per micro-batch, the batch's OWN
+    bottom-k (a pure function of its rows) lands in batch=<id>/ parquet;
+    the live sketch is the k-row merge over batch dirs
+    (`read_quantile_state`). Because bottom-k is order-independent and
+    exactly mergeable, the drained state is BYTE-identical to the batch
+    sketch over the whole feed, under any chunking — and per-batch
+    overwrite keeps at-least-once replays idempotent, the same contract
+    as the docs-side streaming twins."""
+    import os as _os
+
+    from duckdb_routing_spark.operators.sketch import quantile_sample
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        quantile_sample(batch_df, value_col, id_col, k).write.mode("overwrite").parquet(
+            _os.path.join(state_dir, f"batch={batch_id}")
+        )
+
+    return stream.writeStream.outputMode("append").foreachBatch(_step).start()
+
+
+def read_quantile_state(spark: SparkSession, state_dir: str, k: int = 1024) -> DataFrame:
+    """Fold the accumulated per-batch bottom-k tables into the live k-row
+    sketch (<= batches*k rows in, k out)."""
+    from duckdb_routing_spark.operators.sketch import quantile_sample_merge
+
+    return quantile_sample_merge(
+        spark.read.parquet(state_dir).select("hkey", "value"), k=k
+    )
+
+
 def streaming_hourly_cms(
     events: DataFrame, key_col: str = "user_id", depth: int = 4, width: int = 64
 ) -> DataFrame:

@@ -265,3 +265,38 @@ def test_streaming_decontaminate_equals_batch(spark, tmp_path):
     assert drained.count() == batch.count() > 0
     assert drained.exceptAll(batch).count() == 0
     assert batch.exceptAll(drained).count() == 0
+
+
+def test_streaming_quantile_sample_equals_batch(spark, tmp_path):
+    """Bottom-k is order-independent and exactly mergeable, so the drained
+    streaming sketch must be BYTE-identical to the batch sketch over the
+    whole feed, under any micro-batch chunking."""
+    import os
+
+    from duckdb_routing_spark.operators.sketch import quantile_sample
+    from duckdb_routing_spark.streaming import events as se
+    from tests.conftest import SF_SMOKE
+
+    events = spark.read.parquet(os.path.join(SF_SMOKE, "events.parquet")).select(
+        "event_id", "value"
+    )
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for b in range(3):
+        events.filter(f"event_id % 3 = {b}").coalesce(1).write.parquet(
+            str(in_dir / f"chunk_{b}.parquet")
+        )
+    state_dir = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema("event_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "chunk_*.parquet"))
+    )
+    q = se.streaming_quantile_sample(stream, state_dir, k=128)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    drained = se.read_quantile_state(spark, state_dir, k=128).collect()
+    batch = quantile_sample(events, "value", "event_id", k=128).collect()
+    assert [(r.hkey, r.value) for r in drained] == [(r.hkey, r.value) for r in batch]
