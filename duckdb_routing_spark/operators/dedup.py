@@ -399,6 +399,7 @@ def cross_near_dup_pairs(
     k: int = 3,
     n_hashes: int = 12,
     band_size: int = 3,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Fuzzy DECONTAMINATION pairs: near-duplicates ACROSS two corpora —
     (doc_id, eval_id, jaccard >= threshold) where doc_id is a training doc
@@ -407,26 +408,52 @@ def cross_near_dup_pairs(
     the same way in-corpus fuzzy dedup does, but the pair space is
     train x eval, never train x train.
 
+    `metric` picks the similarity AND the candidate generator:
+      - "jaccard" (symmetric): MinHash-band candidates, exactly like
+        in-corpus near-dup — recall follows the banding curve.
+      - "containment" (n_inter / |eval shingles| — the shape real leakage
+        takes: a benchmark item EMBEDDED in a long training doc keeps
+        containment ~1 while Jaccard collapses toward |eval|/|doc|, and
+        MinHash banding goes blind with it). Candidates here are EXACT:
+        any corpus shingle hash hitting the broadcast eval shingle set
+        makes a (doc, eval) candidate, so no pair with containment > 0 is
+        ever missed. The matched-row volume is bounded by actual shared
+        content, not corpus size.
+
     Scale shape: the eval side is small BY DEFINITION (benchmarks), so its
-    band table and shingle sets broadcast; the training corpus streams
-    map-side through the band join and only candidate docs' shingles are
-    ever set-aggregated. One shuffle on the corpus side (its own MinHash
-    groupBy)."""
+    band table / shingle sets broadcast; the training corpus streams
+    map-side through the candidate join and only candidate docs' shingles
+    are ever set-aggregated. One shuffle on the corpus side (its MinHash
+    groupBy, or the matched-pair distinct in containment mode)."""
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
     base_c = shingle_hash_base(corpus, id_col, text_col, k, distinct=False).persist()
     base_e = shingle_hash_base(eval_docs, id_col, text_col, k, distinct=False)
-    cands = (
-        bands_from_hashes(base_c, n_hashes, band_size)
-        .join(
-            F.broadcast(
-                bands_from_hashes(base_e, n_hashes, band_size).select(
-                    F.col("doc_id").alias("eval_id"), "band", "band_sig"
-                )
-            ),
-            ["band", "band_sig"],
+    if metric == "containment":
+        cands = (
+            base_c.join(
+                F.broadcast(
+                    base_e.select(F.col("doc_id").alias("eval_id"), "h1", "h2").distinct()
+                ),
+                ["h1", "h2"],
+            )
+            .select("doc_id", "eval_id")
+            .distinct()
         )
-        .select("doc_id", "eval_id")
-        .distinct()
-    )
+    else:
+        cands = (
+            bands_from_hashes(base_c, n_hashes, band_size)
+            .join(
+                F.broadcast(
+                    bands_from_hashes(base_e, n_hashes, band_size).select(
+                        F.col("doc_id").alias("eval_id"), "band", "band_sig"
+                    )
+                ),
+                ["band", "band_sig"],
+            )
+            .select("doc_id", "eval_id")
+            .distinct()
+        )
     sets_c = (
         base_c.join(cands.select("doc_id").distinct(), "doc_id", "left_semi")
         .select("doc_id", F.struct("h1", "h2").alias("h"))
@@ -439,18 +466,15 @@ def cross_near_dup_pairs(
         .agg(F.array_distinct(F.collect_list("h")).alias("hs_e"))
     )
     inter = F.size(F.array_intersect(F.col("hs_c"), F.col("hs_e"))).cast("long")
+    if metric == "containment":
+        score = inter.cast("double") / F.size("hs_e").cast("double")
+    else:
+        score = inter.cast("double") / (F.size("hs_c") + F.size("hs_e") - inter).cast("double")
     return (
         cands.join(sets_c, "doc_id")
         .join(sets_e, "eval_id")
-        .select(
-            "doc_id",
-            "eval_id",
-            (
-                inter.cast("double")
-                / (F.size("hs_c") + F.size("hs_e") - inter).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_id", score.alias(metric))
+        .filter(F.col(metric) >= threshold)
     )
 
 
@@ -460,11 +484,13 @@ def decontaminate(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Corpus minus everything fuzzy-matching the eval set: the keep slice
-    of `cross_near_dup_pairs` (anti join on the contaminated id set)."""
+    of `cross_near_dup_pairs` (anti join on the contaminated id set).
+    metric="containment" catches eval items EMBEDDED in longer docs."""
     bad = cross_near_dup_pairs(
-        corpus, eval_docs, threshold=threshold, id_col=id_col, text_col=text_col
+        corpus, eval_docs, threshold=threshold, id_col=id_col, text_col=text_col, metric=metric
     ).select(F.col("doc_id").alias(id_col)).distinct()
     return corpus.join(bad, id_col, "left_anti")
 

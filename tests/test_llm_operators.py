@@ -53,6 +53,28 @@ def test_decontaminate_removes_planted_leakage(spark, docs):
     assert kept_ids.isdisjoint(planted)
 
 
+def test_containment_decontamination_catches_embedded_eval(spark, docs):
+    """The real leakage shape: a short benchmark item EMBEDDED in a long
+    training doc. Containment scores it ~1.0 while symmetric Jaccard
+    collapses toward |eval|/|doc| — so the containment screen must catch
+    the plant and the 0.8-Jaccard screen must miss it."""
+    long_doc = docs.orderBy(F.length("text").desc()).select("doc_id", "text").first()
+    words = long_doc.text.split(" ")
+    assert len(words) > 60
+    # the eval item = a 20-word slice out of the doc's middle
+    ev_text = " ".join(words[20:40])
+    ev = spark.createDataFrame([(1, ev_text)], "doc_id long, text string")
+    corpus = docs.filter(F.col("doc_id") == long_doc.doc_id).select("doc_id", "text")
+    cont = dedup.cross_near_dup_pairs(corpus, ev, threshold=0.8, metric="containment")
+    jac = dedup.cross_near_dup_pairs(corpus, ev, threshold=0.8, metric="jaccard")
+    got = cont.collect()
+    assert [(r.doc_id, r.eval_id) for r in got] == [(long_doc.doc_id, 1)]
+    assert got[0].containment == 1.0  # every eval shingle is in the doc
+    assert jac.count() == 0  # symmetric similarity can't see embedding
+    kept = dedup.decontaminate(corpus, ev, threshold=0.8, metric="containment")
+    assert kept.count() == 0
+
+
 def test_near_dup_jaccard_bounds(spark, docs):
     rows = dedup.near_dup_pairs(docs, threshold=0.8).collect()
     assert all(0.8 <= r.jaccard <= 1.0 for r in rows)

@@ -82,6 +82,10 @@ def test_driver_exposed_set_fits_the_cap():
     assert DRIVER_HIDDEN <= set(REGISTRY), DRIVER_HIDDEN - set(REGISTRY)
     for family in ("sim_", "stream_", "window_", "route_travel_time", "route_tile_build"):
         assert any(n.startswith(family) for n in exposed), f"{family} family not driver-exposed"
-    # every hidden query still has a local oracle (pytest parity coverage)
+    # every hidden query still has a local oracle (pytest parity coverage).
+    # The named exceptions carry non-SQL oracles instead: the throughput
+    # probe is rows-only by design; the BPE pair is value-oracled against
+    # the independent pure-Python reference in test_bpe.py.
+    NON_SQL_ORACLED = {"route_batch_throughput", "doc_bpe_tokens", "doc_training_sequences"}
     for n in DRIVER_HIDDEN:
-        assert REGISTRY[n].oracle is not None or n == "route_batch_throughput"
+        assert REGISTRY[n].oracle is not None or n in NON_SQL_ORACLED
