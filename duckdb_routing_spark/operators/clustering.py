@@ -81,6 +81,43 @@ def _update(
     ]
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """The trained quantizer itself: run the same Lloyd loop as
+    `kmeans_lloyd` and return the FINAL centroids (k x dim, driver-side —
+    the artifact a production run persists and every consumer broadcasts:
+    IVF cell seeds, SemDeDup cells, assignment jobs)."""
+    dim = len(emb.select(vec_col).first()[0])
+    seeds = (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, list(r.v)) for i, r in enumerate(seeds)]
+    emb = emb.persist()
+    try:
+        for _ in range(iterations):
+            assigned = _assign(emb, centroids, id_col, vec_col)
+            centroids = _update(emb, assigned, centroids, id_col, vec_col, dim)
+    finally:
+        emb.unpersist()
+    return centroids
+
+
+def centroids_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """Centroid list as a (cell, svec) DataFrame — the seed-table shape
+    `similarity.semantic_dedup(seeds=...)` and IVF consumers broadcast."""
+    return spark.createDataFrame(
+        [(c, list(map(float, v))) for c, v in centroids], "cell INT, svec ARRAY<DOUBLE>"
+    )
+
+
 def kmeans_lloyd(
     emb: DataFrame,
     k: int = 4,

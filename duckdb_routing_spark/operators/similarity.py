@@ -331,6 +331,7 @@ def semantic_dedup(
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): partition
     the corpus into `n_cells` Voronoi cells around seed vectors (the same
@@ -343,12 +344,18 @@ def semantic_dedup(
     ~sqrt(n) cells and cells stay bounded; cross-cell near-dups are
     sacrificed by design (the SemDeDup trade). The keep rule (min id per
     similar pair survives) is a deterministic greedy canonicalization, so
-    the result is reproducible and SQL-expressible for the oracle."""
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("svec"))
-    )
+    the result is reproducible and SQL-expressible for the oracle.
+
+    `seeds` overrides the default first-n_cells quantizer with a TRAINED
+    (cell, svec) table — `clustering.kmeans_centroids` + `centroids_df` is
+    the in-house path (the SemDeDup paper's actual recipe: kmeans cells,
+    then prune)."""
+    if seeds is None:
+        seeds = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("svec"))
+        )
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("v"),

@@ -249,3 +249,45 @@ def test_export_tokenized_shards_end_to_end(spark, tmp_path):
         .count()
     )
     assert dispersed > 0
+
+
+def test_semantic_dedup_over_trained_kmeans_cells(spark):
+    """SemDeDup on its paper recipe — kmeans cells, then prune — checked
+    against an exact numpy reimplementation of the whole flow (assignment
+    tiebreaks included)."""
+    import numpy as np
+
+    from duckdb_routing_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = clustering.kmeans_centroids(emb, k=6, iterations=2)
+    seeds = clustering.centroids_df(spark, cents)
+    got = {
+        r.vec_id: (r.cell, r.kept)
+        for r in similarity.semantic_dedup(emb, threshold=0.25, seeds=seeds).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    C = np.array([v for _, v in cents])
+    cid = np.array([c for c, _ in cents])
+    # score = ||c||^2 - 2 v.c, exact tiebreak by cell id (matches
+    # _cell_assignments' ORDER BY score, cell)
+    score = (C * C).sum(1)[None, :] - 2.0 * V @ C.T
+    assign = np.array(
+        [cid[min(range(len(cid)), key=lambda j: (score[i, j], cid[j]))] for i in range(len(V))]
+    )
+    norms = np.sqrt((V * V).sum(1))
+    kept = {}
+    for i in range(len(V)):
+        k_i = True
+        for j in range(len(V)):
+            if assign[j] == assign[i] and ids[j] < ids[i]:
+                cos = float(V[i] @ V[j]) / (norms[i] * norms[j])
+                if cos >= 0.25:
+                    k_i = False
+                    break
+        kept[ids[i]] = (int(assign[i]), k_i)
+    assert got == kept
+    assert sum(1 for _, k in got.values() if not k) > 0  # non-vacuous
