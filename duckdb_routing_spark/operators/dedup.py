@@ -390,6 +390,98 @@ def near_dup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted index (rolling-crawl shape)
+# ---------------------------------------------------------------------------
+
+def build_dedup_index(
+    corpus: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the dedup state a rolling pipeline carries between runs:
+    the hashed shingle base (<index_dir>/base/ — exact-Jaccard side) and
+    the MinHash band table (<index_dir>/bands/ — candidate side). Both are
+    plain keyed parquet (Delta/Iceberg at cluster scale, compacted
+    periodically); mode="append" folds an increment in, which is what
+    `near_dups_against_index(..., extend=True)` does after scoring."""
+    import os as _os
+
+    base = shingle_hash_base(corpus, id_col, text_col, k, distinct=False).persist()
+    try:
+        base.write.mode(mode).parquet(_os.path.join(index_dir, "base"))
+        bands_from_hashes(base, n_hashes, band_size).write.mode(mode).parquet(
+            _os.path.join(index_dir, "bands")
+        )
+    finally:
+        base.unpersist()
+
+
+def near_dups_against_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    extend: bool = False,
+) -> DataFrame:
+    """Near-dup pairs of an INCREMENT against itself and the indexed
+    corpus — the rolling-crawl production shape: yesterday's corpus is
+    never re-paired, only (new x new) and (new x index) candidates exist.
+    Returns exactly `near_dup_pairs(old ∪ new)` RESTRICTED to pairs
+    touching a new doc (same shingle hashes, same band construction, same
+    exact-Jaccard stage — the equivalence is pytest-pinned). Ids across
+    increments must be distinct (monotone ingest ids).
+
+    extend=True appends the increment's base+bands into the index after
+    scoring, so successive calls see a growing corpus. Scale: the index
+    join is keyed on (band, band_sig); only candidate OLD docs' shingle
+    hashes are ever read out of the base (semi join on the pair ids)."""
+    import os as _os
+
+    spark = new_docs.sparkSession
+    base_new = shingle_hash_base(new_docs, id_col, text_col, k, distinct=False).persist()
+    bands_new = bands_from_hashes(base_new, n_hashes, band_size).persist()
+    within = _pairs_in_buckets(bands_new)
+    idx_bands = spark.read.parquet(_os.path.join(index_dir, "bands"))
+    cross = (
+        bands_new.select(F.col("doc_id").alias("doc_new"), "band", "band_sig")
+        .join(
+            idx_bands.select(F.col("doc_id").alias("doc_old"), "band", "band_sig"),
+            ["band", "band_sig"],
+        )
+        .select(
+            F.least("doc_new", "doc_old").alias("doc_a"),
+            F.greatest("doc_new", "doc_old").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pairs = within.unionByName(cross).distinct()
+    # Jaccard over the union base: the increment's hashes + only the
+    # candidate slice of the indexed base (pair_intersection_sizes
+    # semi-joins down to candidate docs either way)
+    idx_base = spark.read.parquet(_os.path.join(index_dir, "base"))
+    base_union = base_new.unionByName(idx_base)
+    out = jaccard_from_hashes(base_union, pairs).filter(F.col("jaccard") >= threshold)
+    if extend:
+        # MATERIALIZE the scores before the index mutates: a lazy plan
+        # would re-read the grown parquet on its next action (and persist()
+        # alone does not survive — writing to a path recaches/invalidates
+        # every cached plan that reads it), so truncate lineage eagerly.
+        out = out.localCheckpoint()
+        base_new.write.mode("append").parquet(_os.path.join(index_dir, "base"))
+        bands_new.write.mode("append").parquet(_os.path.join(index_dir, "bands"))
+    return out
+
+
 def cross_near_dup_pairs(
     corpus: DataFrame,
     eval_docs: DataFrame,

@@ -852,3 +852,32 @@ def test_phrase_lexicon_hits_multiword(spark):
     # doc 0: one 3-gram phrase hit; doc 1: no phrase despite 'credit' twice;
     # doc 2: single-word entry still matches
     assert out == {0: 1, 2: 1}
+
+
+def test_incremental_index_dedup_equals_full_rerun(spark, docs, tmp_path):
+    """The rolling-crawl contract: dedup'ing an increment against the
+    persisted index must produce EXACTLY the full-corpus near-dup pairs
+    restricted to pairs touching the increment — old docs are never
+    re-paired, nothing is missed. Growing the index (extend=True) makes a
+    second increment see the first."""
+    index_dir = str(tmp_path / "idx")
+    old = docs.filter("doc_id % 5 <> 0")
+    inc1 = docs.filter("doc_id % 5 = 0 AND doc_id % 10 <> 5")  # doc_id % 10 == 0
+    inc2 = docs.filter("doc_id % 10 = 5")
+    dedup.build_dedup_index(old, index_dir)
+
+    got1 = dedup.near_dups_against_index(inc1, index_dir, threshold=0.8, extend=True)
+    full = dedup.near_dup_pairs(docs.filter("doc_id % 10 <> 5"), threshold=0.8)
+    want1 = full.filter("doc_a % 10 = 0 OR doc_b % 10 = 0")
+    a = sorted((r.doc_a, r.doc_b, r.jaccard) for r in got1.collect())
+    b = sorted((r.doc_a, r.doc_b, r.jaccard) for r in want1.collect())
+    assert a == b and len(a) > 0
+
+    # the extended index now contains old + inc1: the second increment's
+    # pairs vs the WHOLE corpus must match a full rerun's touching slice
+    got2 = dedup.near_dups_against_index(inc2, index_dir, threshold=0.8)
+    full_all = dedup.near_dup_pairs(docs, threshold=0.8)
+    want2 = full_all.filter("doc_a % 10 = 5 OR doc_b % 10 = 5")
+    a2 = sorted((r.doc_a, r.doc_b, r.jaccard) for r in got2.collect())
+    b2 = sorted((r.doc_a, r.doc_b, r.jaccard) for r in want2.collect())
+    assert a2 == b2
