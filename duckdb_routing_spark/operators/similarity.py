@@ -325,6 +325,79 @@ def ivf_topk(
     )
 
 
+def build_ann_index(
+    corpus: DataFrame,
+    index_dir: str,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seeds: DataFrame | None = None,
+) -> None:
+    """Persist the IVF index the way a 100 TB vector store actually lays
+    out: vectors written CELL-PARTITIONED (<index_dir>/cells/cell=K/) so a
+    probe is a partition-PRUNED read of n_probe/n_cells of the data at the
+    file-listing level, plus the tiny seed table (<index_dir>/seeds/).
+    `seeds` takes a trained quantizer (`clustering.kmeans_centroids` +
+    `centroids_df`); default is the deterministic first-n_cells codebook
+    `ivf_topk` uses."""
+    import os as _os
+
+    if seeds is None:
+        seeds = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("svec"))
+        )
+    seeds.write.mode("overwrite").parquet(_os.path.join(index_dir, "seeds"))
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
+                      norm_col(F.col(vec_col)).alias("cnorm"))
+    _cell_assignments(c, seeds, "vec_id", "cvec", 1).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(_os.path.join(index_dir, "cells"))
+
+
+def ann_query_index(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a persisted IVF index: assign each query its n_probe nearest
+    cells (against the broadcast seed table), then scan ONLY those cell
+    partitions — the filter on the partition column prunes at file-listing
+    time, so the job reads n_probe/n_cells of the index whatever its size.
+    Results are identical to `ivf_topk` over the same seeds (pytest-pinned,
+    along with the PartitionFilters plan assertion)."""
+    import os as _os
+
+    seeds = spark.read.parquet(_os.path.join(index_dir, "seeds"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
+                       norm_col(F.col(vec_col)).alias("qnorm"))
+    q_cells = _cell_assignments(q, seeds, "query_id", "qvec", n_probe)
+    probe = [r.cell for r in q_cells.select("cell").distinct().collect()]
+    cells = spark.read.parquet(_os.path.join(index_dir, "cells")).filter(
+        F.col("cell").isin(probe)
+    )
+    scored = (
+        cells.join(F.broadcast(q_cells), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (_dot_seq(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float,

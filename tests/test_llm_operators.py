@@ -881,3 +881,25 @@ def test_incremental_index_dedup_equals_full_rerun(spark, docs, tmp_path):
     a2 = sorted((r.doc_a, r.doc_b, r.jaccard) for r in got2.collect())
     b2 = sorted((r.doc_a, r.doc_b, r.jaccard) for r in want2.collect())
     assert a2 == b2
+
+
+def test_ann_index_probe_prunes_partitions_and_matches_ivf(spark, emb, tmp_path):
+    """The persisted IVF index: probing must return exactly what in-memory
+    ivf_topk returns over the same seeds, and the probe's scan must carry a
+    PartitionFilter on the cell column — pruning at file-listing time, so
+    a probe reads n_probe/n_cells of the index whatever its size."""
+    from duckdb_routing_spark.plans import audit
+
+    idx = str(tmp_path / "ivf_index")
+    similarity.build_ann_index(emb, idx, n_cells=8)
+    q = emb.filter("vec_id < 3")
+    got = similarity.ann_query_index(spark, idx, q, k=10, n_probe=2)
+    want = similarity.ivf_topk(emb, q, k=10, n_cells=8, n_probe=2)
+    g = [(r.query_id, r.vec_id, r.cosine, r.rank) for r in got.collect()]
+    w = [(r.query_id, r.vec_id, r.cosine, r.rank) for r in want.collect()]
+    assert g == w and len(g) == 30
+    plan = audit.formatted_plan(got)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m and "IN" in m.group(1).upper(), "probe scan lost its cell partition filter"
