@@ -158,7 +158,9 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
     def encode(texts: pd.Series) -> pd.Series:
         cache: dict[str, list[str]] = {}
 
-        def enc(text: str) -> list[str]:
+        def enc(text) -> list[str]:
+            if text is None:
+                return []  # NULL text -> no tokens (the pipeline-safe read)
             out: list[str] = []
             for w in text.lower().split(" "):
                 if not w:
@@ -226,7 +228,9 @@ def bpe_encode_ids_udf(merges: list[tuple[str, str]], vocab: list[str]):
     def encode_ids(texts: pd.Series) -> pd.Series:
         cache: dict[str, list[int]] = {}
 
-        def enc(text: str) -> list[int]:
+        def enc(text) -> list[int]:
+            if text is None:
+                return []  # NULL text -> no tokens (the pipeline-safe read)
             out: list[int] = []
             for w in text.lower().split(" "):
                 if not w:

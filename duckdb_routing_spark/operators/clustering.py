@@ -89,9 +89,11 @@ def kmeans_centroids(
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """The trained quantizer itself: run the same Lloyd loop as
-    `kmeans_lloyd` and return the FINAL centroids (k x dim, driver-side —
-    the artifact a production run persists and every consumer broadcasts:
-    IVF cell seeds, SemDeDup cells, assignment jobs)."""
+    `kmeans_lloyd` and return the centroids its FINAL assignment uses
+    (iterations-1 update steps — so `_assign(emb, kmeans_centroids(...))`
+    reproduces `kmeans_lloyd(...)` exactly, pytest-pinned). This is the
+    k x dim artifact a production run persists and every consumer
+    broadcasts: IVF cell seeds, SemDeDup cells, assignment jobs."""
     dim = len(emb.select(vec_col).first()[0])
     seeds = (
         emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
@@ -102,7 +104,7 @@ def kmeans_centroids(
     centroids = [(i, list(r.v)) for i, r in enumerate(seeds)]
     emb = emb.persist()
     try:
-        for _ in range(iterations):
+        for _ in range(iterations - 1):
             assigned = _assign(emb, centroids, id_col, vec_col)
             centroids = _update(emb, assigned, centroids, id_col, vec_col, dim)
     finally:

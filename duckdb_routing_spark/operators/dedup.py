@@ -476,9 +476,13 @@ def near_dups_against_index(
         # would re-read the grown parquet on its next action (and persist()
         # alone does not survive — writing to a path recaches/invalidates
         # every cached plan that reads it), so truncate lineage eagerly.
+        # Every consumer of the persisted inputs has then run, so release
+        # them — a rolling pipeline calls this once per increment forever.
         out = out.localCheckpoint()
         base_new.write.mode("append").parquet(_os.path.join(index_dir, "base"))
         bands_new.write.mode("append").parquet(_os.path.join(index_dir, "bands"))
+        base_new.unpersist()
+        bands_new.unpersist()
     return out
 
 
@@ -492,6 +496,7 @@ def cross_near_dup_pairs(
     n_hashes: int = 12,
     band_size: int = 3,
     metric: str = "jaccard",
+    persist_base: bool = True,
 ) -> DataFrame:
     """Fuzzy DECONTAMINATION pairs: near-duplicates ACROSS two corpora —
     (doc_id, eval_id, jaccard >= threshold) where doc_id is a training doc
@@ -516,10 +521,18 @@ def cross_near_dup_pairs(
     band table / shingle sets broadcast; the training corpus streams
     map-side through the candidate join and only candidate docs' shingles
     are ever set-aggregated. One shuffle on the corpus side (its MinHash
-    groupBy, or the matched-pair distinct in containment mode)."""
+    groupBy, or the matched-pair distinct in containment mode).
+
+    persist_base caches the corpus shingle base across its two consumers
+    (the lazy-API default, like near_dup_pairs). Callers that invoke this
+    in a LOOP over many inputs — the streaming twin runs it per
+    micro-batch forever — pass False: the base recomputes twice per call
+    but nothing accumulates in executor storage."""
     if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric {metric!r}")
-    base_c = shingle_hash_base(corpus, id_col, text_col, k, distinct=False).persist()
+    base_c = shingle_hash_base(corpus, id_col, text_col, k, distinct=False)
+    if persist_base:
+        base_c = base_c.persist()
     base_e = shingle_hash_base(eval_docs, id_col, text_col, k, distinct=False)
     if metric == "containment":
         cands = (
@@ -577,12 +590,14 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     metric: str = "jaccard",
+    persist_base: bool = True,
 ) -> DataFrame:
     """Corpus minus everything fuzzy-matching the eval set: the keep slice
     of `cross_near_dup_pairs` (anti join on the contaminated id set).
     metric="containment" catches eval items EMBEDDED in longer docs."""
     bad = cross_near_dup_pairs(
-        corpus, eval_docs, threshold=threshold, id_col=id_col, text_col=text_col, metric=metric
+        corpus, eval_docs, threshold=threshold, id_col=id_col, text_col=text_col,
+        metric=metric, persist_base=persist_base,
     ).select(F.col("doc_id").alias(id_col)).distinct()
     return corpus.join(bad, id_col, "left_anti")
 

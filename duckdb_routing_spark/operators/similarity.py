@@ -376,7 +376,11 @@ def ann_query_index(
     seeds = spark.read.parquet(_os.path.join(index_dir, "seeds"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
                        norm_col(F.col(vec_col)).alias("qnorm"))
-    q_cells = _cell_assignments(q, seeds, "query_id", "qvec", n_probe)
+    # materialize the (tiny) assignment once: the probe list collect and the
+    # broadcast join side must see the SAME rows — a lazy plan would
+    # evaluate twice, and a nondeterministic `queries` input could then
+    # probe cells its re-computed assignments no longer match
+    q_cells = _cell_assignments(q, seeds, "query_id", "qvec", n_probe).localCheckpoint()
     probe = [r.cell for r in q_cells.select("cell").distinct().collect()]
     cells = spark.read.parquet(_os.path.join(index_dir, "cells")).filter(
         F.col("cell").isin(probe)

@@ -502,17 +502,23 @@ def quality_classifier(
     division — hash-parity safe. Scale: one row-local explode, one
     broadcast hash join (the model is small relative to the corpus; a
     huge model shuffles instead — Spark picks), one doc-keyed partial
-    aggregation. No Python in the hot path."""
+    aggregation. No Python in the hot path.
+
+    The weight join is LEFT with missing buckets scoring 0: a trained or
+    pruned model covering only its nonzero buckets must not silently drop
+    tokens from n_tokens — and a document whose every token misses the
+    table still gets its (zero-score) row. Docs with NULL/empty text have
+    no tokens and no rank; they drop out, as documented."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     ).filter(F.col("tok") != "")
     scored = toks.withColumn("bucket", hashed_bucket(F.col("tok"), n_features)).join(
-        F.broadcast(weights), "bucket"
+        F.broadcast(weights), "bucket", "left"
     )
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.sum("weight").alias("raw_score"),
+        F.sum(F.coalesce(F.col("weight"), F.lit(0))).alias("raw_score"),
     ).select(
         "doc_id",
         "n_tokens",

@@ -141,18 +141,27 @@ def export_tokenized_shards(
     from duckdb_routing_spark.operators import bpe
     from duckdb_routing_spark.operators import shard as _shard
 
+    # curated fans out to three actions (merge training, vocab chars, the
+    # shard write) — persist it or each one re-executes the whole curation
+    # DAG (the ~6x re-execution near_dup_pairs' docstring measured)
     curated = build_pretraining_dataset(
         docs, quality_min=quality_min, jaccard_threshold=jaccard_threshold
-    ).filter(F.col("split") == "train")
-    if merges is None:
-        merges = bpe.bpe_train(curated.orderBy("doc_id").limit(train_sample), n_merges=30)
-    vocab = bpe.bpe_vocab(curated, merges)
-    seqs = bpe.training_sequences(curated, merges, vocab, seq_len=seq_len)
-    keyed = seqs.withColumn(
-        "_shard_doc_key",
-        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("seq_id").cast("string")),
-    )
-    return _shard.write_training_shards(keyed, out_dir, n_shards, key_col="_shard_doc_key")
+    ).filter(F.col("split") == "train").persist()
+    try:
+        if merges is None:
+            merges = bpe.bpe_train(curated.orderBy("doc_id").limit(train_sample), n_merges=30)
+        vocab = bpe.bpe_vocab(curated, merges)
+        seqs = bpe.training_sequences(curated, merges, vocab, seq_len=seq_len)
+        keyed = seqs.withColumn(
+            "_shard_doc_key",
+            F.concat_ws("#", F.col("doc_id").cast("string"), F.col("seq_id").cast("string")),
+        )
+        manifest = _shard.write_training_shards(keyed, out_dir, n_shards, key_col="_shard_doc_key")
+        # the write ran; pin the (n_shards-row) manifest before releasing
+        # the cache its plan hangs off
+        return manifest.localCheckpoint()
+    finally:
+        curated.unpersist()
 
 
 def main() -> None:

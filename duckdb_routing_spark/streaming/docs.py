@@ -210,12 +210,14 @@ def streaming_decontaminate(
     Stateless by construction — the keep decision is a pure function of
     (document, eval set) — so the drained table equals the batch
     decontaminate() whatever the micro-batch chunking; per-batch OVERWRITE
-    subdirectories keep replays idempotent like the other twins."""
+    subdirectories keep replays idempotent like the other twins.
+    persist_base=False: this loop runs forever, and a per-batch persist
+    with no unpersist would accumulate cached blocks without bound."""
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
-        dedup.decontaminate(batch_df, eval_docs, threshold=threshold).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(kept_dir, f"batch={batch_id}"))
+        dedup.decontaminate(
+            batch_df, eval_docs, threshold=threshold, persist_base=False
+        ).write.mode("overwrite").parquet(os.path.join(kept_dir, f"batch={batch_id}"))
 
     return stream.writeStream.outputMode("append").foreachBatch(_step).start()
 

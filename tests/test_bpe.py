@@ -196,3 +196,14 @@ def test_encode_word_fuzz_lossless_and_matches_reference(words, seed):
         assert got == ref_encode(w, merges), (w, merges)
         assert "".join(got) == w + bpe.EOW  # lossless
     assert ref_encode(text, merges) == [t for w in words if w for t in bpe._encode_word(w, ranks)]
+
+
+def test_encode_null_and_empty_text(spark, merges):
+    """NULL/empty text must yield empty token arrays, not a crashed job."""
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "a b")], "doc_id long, text string")
+    rows = {r.doc_id: list(r.bpe_tokens) for r in bpe.bpe_encode(df, merges).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ref_encode("a b", merges)
+    vocab = bpe.bpe_vocab(df.filter("text IS NOT NULL"), merges)
+    seqs = bpe.training_sequences(df, merges, vocab, seq_len=8)
+    assert {r.doc_id for r in seqs.select("doc_id").distinct().collect()} == {3}

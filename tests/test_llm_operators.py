@@ -903,3 +903,24 @@ def test_ann_index_probe_prunes_partitions_and_matches_ivf(spark, emb, tmp_path)
 
     m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
     assert m and "IN" in m.group(1).upper(), "probe scan lost its cell partition filter"
+
+
+def test_quality_classifier_with_partial_weight_table(spark, docs):
+    """A trained/pruned model covers only its nonzero buckets: tokens that
+    miss the table must still count in n_tokens (scoring 0), and a doc
+    whose every token misses must still get its row."""
+    from duckdb_routing_spark.operators import text as t
+
+    full = t.classifier_weights(spark, n_features=256)
+    partial = full.filter("bucket % 2 = 0")  # half the model pruned away
+    got_full = t.quality_classifier(docs, full, n_features=256)
+    got_part = t.quality_classifier(docs, partial, n_features=256)
+    a = {r.doc_id: (r.n_tokens, r.raw_score) for r in got_full.collect()}
+    b = {r.doc_id: (r.n_tokens, r.raw_score) for r in got_part.collect()}
+    assert set(a) == set(b)  # no doc vanishes under a pruned model
+    for d in a:
+        assert a[d][0] == b[d][0], "n_tokens must count unmatched tokens too"
+    # empty weight table: every doc survives with score 0
+    empty = full.filter("bucket < 0")
+    z = t.quality_classifier(docs, empty, n_features=256).collect()
+    assert len(z) == len(a) and all(r.raw_score == 0 and not r.keep for r in z)

@@ -291,3 +291,17 @@ def test_semantic_dedup_over_trained_kmeans_cells(spark):
         kept[ids[i]] = (int(assign[i]), k_i)
     assert got == kept
     assert sum(1 for _, k in got.values() if not k) > 0  # non-vacuous
+
+
+def test_kmeans_centroids_reproduce_kmeans_lloyd(spark):
+    """The persisted-quantizer contract: assigning against
+    kmeans_centroids(k, iterations) must reproduce
+    kmeans_lloyd(k, iterations) exactly — same iteration count semantics."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = clustering.kmeans_centroids(emb, k=4, iterations=3)
+    via_artifact = {
+        (r.vec_id, r.cluster_id)
+        for r in clustering._assign(emb, cents, "vec_id", "embedding").collect()
+    }
+    direct = {(r.vec_id, r.cluster_id) for r in clustering.kmeans_lloyd(emb, k=4, iterations=3).collect()}
+    assert via_artifact == direct
