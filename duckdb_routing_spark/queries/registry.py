@@ -38,7 +38,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   doc_repetition           Gopher repetition signals; text family
 #   doc_stats                ⊂ doc_text_features / doc_token_stats
 #   q4_order_priority        EXISTS semi-join; anti/semi shapes also in
-#                            anti_join_quiet_customers + q22_dormant_rich
+#                            q22_dormant_rich (anti_join_quiet_customers was
+#                            itself hidden late round 6, same rationale)
 #   q7_nation_volume         multi-join volume shape ⊂ q5/q3/q10 join family;
 #                            hidden to give doc_chunks a driver row
 #   route_snap               snap kernel already driver-exercised through
@@ -66,7 +67,7 @@ REGISTRY: dict[str, QuerySpec] = {}
 #   stream_dedup_minhash     incremental-LSH twin of dedup_minhash_lsh +
 #                            stream_dedup_exact (pytest-oracled)
 #   stream_interval_join     stream-stream interval join; join family exposed
-#                            via asof/fanout, stream family via 3 stream_* rows
+#                            via asof + q3/q5, stream family via 3 stream_* rows
 #   stream_session_window    declarative twin of stream_sessionize_stateful
 #   union_buckets            plain UNION ALL set op
 DRIVER_HIDDEN: frozenset[str] = frozenset(
@@ -218,15 +219,18 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # SemDeDup (round 6): embedding-dedup family driver-exercised via
         # dedup_embedding_cosine + sim_ivf_topk (same quantizer); fully
         # SQL-oracled in test_oracle_parity
-        "dedup_semantic",
-        # hashed-unigram linear quality classifier (round 6): model-based
-        # filtering beside the heuristic doc_text_features (exposed); fully
-        # SQL-oracled in test_oracle_parity
-        "doc_quality_classifier",
-        # end-to-end fuzzy-dedup keep decision (round 6): composition of
-        # dedup_near_dups (exposed) + dedup_cluster_assign; fully SQL-oracled
-        # (recursive-CTE closure) in test_oracle_parity
-        "dedup_fuzzy_keep",
+        # --- hidden late round 6 to hand their driver rows to the new
+        # corpus-hygiene flagships (dedup_semantic, doc_quality_classifier,
+        # dedup_fuzzy_keep), all driver-emulation-verified under a
+        # default-config session before the swap:
+        # anti/semi family stays driver-exercised via q22_dormant_rich
+        "anti_join_quiet_customers",
+        # join-agg family stays driver-exercised via q3/q5; still a bench
+        # headline (bench reads the registry directly)
+        "q10_returned_items",
+        # travel_time fan-out over a VALUES view: the same UDF surface as
+        # route_travel_time/route_modes/route_matrix (all exposed)
+        "route_fanout",
         # BPE tokenizer (round 6): train-on-sample + broadcast-ranks encode;
         # greedy rank merging is not one-SQL-expressible, so the oracle is
         # test_bpe.py's independent pure-Python reference (exact match on
