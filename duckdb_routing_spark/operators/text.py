@@ -492,6 +492,7 @@ def quality_classifier(
     n_features: int = 256,
     id_col: str = "doc_id",
     text_col: str = "text",
+    word_ngrams: int = 1,
 ) -> DataFrame:
     """fastText-style linear quality classifier over hashed unigram
     features: tokens hash into `n_features` buckets, the (broadcast)
@@ -508,10 +509,34 @@ def quality_classifier(
     pruned model covering only its nonzero buckets must not silently drop
     tokens from n_tokens — and a document whose every token misses the
     table still gets its (zero-score) row. Docs with NULL/empty text have
-    no tokens and no rank; they drop out, as documented."""
+    no tokens and no rank; they drop out, as documented.
+
+    word_ngrams=2 adds hashed word-bigram features (space-joined, the
+    fastText wordNgrams recipe) to the same bucket space — the feature
+    stream stays one row-local explode (flatten of per-n transforms);
+    n_tokens then counts FEATURES, the quantity the score normalizes by."""
+    ws = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+
+    # bind n in a closure factory: a default-arg lambda would take TWO
+    # params, which F.transform interprets as an (element, index) lambda
+    def _gram(n: int):
+        return lambda i: F.concat_ws(
+            " ", *[F.get(ws, (i + F.lit(j)).cast("int")) for j in range(n)]
+        )
+
+    grams = [ws]
+    for n in range(2, word_ngrams + 1):
+        # guard short docs: sequence(0, negative) would count DOWN in Spark
+        grams.append(
+            F.when(
+                F.size(ws) >= n,
+                F.transform(F.sequence(F.lit(0), F.size(ws) - n), _gram(n)),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    feats = F.flatten(F.array(*grams)) if len(grams) > 1 else grams[0]
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+        F.explode(feats).alias("tok"),
     ).filter(F.col("tok") != "")
     scored = toks.withColumn("bucket", hashed_bucket(F.col("tok"), n_features)).join(
         F.broadcast(weights), "bucket", "left"

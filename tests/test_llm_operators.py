@@ -924,3 +924,35 @@ def test_quality_classifier_with_partial_weight_table(spark, docs):
     empty = full.filter("bucket < 0")
     z = t.quality_classifier(docs, empty, n_features=256).collect()
     assert len(z) == len(a) and all(r.raw_score == 0 and not r.keep for r in z)
+
+
+def test_quality_classifier_word_bigrams_exact(spark):
+    """word_ngrams=2 (the fastText wordNgrams recipe): exact against a
+    pure-Python reimplementation of the hash + weight arithmetic, and the
+    unigram path is unchanged by the flag."""
+    import hashlib
+
+    from duckdb_routing_spark.operators import text as t
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    w = t.classifier_weights(spark, n_features=256)
+    got = {
+        r.doc_id: (r.n_tokens, r.raw_score)
+        for r in t.quality_classifier(docs, w, n_features=256, word_ngrams=2).collect()
+    }
+
+    def bucket(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % 256
+
+    def weight(b):
+        return int(hashlib.md5(f"qw:{b}".encode()).hexdigest()[:8], 16) % 2001 - 1000
+
+    for r in docs.select("doc_id", "text").collect():
+        ws = [x for x in r.text.lower().split(" ") if x]
+        feats = ws + [" ".join(ws[i : i + 2]) for i in range(len(ws) - 1)]
+        want = (len(feats), sum(weight(bucket(f)) for f in feats))
+        assert got[r.doc_id] == want, r.doc_id
+    # the flag defaulted off leaves the unigram result untouched
+    uni = t.quality_classifier(docs, w, n_features=256).collect()
+    uni1 = t.quality_classifier(docs, w, n_features=256, word_ngrams=1).collect()
+    assert sorted(map(tuple, uni)) == sorted(map(tuple, uni1))
