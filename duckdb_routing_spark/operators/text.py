@@ -486,6 +486,37 @@ def classifier_weights(spark, n_features: int = 256, salt: str = "qw") -> DataFr
     )
 
 
+def _feature_stream(docs: DataFrame, id_col: str, text_col: str, word_ngrams: int) -> DataFrame:
+    """(doc_id, tok): hashed-classifier feature stream — lowercased
+    whitespace unigrams plus word n-grams up to `word_ngrams` (space-
+    joined, fastText style). One row-local explode, shared by the scorer
+    and the trainer so a trained model scores over EXACTLY the features it
+    saw."""
+    ws = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
+
+    # bind n in a closure factory: a default-arg lambda would take TWO
+    # params, which F.transform interprets as an (element, index) lambda
+    def _gram(n: int):
+        return lambda i: F.concat_ws(
+            " ", *[F.get(ws, (i + F.lit(j)).cast("int")) for j in range(n)]
+        )
+
+    grams = [ws]
+    for n in range(2, word_ngrams + 1):
+        # guard short docs: sequence(0, negative) would count DOWN in Spark
+        grams.append(
+            F.when(
+                F.size(ws) >= n,
+                F.transform(F.sequence(F.lit(0), F.size(ws) - n), _gram(n)),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+    feats = F.flatten(F.array(*grams)) if len(grams) > 1 else grams[0]
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(feats).alias("tok"),
+    ).filter(F.col("tok") != "")
+
+
 def quality_classifier(
     docs: DataFrame,
     weights: DataFrame,
@@ -515,29 +546,7 @@ def quality_classifier(
     fastText wordNgrams recipe) to the same bucket space — the feature
     stream stays one row-local explode (flatten of per-n transforms);
     n_tokens then counts FEATURES, the quantity the score normalizes by."""
-    ws = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda w: w != "")
-
-    # bind n in a closure factory: a default-arg lambda would take TWO
-    # params, which F.transform interprets as an (element, index) lambda
-    def _gram(n: int):
-        return lambda i: F.concat_ws(
-            " ", *[F.get(ws, (i + F.lit(j)).cast("int")) for j in range(n)]
-        )
-
-    grams = [ws]
-    for n in range(2, word_ngrams + 1):
-        # guard short docs: sequence(0, negative) would count DOWN in Spark
-        grams.append(
-            F.when(
-                F.size(ws) >= n,
-                F.transform(F.sequence(F.lit(0), F.size(ws) - n), _gram(n)),
-            ).otherwise(F.array().cast("array<string>"))
-        )
-    feats = F.flatten(F.array(*grams)) if len(grams) > 1 else grams[0]
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(feats).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = _feature_stream(docs, id_col, text_col, word_ngrams)
     scored = toks.withColumn("bucket", hashed_bucket(F.col("tok"), n_features)).join(
         F.broadcast(weights), "bucket", "left"
     )
@@ -551,6 +560,81 @@ def quality_classifier(
         (F.col("raw_score").cast("double") / (F.lit(1000) * F.col("n_tokens"))).alias("quality"),
         (F.col("raw_score") > 0).alias("keep"),
     )
+
+
+def train_quality_classifier(
+    docs: DataFrame,
+    label_col: str,
+    n_features: int = 256,
+    iterations: int = 20,
+    lr: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_ngrams: int = 1,
+) -> DataFrame:
+    """TRAIN the hashed-n-gram logistic quality model in-engine:
+    full-batch gradient descent over (doc_id, bucket, cnt) counts, labels
+    in {0, 1}. Returns the (bucket, weight) table `quality_classifier`
+    consumes, with weights quantized to the same integer 1e-3 units as
+    `classifier_weights` (so raw_score stays an exact BIGINT sum and
+    quality ~= the mean per-feature weight).
+
+    Determinism contract (the repo-wide float policy, see dim_stats):
+    per-iteration margins are exact BIGINT sums of cnt * micro-weight;
+    the per-doc residual sigmoid(m) - y is a per-row IEEE op; each doc's
+    gradient contribution quantizes to micro-units BEFORE the bucket sum,
+    so the aggregate is exact under ANY partitioning — two trainings
+    produce byte-identical weights, on one machine or a thousand.
+
+    Scale: the count table builds once (one explode + one (doc, bucket)
+    groupBy) and persists across iterations; each iteration is one
+    broadcast weights join + a doc-keyed and a bucket-keyed aggregation;
+    the driver only ever sees n_features gradient longs (the kmeans /
+    dedup_clusters iteration pattern)."""
+    counts = (
+        _feature_stream(docs, id_col, text_col, word_ngrams)
+        .withColumn("bucket", hashed_bucket(F.col("tok"), n_features))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(
+            docs.select(F.col(id_col).alias("doc_id"), F.col(label_col).cast("double").alias("y")),
+            "doc_id",
+        )
+        .persist()
+    )
+    try:
+        n_docs = counts.select("doc_id").distinct().count()
+        spark = docs.sparkSession
+        w = [0.0] * n_features
+        for _ in range(iterations):
+            w_micro = [(b, int(round(w[b] * 1_000_000))) for b in range(n_features)]
+            wdf = spark.createDataFrame(w_micro, "bucket INT, w_micro LONG")
+            margins = (
+                counts.join(F.broadcast(wdf), "bucket")
+                .groupBy("doc_id", "y")
+                .agg((F.sum(F.col("cnt") * F.col("w_micro")) / 1e6).alias("m"))
+                .select(
+                    "doc_id",
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias("r"),
+                )
+            )
+            grad = (
+                counts.join(margins, "doc_id")
+                .groupBy("bucket")
+                .agg(
+                    F.sum(F.floor(F.col("cnt") * F.col("r") * 1_000_000 + 0.5).cast("long")).alias(
+                        "g_micro"
+                    )
+                )
+                .collect()
+            )
+            for row in grad:
+                w[row.bucket] -= lr * (row.g_micro / 1e6) / n_docs
+        return spark.createDataFrame(
+            [(b, int(round(w[b] * 1000))) for b in range(n_features)], "bucket INT, weight LONG"
+        )
+    finally:
+        counts.unpersist()
 
 
 def phrase_lexicon_hits(

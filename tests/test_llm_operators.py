@@ -956,3 +956,37 @@ def test_quality_classifier_word_bigrams_exact(spark):
     uni = t.quality_classifier(docs, w, n_features=256).collect()
     uni1 = t.quality_classifier(docs, w, n_features=256, word_ngrams=1).collect()
     assert sorted(map(tuple, uni)) == sorted(map(tuple, uni1))
+
+
+def test_train_quality_classifier_learns_and_is_deterministic(spark):
+    """In-engine logistic regression on hashed features: a separable
+    concept (a marker token) must be learned to >= 95% accuracy by the
+    SAME scorer the heuristic weights use, and two trainings must produce
+    byte-identical weights (integer-quantized gradient sums — exact under
+    any partitioning)."""
+    import random
+
+    from duckdb_routing_spark.operators import text as t
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(240):
+        words = [rng.choice(vocab) for _ in range(12)]
+        y = i % 2
+        if y:
+            words[rng.randrange(len(words))] = "signalterm"
+        rows.append((i, " ".join(words), y))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int").repartition(4)
+
+    # 256 buckets: a 41-term vocabulary needs headroom — at 64 buckets
+    # hash collisions blur the signal term into noise words (measured
+    # acc ~0.78); at 256 the concept separates completely
+    w1 = t.train_quality_classifier(docs, "label", n_features=256, iterations=30, lr=5.0)
+    w2 = t.train_quality_classifier(docs, "label", n_features=256, iterations=30, lr=5.0)
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+
+    scored = t.quality_classifier(docs, w1, n_features=256)
+    joined = scored.join(docs.select("doc_id", "label"), "doc_id")
+    acc = joined.filter((F.col("raw_score") > 0) == (F.col("label") == 1)).count() / 240
+    assert acc >= 0.95, acc
