@@ -562,6 +562,91 @@ def quality_classifier(
     )
 
 
+def hashed_doc_embedding_components(
+    docs: DataFrame,
+    dim: int = 16,
+    n_features: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Model-free document embeddings, exact-integer form: feature-hashed
+    bag-of-words randomly projected to `dim` dims (the classic
+    hashing-trick + random-projection baseline — JL distance preservation
+    without any trained model), so the embedding operators (cosine top-k,
+    LSH/IVF ANN, SemDeDup) run on a corpus that arrives as TEXT. Returns
+    (doc_id, j, s, n): s = BIGINT dot product of the doc's integer bucket
+    counts with projection column j, n = the doc's feature count.
+
+    Deterministic and engine-portable: projection components are
+    md5-derived integers in [-1000, 1000], every sum exact BIGINT. Plan:
+    one row-local explode, one (doc, bucket) count agg, one broadcast join
+    against the n_features x dim component table, one doc-keyed fold."""
+    counts = (
+        _feature_stream(docs, id_col, text_col, word_ngrams=1)
+        .withColumn("bucket", hashed_bucket(F.col("tok"), n_features))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    spark = docs.sparkSession
+    # component(bucket, j) = md5("emb:<bucket>:<j>") % 2001 - 1000 — the
+    # same deterministic-surrogate idiom as classifier_weights
+    comp = (
+        spark.range(n_features)
+        .select(F.col("id").alias("bucket"))
+        .crossJoin(spark.range(dim).select(F.col("id").alias("j")))
+        .select(
+            "bucket",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("emb:"),
+                                F.col("bucket").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2001
+                - 1000
+            ).alias("v"),
+        )
+    )
+    return (
+        counts.join(F.broadcast(comp), "bucket")
+        .groupBy("doc_id", "j")
+        .agg(F.sum(F.col("cnt") * F.col("v")).alias("s"), F.sum("cnt").alias("n"))
+    )
+
+
+def hashed_doc_embeddings(
+    docs: DataFrame,
+    dim: int = 16,
+    n_features: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, embedding array<float>) from the exact integer components
+    above: component j = s / (1000 * n) — a count-normalized projection, so
+    document length cancels and the floats appear only in this last
+    single-op division (the repo float policy; the component table is what
+    the oracle value-hashes)."""
+    comps = hashed_doc_embedding_components(docs, dim, n_features, id_col, text_col)
+    return comps.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "s", "n"))),
+            lambda e: (e["s"].cast("double") / (F.lit(1000.0) * e["n"])).cast("float"),
+        ).alias("embedding")
+    )
+
+
 def train_quality_classifier(
     docs: DataFrame,
     label_col: str,

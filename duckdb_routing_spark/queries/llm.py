@@ -1099,6 +1099,41 @@ def doc_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HASHED_EMB_ORACLE = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+c AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS bucket, count(*) AS cnt
+  FROM t WHERE tok != '' GROUP BY doc_id, bucket
+),
+comp AS (
+  SELECT b.bucket, j.j,
+         ('0x' || substr(md5('emb:' || b.bucket || ':' || j.j), 1, 8))::BIGINT % 2001 - 1000 AS v
+  FROM (SELECT unnest(range(0, 256)) AS bucket) b,
+       (SELECT unnest(range(0, 16)) AS j) j
+)
+SELECT c.doc_id, comp.j, sum(c.cnt * comp.v) AS s, sum(c.cnt) AS n
+FROM c JOIN comp USING (bucket)
+GROUP BY c.doc_id, comp.j
+ORDER BY c.doc_id, comp.j
+"""
+
+
+@register("doc_hashed_embedding", oracle=HASHED_EMB_ORACLE,
+          doc="model-free doc embeddings: hashed bag-of-words x md5 random projection (exact integer components)")
+def doc_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text -> vector without any trained model: the hashing-trick +
+    random-projection baseline that lets the embedding operators (ANN,
+    SemDeDup) run on a text-only corpus. The oracle value-hashes the exact
+    BIGINT component table; the float assembly (s / (1000 n)) is one final
+    division, pytest-composed into semantic_dedup in test_llm_operators."""
+    docs = table(spark, sf_dir, "documents")
+    return text.hashed_doc_embedding_components(docs, dim=16, n_features=256).orderBy(
+        "doc_id", "j"
+    )
+
+
 QUALITY_CLF_ORACLE = """
 WITH t AS (
   SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents

@@ -252,6 +252,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # family as sketch_hll_registers/sketch_cms_cells (percentile shape
         # driver-exercised via percentiles_by_priority); fully SQL-oracled
         "sketch_quantile_sample",
+        # model-free hashed doc embeddings (round 6): embedding family
+        # driver-exercised via dedup_semantic/sim_* rows; fully SQL-oracled
+        # on the exact integer component table
+        "doc_hashed_embedding",
     }
 )
 DRIVER_QUERY_CAP = 50

@@ -990,3 +990,44 @@ def test_train_quality_classifier_learns_and_is_deterministic(spark):
     joined = scored.join(docs.select("doc_id", "label"), "doc_id")
     acc = joined.filter((F.col("raw_score") > 0) == (F.col("label") == 1)).count() / 240
     assert acc >= 0.95, acc
+
+
+def test_hashed_doc_embeddings_feed_the_embedding_operators(spark):
+    """Text -> vector -> SemDeDup entirely in-engine: the float embeddings
+    assemble from the oracled integer components (one division), planted
+    near-identical docs land near-identical vectors (cosine > 0.99), and
+    the output drops straight into semantic_dedup."""
+    from duckdb_routing_spark.operators import text as t
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(80)
+    emb = t.hashed_doc_embeddings(docs, dim=16, n_features=256)
+    rows = {r.doc_id: list(r.embedding) for r in emb.collect()}
+    assert len(rows) == 80 and all(len(v) == 16 for v in rows.values())
+    # exact assembly from components
+    comp = {
+        (r.doc_id, r.j): (r.s, r.n)
+        for r in t.hashed_doc_embedding_components(docs, dim=16, n_features=256).collect()
+    }
+    import numpy as np
+
+    for (d, j), (s, n) in comp.items():
+        assert rows[d][j] == np.float32(s / (1000.0 * n))
+    # near-dup text pairs -> near-identical vectors
+    planted = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.expr(
+            "a.doc_id < b.doc_id AND substring(a.text,1,200) = substring(b.text,1,200)"))
+        .select(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .collect()
+    )
+    assert planted
+    for p in planted:
+        va, vb = np.array(rows[p.ia]), np.array(rows[p.ib])
+        cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert cos > 0.99, (p.ia, p.ib, cos)
+    # composes with the embedding-side dedup
+    out = similarity.semantic_dedup(
+        emb, threshold=0.995, n_cells=4, id_col="doc_id", vec_col="embedding"
+    )
+    got = {r.vec_id: r.kept for r in out.collect()}
+    assert len(got) == 80
