@@ -356,6 +356,30 @@ def build_ann_index(
     ).partitionBy("cell").parquet(_os.path.join(index_dir, "cells"))
 
 
+def extend_ann_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Grow a persisted IVF index in place: assign the new vectors against
+    the index's OWN seed table (the quantizer is immutable once built —
+    re-seeding would orphan every existing cell) and append them into the
+    cell partitions. Ids across increments must be distinct. A probe after
+    the append is byte-identical to one over a from-scratch rebuild with
+    the same seeds (pytest-pinned) — appends only add files under
+    cell=K/ directories, so partition pruning is untouched."""
+    import os as _os
+
+    spark = new_vectors.sparkSession
+    seeds = spark.read.parquet(_os.path.join(index_dir, "seeds"))
+    c = new_vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
+                           norm_col(F.col(vec_col)).alias("cnorm"))
+    _cell_assignments(c, seeds, "vec_id", "cvec", 1).write.mode("append").partitionBy(
+        "cell"
+    ).parquet(_os.path.join(index_dir, "cells"))
+
+
 def ann_query_index(
     spark,
     index_dir: str,

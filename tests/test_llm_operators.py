@@ -1031,3 +1031,23 @@ def test_hashed_doc_embeddings_feed_the_embedding_operators(spark):
     )
     got = {r.vec_id: r.kept for r in out.collect()}
     assert len(got) == 80
+
+
+def test_extend_ann_index_equals_rebuild(spark, emb, tmp_path):
+    """Growing the index must be invisible to probes: build on half the
+    corpus with FIXED seeds, extend with the other half, and the probe is
+    byte-identical to a from-scratch build over everything (same seeds)."""
+    seeds = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    grown, whole = str(tmp_path / "grown"), str(tmp_path / "whole")
+    similarity.build_ann_index(emb.filter("vec_id % 2 = 0"), grown, seeds=seeds)
+    similarity.extend_ann_index(emb.filter("vec_id % 2 = 1"), grown)
+    similarity.build_ann_index(emb, whole, seeds=seeds)
+    q = emb.filter("vec_id < 3")
+    a = [(r.query_id, r.vec_id, r.cosine, r.rank)
+         for r in similarity.ann_query_index(spark, grown, q, k=10, n_probe=2).collect()]
+    b = [(r.query_id, r.vec_id, r.cosine, r.rank)
+         for r in similarity.ann_query_index(spark, whole, q, k=10, n_probe=2).collect()]
+    assert a == b and len(a) == 30
