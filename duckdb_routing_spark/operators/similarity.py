@@ -351,32 +351,44 @@ def build_ann_index(
     seeds.write.mode("overwrite").parquet(_os.path.join(index_dir, "seeds"))
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
                       norm_col(F.col(vec_col)).alias("cnorm"))
-    _cell_assignments(c, seeds, "vec_id", "cvec", 1).write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(_os.path.join(index_dir, "cells"))
+    # two-level layout (ingest_batch, cell): the base build is batch -1 and
+    # every extension owns a batch id, so an at-least-once replay of an
+    # increment overwrites ITS OWN partitions (dynamic partition overwrite)
+    # instead of appending duplicates; probes prune on cell regardless
+    _cell_assignments(c, seeds, "vec_id", "cvec", 1).withColumn(
+        "ingest_batch", F.lit(-1)
+    ).write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(
+        "ingest_batch", "cell"
+    ).parquet(_os.path.join(index_dir, "cells"))
 
 
 def extend_ann_index(
     new_vectors: DataFrame,
     index_dir: str,
+    increment: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Grow a persisted IVF index in place: assign the new vectors against
     the index's OWN seed table (the quantizer is immutable once built —
-    re-seeding would orphan every existing cell) and append them into the
-    cell partitions. Ids across increments must be distinct. A probe after
-    the append is byte-identical to one over a from-scratch rebuild with
-    the same seeds (pytest-pinned) — appends only add files under
-    cell=K/ directories, so partition pruning is untouched."""
+    re-seeding would orphan every existing cell) and land them under
+    (ingest_batch=increment, cell=K) with dynamic partition overwrite, so
+    REPLAYING an increment (at-least-once delivery, foreachBatch retries)
+    overwrites its own partitions instead of appending duplicates.
+    Increment ids and vector ids must be unique across calls. A probe
+    after the extension is byte-identical to one over a from-scratch
+    rebuild with the same seeds (pytest-pinned); pruning still keys on
+    cell."""
     import os as _os
 
     spark = new_vectors.sparkSession
     seeds = spark.read.parquet(_os.path.join(index_dir, "seeds"))
     c = new_vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
                            norm_col(F.col(vec_col)).alias("cnorm"))
-    _cell_assignments(c, seeds, "vec_id", "cvec", 1).write.mode("append").partitionBy(
-        "cell"
+    _cell_assignments(c, seeds, "vec_id", "cvec", 1).withColumn(
+        "ingest_batch", F.lit(increment)
+    ).write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(
+        "ingest_batch", "cell"
     ).parquet(_os.path.join(index_dir, "cells"))
 
 

@@ -222,6 +222,26 @@ def streaming_decontaminate(
     return stream.writeStream.outputMode("append").foreachBatch(_step).start()
 
 
+def streaming_ann_index(stream: DataFrame, index_dir: str,
+                        id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Continuous vector-store ingestion: per micro-batch, assign the
+    batch's vectors against the index's immutable persisted quantizer and
+    append into the cell partitions (`similarity.extend_ann_index`
+    verbatim). Cell assignment is a pure function of (vector, seeds), so
+    the drained index serves probes byte-identically to a batch build
+    under any chunking, and a foreachBatch retry overwrites its own
+    (ingest_batch=<id>, cell) partitions instead of appending duplicates.
+    The index must exist (`build_ann_index`, possibly on an
+    empty-but-seeded corpus) before the stream starts — the quantizer is
+    training-time state, not stream state."""
+    from duckdb_routing_spark.operators import similarity as _sim
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        _sim.extend_ann_index(batch_df, index_dir, increment=batch_id, id_col=id_col, vec_col=vec_col)
+
+    return stream.writeStream.outputMode("append").foreachBatch(_step).start()
+
+
 def streaming_shard_export(
     stream: DataFrame, out_dir: str, n_shards: int, key_col: str = "doc_id", salt: str = "shard"
 ):

@@ -1043,7 +1043,9 @@ def test_extend_ann_index_equals_rebuild(spark, emb, tmp_path):
     )
     grown, whole = str(tmp_path / "grown"), str(tmp_path / "whole")
     similarity.build_ann_index(emb.filter("vec_id % 2 = 0"), grown, seeds=seeds)
-    similarity.extend_ann_index(emb.filter("vec_id % 2 = 1"), grown)
+    similarity.extend_ann_index(emb.filter("vec_id % 2 = 1"), grown, increment=1)
+    # replaying the same increment must be a no-op (dynamic partition overwrite)
+    similarity.extend_ann_index(emb.filter("vec_id % 2 = 1"), grown, increment=1)
     similarity.build_ann_index(emb, whole, seeds=seeds)
     q = emb.filter("vec_id < 3")
     a = [(r.query_id, r.vec_id, r.cosine, r.rank)

@@ -300,3 +300,45 @@ def test_streaming_quantile_sample_equals_batch(spark, tmp_path):
     drained = se.read_quantile_state(spark, state_dir, k=128).collect()
     batch = quantile_sample(events, "value", "event_id", k=128).collect()
     assert [(r.hkey, r.value) for r in drained] == [(r.hkey, r.value) for r in batch]
+
+
+def test_streaming_ann_index_equals_batch_build(spark, tmp_path):
+    """Cell assignment is a pure function of (vector, seeds), so probes
+    over the drained streaming index must be byte-identical to a batch
+    build with the same quantizer."""
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.operators import similarity
+    from duckdb_routing_spark.streaming import docs as sd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seeds = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    streamed, whole = str(tmp_path / "streamed"), str(tmp_path / "whole")
+    # seed-only bootstrap: build on an empty slice, then ingest everything
+    similarity.build_ann_index(emb.filter("vec_id < 0"), streamed, seeds=seeds)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for b in range(3):
+        emb.filter(f"vec_id % 3 = {b}").coalesce(1).write.parquet(str(in_dir / f"chunk_{b}.parquet"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "chunk_*.parquet"))
+    )
+    q = sd.streaming_ann_index(stream, streamed)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    similarity.build_ann_index(emb, whole, seeds=seeds)
+    queries = emb.filter("vec_id < 3")
+    a = [(r.query_id, r.vec_id, r.cosine, r.rank)
+         for r in similarity.ann_query_index(spark, streamed, queries, k=10, n_probe=2).collect()]
+    b = [(r.query_id, r.vec_id, r.cosine, r.rank)
+         for r in similarity.ann_query_index(spark, whole, queries, k=10, n_probe=2).collect()]
+    assert a == b and len(a) == 30
