@@ -422,6 +422,26 @@ def build_dedup_index(
         base.unpersist()
 
 
+def compact_dedup_index(spark, index_dir: str) -> None:
+    """Rewrite the dedup index's base and band tables as single compacted
+    file sets — append-mode increments accumulate one file set per call,
+    and listing/small-read cost grows with increment count. Results are
+    unchanged (both tables are plain row sets; pytest-pinned). Same
+    local-FS rename swap as compact_ann_index; a lakehouse table makes it
+    a metadata commit."""
+    import os as _os
+    import shutil as _shutil
+
+    for sub in ("base", "bands"):
+        d = _os.path.join(index_dir, sub)
+        staged = d + ".compacting"
+        spark.read.parquet(d).write.mode("overwrite").parquet(staged)
+        old = d + ".old"
+        _os.rename(d, old)
+        _os.rename(staged, d)
+        _shutil.rmtree(old)
+
+
 def near_dups_against_index(
     new_docs: DataFrame,
     index_dir: str,

@@ -392,6 +392,34 @@ def extend_ann_index(
     ).parquet(_os.path.join(index_dir, "cells"))
 
 
+def compact_ann_index(spark, index_dir: str) -> None:
+    """Fold accumulated increments back into the base: read every
+    (ingest_batch, cell) partition, rewrite as batch -1, and swap the
+    directory in. Many tiny per-increment files are the classic
+    streaming-ingest tax — listing cost and small-file reads grow with
+    increment COUNT, not data size — so a periodic compaction restores
+    one-file-set-per-cell. Probes are byte-identical before and after
+    (pytest-pinned). The swap is an os.rename of the local staging dir;
+    a lakehouse table (Delta/Iceberg) would make this a metadata-only
+    commit instead."""
+    import os as _os
+    import shutil as _shutil
+
+    cells_dir = _os.path.join(index_dir, "cells")
+    staged = _os.path.join(index_dir, "cells.compacting")
+    (
+        spark.read.parquet(cells_dir)
+        .select("vec_id", "cvec", "cnorm", F.lit(-1).alias("ingest_batch"), "cell")
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch", "cell")
+        .parquet(staged)
+    )
+    old = _os.path.join(index_dir, "cells.old")
+    _os.rename(cells_dir, old)
+    _os.rename(staged, cells_dir)
+    _shutil.rmtree(old)
+
+
 def ann_query_index(
     spark,
     index_dir: str,
