@@ -164,6 +164,50 @@ def export_tokenized_shards(
         curated.unpersist()
 
 
+def curate_hygiene(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    weights: DataFrame | None = None,
+    n_features: int = 256,
+    jaccard_threshold: float = 0.8,
+    semantic_threshold: float = 0.995,
+) -> DataFrame:
+    """The round-6 hygiene stack as ONE flow — every stage an
+    already-oracled operator, composed corpus-in / kept-corpus-out:
+
+      1. model quality gate (`text.quality_classifier`; keep raw_score>0)
+      2. fuzzy dedup, canonical survivor per cluster (`dedup.fuzzy_dedup_keep`)
+      3. benchmark decontamination, containment mode (`dedup.decontaminate`)
+         — skipped when eval_docs is None
+      4. semantic dedup over model-free hashed embeddings
+         (`text.hashed_doc_embeddings` -> `similarity.semantic_dedup`)
+
+    Returns the surviving docs (all input columns). The composition is
+    pinned equal to applying the four stages one at a time
+    (tests/test_sampling_clustering.py), so each stage's own oracle
+    transfers to the whole."""
+    from duckdb_routing_spark.operators import dedup as _dedup
+    from duckdb_routing_spark.operators import similarity as _sim
+    from duckdb_routing_spark.operators import text as _text
+
+    if weights is None:
+        weights = _text.classifier_weights(docs.sparkSession, n_features=n_features)
+    gate = _text.quality_classifier(docs, weights, n_features=n_features).filter("keep")
+    gated = docs.join(gate.select("doc_id"), "doc_id", "left_semi")
+    fz = _dedup.fuzzy_dedup_keep(gated, threshold=jaccard_threshold)
+    kept = gated.join(
+        fz.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
+    )
+    if eval_docs is not None:
+        kept = _dedup.decontaminate(kept, eval_docs, metric="containment")
+    emb = _text.hashed_doc_embeddings(kept, n_features=n_features)
+    sem = _sim.semantic_dedup(emb, threshold=semantic_threshold, id_col="doc_id",
+                              vec_col="embedding")
+    return kept.join(
+        sem.filter("kept").select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+
+
 def main() -> None:
     import sys
 

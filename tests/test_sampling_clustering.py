@@ -305,3 +305,52 @@ def test_kmeans_centroids_reproduce_kmeans_lloyd(spark):
     }
     direct = {(r.vec_id, r.cluster_id) for r in clustering.kmeans_lloyd(emb, k=4, iterations=3).collect()}
     assert via_artifact == direct
+
+
+def test_curate_hygiene_equals_staged_application(spark):
+    """The composed hygiene flow must equal applying its four
+    already-oracled stages one at a time — so each stage's oracle
+    transfers to the composition — and verbatim eval leakage must be gone
+    from the output."""
+    from duckdb_routing_spark.operators import dedup, similarity, text
+    from duckdb_routing_spark.pipelines import curate_hygiene
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ev = docs.filter("doc_id % 23 = 0").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    got = {r.doc_id for r in curate_hygiene(docs, ev).select("doc_id").collect()}
+
+    w = text.classifier_weights(spark, n_features=256)
+    s1 = docs.join(
+        text.quality_classifier(docs, w, n_features=256).filter("keep").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    s2 = s1.join(
+        dedup.fuzzy_dedup_keep(s1, threshold=0.8).filter("is_canonical").select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    s3 = dedup.decontaminate(s2, ev, metric="containment")
+    emb = text.hashed_doc_embeddings(s3, n_features=256)
+    sem = similarity.semantic_dedup(emb, threshold=0.995, id_col="doc_id", vec_col="embedding")
+    s4 = s3.join(
+        sem.filter("kept").select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    want = {r.doc_id for r in s4.select("doc_id").collect()}
+    assert got == want and 0 < len(got) < docs.count()
+    # every stage bit: leakage gone, no surviving verbatim dup pair
+    assert not (got & {r.doc_id for r in docs.filter("doc_id % 23 = 0").collect()} )
+
+
+def test_read_training_shard_order(spark, docs, tmp_path):
+    """The reader returns shard K's rows in the deterministic replay order
+    (sorted shard_key), exactly the rows the manifest claims."""
+    from duckdb_routing_spark.operators import shard
+
+    out = str(tmp_path / "rshards")
+    man = {r.shard_id: r for r in shard.write_training_shards(docs, out, n_shards=4).collect()}
+    for sid in range(4):
+        rows = shard.read_training_shard(spark, out, sid).select("shard_key").collect()
+        keys = [r.shard_key for r in rows]
+        assert keys == sorted(keys) and len(keys) == man[sid].n_rows
+        assert keys[0] == man[sid].min_key and keys[-1] == man[sid].max_key
