@@ -6,6 +6,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def swap_compacted_dir(live: str) -> tuple[str, "object"]:
+    """Crash-safe staged-rewrite support for the index compactors.
+
+    Returns (staging_path, finish) — callers write the compacted copy to
+    staging_path, then call finish() to swap it in. Entry RECOVERS from a
+    previous crash first: a lone <live>.old (died between the two renames)
+    is renamed back to live, and stale .old/.compacting debris is removed,
+    so the operation is always re-runnable. The two-rename window is the
+    residual non-atomicity of a plain filesystem; a lakehouse table makes
+    the swap a metadata commit."""
+    import os
+    import shutil
+
+    staged, old = live + ".compacting", live + ".old"
+    if not os.path.exists(live) and os.path.exists(old):
+        os.rename(old, live)  # crashed between renames: .old IS the index
+    for stale in (staged, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+
+    def finish() -> None:
+        os.rename(live, old)
+        os.rename(staged, live)
+        shutil.rmtree(old)
+
+    return staged, finish
+
+
 def spread_small_scan(df: DataFrame, key: str) -> DataFrame:
     """Repartition a narrow input up to default parallelism before heavy
     row-local work (shingle explode + md5, Arrow-batched vector kernels).

@@ -427,19 +427,18 @@ def compact_dedup_index(spark, index_dir: str) -> None:
     file sets — append-mode increments accumulate one file set per call,
     and listing/small-read cost grows with increment count. Results are
     unchanged (both tables are plain row sets; pytest-pinned). Same
-    local-FS rename swap as compact_ann_index; a lakehouse table makes it
-    a metadata commit."""
+    crash-recovering staged-rewrite swap as compact_ann_index
+    (common.swap_compacted_dir); a lakehouse table makes it a metadata
+    commit."""
     import os as _os
-    import shutil as _shutil
+
+    from duckdb_routing_spark.operators.common import swap_compacted_dir
 
     for sub in ("base", "bands"):
         d = _os.path.join(index_dir, sub)
-        staged = d + ".compacting"
+        staged, finish = swap_compacted_dir(d)
         spark.read.parquet(d).write.mode("overwrite").parquet(staged)
-        old = d + ".old"
-        _os.rename(d, old)
-        _os.rename(staged, d)
-        _shutil.rmtree(old)
+        finish()
 
 
 def near_dups_against_index(

@@ -96,17 +96,17 @@ def write_training_shards(
     return shard_manifest(sharded)
 
 
-def read_training_shard(spark, path: str, shard_id: int) -> DataFrame:
+def read_training_shard(spark, path: str, shard_id: int, key_col: str = "doc_id") -> DataFrame:
     """Read ONE shard in its deterministic training order: file-listing
-    prunes to shard_id=K/, rows sort by (shard_key, then the key column
-    embedded in shard_key's derivation) — the replay contract
-    write_training_shards promises. A distributed trainer maps rank ->
-    shard_id and calls this; resuming mid-shard seeks by shard_key against
-    the manifest's min/max cursor."""
+    prunes to shard_id=K/, rows sort by (shard_key, key_col) — the SAME
+    tiebreak the writer sorts by, so 60-bit key collisions (expected at
+    pretraining scale) replay identically across runs. A distributed
+    trainer maps rank -> shard_id and calls this; resuming mid-shard seeks
+    by shard_key against the manifest's min/max cursor."""
     return (
         spark.read.parquet(path)
         .filter(F.col("shard_id") == shard_id)
-        .orderBy("shard_key")
+        .orderBy("shard_key", key_col)
     )
 
 

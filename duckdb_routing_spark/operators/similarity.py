@@ -355,9 +355,12 @@ def build_ann_index(
     # every extension owns a batch id, so an at-least-once replay of an
     # increment overwrites ITS OWN partitions (dynamic partition overwrite)
     # instead of appending duplicates; probes prune on cell regardless
+    # STATIC overwrite on purpose: a (re)build is a from-scratch truncate —
+    # dynamic mode would leave earlier increments' ingest_batch=N partitions
+    # (and cells the new corpus no longer touches) alive under the new base
     _cell_assignments(c, seeds, "vec_id", "cvec", 1).withColumn(
         "ingest_batch", F.lit(-1)
-    ).write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(
+    ).write.option("partitionOverwriteMode", "static").mode("overwrite").partitionBy(
         "ingest_batch", "cell"
     ).parquet(_os.path.join(index_dir, "cells"))
 
@@ -399,14 +402,15 @@ def compact_ann_index(spark, index_dir: str) -> None:
     streaming-ingest tax — listing cost and small-file reads grow with
     increment COUNT, not data size — so a periodic compaction restores
     one-file-set-per-cell. Probes are byte-identical before and after
-    (pytest-pinned). The swap is an os.rename of the local staging dir;
-    a lakehouse table (Delta/Iceberg) would make this a metadata-only
-    commit instead."""
+    (pytest-pinned). The staged-rewrite swap recovers from crashes and is
+    re-runnable (common.swap_compacted_dir); a lakehouse table
+    (Delta/Iceberg) would make it a metadata-only commit instead."""
     import os as _os
-    import shutil as _shutil
+
+    from duckdb_routing_spark.operators.common import swap_compacted_dir
 
     cells_dir = _os.path.join(index_dir, "cells")
-    staged = _os.path.join(index_dir, "cells.compacting")
+    staged, finish = swap_compacted_dir(cells_dir)
     (
         spark.read.parquet(cells_dir)
         .select("vec_id", "cvec", "cnorm", F.lit(-1).alias("ingest_batch"), "cell")
@@ -414,10 +418,7 @@ def compact_ann_index(spark, index_dir: str) -> None:
         .partitionBy("ingest_batch", "cell")
         .parquet(staged)
     )
-    old = _os.path.join(index_dir, "cells.old")
-    _os.rename(cells_dir, old)
-    _os.rename(staged, cells_dir)
-    _shutil.rmtree(old)
+    finish()
 
 
 def ann_query_index(

@@ -185,22 +185,26 @@ def curate_hygiene(
     Returns the surviving docs (all input columns). The composition is
     pinned equal to applying the four stages one at a time
     (tests/test_sampling_clustering.py), so each stage's own oracle
-    transfers to the whole."""
-    from duckdb_routing_spark.operators import dedup as _dedup
+    transfers to the whole.
+
+    gated/kept each feed multiple downstream consumers, so both persist
+    (the near_dup_pairs lazy-API convention: materialization pays off on
+    the caller's first action; at cluster scale these are staging
+    tables)."""
     from duckdb_routing_spark.operators import similarity as _sim
-    from duckdb_routing_spark.operators import text as _text
 
     if weights is None:
-        weights = _text.classifier_weights(docs.sparkSession, n_features=n_features)
-    gate = _text.quality_classifier(docs, weights, n_features=n_features).filter("keep")
-    gated = docs.join(gate.select("doc_id"), "doc_id", "left_semi")
-    fz = _dedup.fuzzy_dedup_keep(gated, threshold=jaccard_threshold)
+        weights = text.classifier_weights(docs.sparkSession, n_features=n_features)
+    gate = text.quality_classifier(docs, weights, n_features=n_features).filter("keep")
+    gated = docs.join(gate.select("doc_id"), "doc_id", "left_semi").persist()
+    fz = dedup.fuzzy_dedup_keep(gated, threshold=jaccard_threshold)
     kept = gated.join(
         fz.filter("is_canonical").select("doc_id"), "doc_id", "left_semi"
     )
     if eval_docs is not None:
-        kept = _dedup.decontaminate(kept, eval_docs, metric="containment")
-    emb = _text.hashed_doc_embeddings(kept, n_features=n_features)
+        kept = dedup.decontaminate(kept, eval_docs, metric="containment")
+    kept = kept.persist()
+    emb = text.hashed_doc_embeddings(kept, n_features=n_features)
     sem = _sim.semantic_dedup(emb, threshold=semantic_threshold, id_col="doc_id",
                               vec_col="embedding")
     return kept.join(
