@@ -1087,3 +1087,42 @@ def test_index_compaction_preserves_results(spark, emb, docs, tmp_path):
     dedup.build_dedup_index(docs.filter("doc_id % 5 <> 1"), didx2)
     p2 = sorted(tuple(r) for r in dedup.near_dups_against_index(inc2, didx2, threshold=0.8).collect())
     assert p1 == p2
+
+
+def test_swap_compacted_dir_recovers_from_crashes(tmp_path):
+    """Pure-filesystem contract: stale staging debris is cleared, and a
+    crash between the two renames (only .old left) is recovered on the
+    next entry."""
+    import os
+
+    from duckdb_routing_spark.operators.common import swap_compacted_dir
+
+    live = str(tmp_path / "cells")
+
+    def mk(d, marker):
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, marker), "w").write("x")
+
+    # normal swap
+    mk(live, "v1")
+    staged, finish = swap_compacted_dir(live)
+    mk(staged, "v2")
+    finish()
+    assert os.path.exists(os.path.join(live, "v2")) and not os.path.exists(live + ".old")
+
+    # stale debris from a crash mid-write: cleared on entry
+    mk(live + ".compacting", "junk")
+    mk(live + ".old", "junk")
+    staged, finish = swap_compacted_dir(live)
+    assert not os.path.exists(live + ".compacting") and not os.path.exists(live + ".old")
+    mk(staged, "v3")
+    finish()
+    assert os.path.exists(os.path.join(live, "v3"))
+
+    # crash between renames: only .old exists -> recovered as live
+    os.rename(live, live + ".old")
+    staged, finish = swap_compacted_dir(live)
+    assert os.path.exists(os.path.join(live, "v3"))
+    mk(staged, "v4")
+    finish()
+    assert os.path.exists(os.path.join(live, "v4"))
