@@ -146,6 +146,6 @@ p AS (
   SELECT term, doc_id, count(*) AS tf FROM toks WHERE term != '' GROUP BY term, doc_id
 ),
 cand AS (SELECT * FROM p WHERE term IN ({in_list}))
-SELECT doc_id, sum(tf) AS total_tf
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
 FROM cand GROUP BY doc_id HAVING count(DISTINCT term) = {len(lowered)}
 """

@@ -829,7 +829,7 @@ WITH e AS (
   FROM {table}
 )
 SELECT dim, count(*) AS n,
-       sum(CAST(floor(x * 1000000) AS BIGINT)) AS sum_x_micro,
-       sum(CAST(floor(x * x * 1000000) AS BIGINT)) AS sum_x2_micro
+       CAST(sum(CAST(floor(x * 1000000) AS BIGINT)) AS BIGINT) AS sum_x_micro,
+       CAST(sum(CAST(floor(x * x * 1000000) AS BIGINT)) AS BIGINT) AS sum_x2_micro
 FROM e GROUP BY dim
 """

@@ -412,7 +412,7 @@ pairs AS (
 ),
 corpus_bg AS (SELECT bg, count(*) AS c2 FROM pairs GROUP BY bg),
 corpus_w1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY w1)
-SELECT doc_id, count(*) AS n_bigrams, sum(c2) AS sum_c2, sum(c1) AS sum_c1
+SELECT doc_id, count(*) AS n_bigrams, CAST(sum(c2) AS BIGINT) AS sum_c2, CAST(sum(c1) AS BIGINT) AS sum_c1
 FROM pairs JOIN corpus_bg USING (bg) JOIN corpus_w1 USING (w1)
 GROUP BY doc_id
 """

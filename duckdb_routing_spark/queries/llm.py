@@ -1113,7 +1113,7 @@ comp AS (
   FROM (SELECT unnest(range(0, 256)) AS bucket) b,
        (SELECT unnest(range(0, 16)) AS j) j
 )
-SELECT c.doc_id, comp.j, sum(c.cnt * comp.v) AS s, sum(c.cnt) AS n
+SELECT c.doc_id, comp.j, sum(c.cnt * comp.v)::BIGINT AS s, sum(c.cnt)::BIGINT AS n
 FROM c JOIN comp USING (bucket)
 GROUP BY c.doc_id, comp.j
 ORDER BY c.doc_id, comp.j
@@ -1144,7 +1144,7 @@ w AS (
 ),
 scored AS (
   SELECT doc_id, count(*) AS n_tokens,
-         sum(('0x' || substr(md5('qw:' || bucket), 1, 8))::BIGINT % 2001 - 1000) AS raw_score
+         sum(('0x' || substr(md5('qw:' || bucket), 1, 8))::BIGINT % 2001 - 1000)::BIGINT AS raw_score
   FROM w GROUP BY doc_id
 )
 SELECT doc_id, n_tokens, raw_score,
@@ -1712,7 +1712,7 @@ WITH counts AS (
   WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 ),
 t AS (SELECT sum(cnt) AS total FROM counts)
-SELECT key, cnt, cnt * 1000000 // total AS share_ppm
+SELECT key, cnt, (cnt * 1000000 // total)::BIGINT AS share_ppm
 FROM counts CROSS JOIN t
 ORDER BY cnt DESC, key LIMIT 10
 """

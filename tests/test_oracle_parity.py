@@ -56,7 +56,46 @@ def test_query_matches_oracle(name, spark, duck):
     assert list(got.columns) == list(want.columns), f"column names differ: {got.columns} vs {want.columns}"
     assert len(got) == len(want), f"row counts differ: {len(got)} vs {len(want)}"
     assert len(got) > 0 or name in (), f"{name}: empty result — weak test, tune predicates"
+    # int-vs-float kind drift is a driver hash failure even when values are
+    # equal (r6: DuckDB HUGEINT sum -> pandas float64 vs Spark int64 hashed
+    # '-123.0' vs '-123').  canon() preserves kind, so compare it strictly.
+    drift = [
+        c
+        for c in got.columns
+        if {got[c].dtype.kind, want[c].dtype.kind} == {"i", "f"}
+    ]
+    assert not drift, f"int-vs-float dtype drift (driver would hash-fail): {drift}"
     assert_frame_equal(got, want, check_exact=True, check_dtype=False)
+
+
+def test_no_oracle_returns_hugeint(duck):
+    """DuckDB sum(BIGINT) widens to HUGEINT, which fetchdf() renders as
+    float64 — the exact typing that made the r6 driver hash-fail a correct
+    query.  Every oracle's projected schema must be HUGEINT-free."""
+    offenders = {}
+    for name in ORACLED:
+        desc = duck.execute(f"DESCRIBE {REGISTRY[name].oracle}").fetchall()
+        huge = [c for c, typ, *_ in desc if "HUGEINT" in typ.upper()]
+        if huge:
+            offenders[name] = huge
+    assert not offenders, f"uncast HUGEINT oracle columns: {offenders}"
+
+
+def test_emulator_catches_dtype_drift():
+    """tools/driver_emulation.canon_compare must fail the exact r6 frame
+    shape — identical values, int64 on the Spark side, float64 on the
+    oracle side — that the old float_format-only hash passed."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.driver_emulation import canon_compare
+
+    spark_side = pd.DataFrame({"doc_id": [1, 2], "raw_score": pd.array([-123, 45], dtype="int64")})
+    oracle_side = pd.DataFrame({"doc_id": [1, 2], "raw_score": pd.array([-123.0, 45.0], dtype="float64")})
+    ok, why = canon_compare(spark_side, oracle_side)
+    assert not ok and "dtype-kind" in why
+    ok, _ = canon_compare(spark_side, spark_side.copy())
+    assert ok
 
 
 def test_registry_nonempty():

@@ -35,6 +35,36 @@ def canon_hash(pdf) -> str:
     return hashlib.md5(pdf.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
 
 
+def dtype_kinds(pdf) -> dict[str, str]:
+    """Per-column pandas dtype *kind* (i/u/f/b/O/M/...), unsigned folded
+    into signed.  The r6 driver red row (doc_quality_classifier) was an
+    oracle whose DuckDB HUGEINT sum came back as float64 while Spark emitted
+    int64 — values equal, CSV text different ('-123.0' vs '-123') under the
+    driver's hasher but identical under ours because float_format='%.17g'
+    renders -123.0 as -123.  Comparing kinds catches that class locally."""
+    return {c: ("i" if pdf[c].dtype.kind == "u" else pdf[c].dtype.kind) for c in pdf.columns}
+
+
+def canon_compare(spdf, opdf) -> tuple[bool, str]:
+    """Strict driver-style compare: value hash AND per-column dtype kind.
+
+    Returns (ok, reason).  A kind mismatch between an integer column on one
+    side and a float column on the other is a failure even when the %.17g
+    value hashes agree — the driver's hasher is not guaranteed to
+    canonicalize trailing '.0', so typing drift must fail locally too."""
+    if canon_hash(spdf) != canon_hash(opdf):
+        return False, "value-hash"
+    sk, ok_ = dtype_kinds(spdf), dtype_kinds(opdf)
+    drift = {
+        c
+        for c in set(sk) & set(ok_)
+        if sk[c] != ok_[c] and {sk[c], ok_[c]} <= {"i", "f"}
+    }
+    if drift:
+        return False, f"dtype-kind drift (int vs float): {sorted(drift)}"
+    return True, ""
+
+
 def main() -> int:
     argv = sys.argv[1:]
     seed = 4
@@ -74,8 +104,9 @@ def main() -> int:
                 print(f"{name}: rows-only ({len(spdf)} rows)")
                 continue
             opdf = con.execute(osql[name]).fetchdf()
-            ok = canon_hash(spdf) == canon_hash(opdf)
-            print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(spdf)}/{len(opdf)} rows)")
+            ok, why = canon_compare(spdf, opdf)
+            tag = "MATCH" if ok else f"MISMATCH [{why}]"
+            print(f"{name}: {tag} ({len(spdf)}/{len(opdf)} rows)")
             if not ok:
                 failures.append(name)
         except Exception as e:  # noqa: BLE001 — report and continue like the driver
