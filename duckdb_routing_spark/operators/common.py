@@ -34,6 +34,36 @@ def swap_compacted_dir(live: str) -> tuple[str, "object"]:
     return staged, finish
 
 
+def dataset_bytes(path: str) -> int:
+    """Total bytes of a parquet dataset, whether a single file or a
+    Spark-written DIRECTORY of part files.
+
+    os.path.getsize() on a directory returns the inode size (~4 KB), which
+    made size-dispatched operators pick their bounded single-task path for
+    arbitrarily large directory datasets — a one-task funnel at scale."""
+    import os
+
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def probe_array_dim(path: str, col: str) -> int:
+    """Length of an array column's first value, read driver-side via the
+    parquet reader (no Spark job). Parquet schemas don't carry list
+    lengths, so fixed-dim operators (unrolled dot products) probe one row.
+    Assumes the column is uniform-dim, which the vector kernels already
+    require (np.vstack)."""
+    import pyarrow.dataset as pads
+
+    first = pads.dataset(path, format="parquet").head(1, columns=[col])
+    return len(first.column(0)[0])
+
+
 def spread_small_scan(df: DataFrame, key: str) -> DataFrame:
     """Repartition a narrow input up to default parallelism before heavy
     row-local work (shingle explode + md5, Arrow-batched vector kernels).

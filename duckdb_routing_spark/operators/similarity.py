@@ -59,6 +59,79 @@ def cosine(a, b):
     return _dot_seq(a, b) / (norm_col(a) * norm_col(b))
 
 
+def _dot_unrolled(a: str, b: str, dim: int) -> str:
+    """Dot product UNROLLED to a codegen-friendly SQL expression string:
+    a[0]*b[0] + a[1]*b[1] + ... — SQL `+` is left-associative, so this
+    accumulates left-to-right over dimensions, the identical operation
+    order to _dot_seq and DuckDB's list_dot_product; values stay
+    hash-exact. Two rejected forms, both measured: aggregate/zip_with
+    higher-order functions evaluate INTERPRETED (~2 s for a mere 6k-pair x
+    64-dim join), and building the same unrolled tree from Column operators
+    costs ~1.2 s of py4j round trips PER QUERY CONSTRUCTION before any
+    action runs — a string parses JVM-side in one call. Requires a uniform,
+    known dim (ragged arrays would silently truncate) — callers probe it
+    from the dataset footer driver-side (common.probe_array_dim)."""
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+
+
+def cosine_topk_catalyst(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_label_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k as ONE pure-JVM action — zero Python stages.
+
+    The bounded-corpus twin of cosine_topk (same columns, same total order,
+    hash-identical values): the query side broadcasts into a nested-loop
+    join against the corpus scan, dot products run as unrolled codegen
+    expressions (_dot_unrolled), and a single hash exchange on query_id
+    finishes the rank window. Collecting the result is one action with no
+    separate query-side toPandas job and no Arrow worker startup — the
+    fixed ~0.3-0.5 s the mapInPandas form pays at small scale.
+
+    Scale posture: the scored set is |corpus| x |queries| rows through one
+    exchange, so this is ONLY for size-dispatched bounded calls; the
+    map-side top-k kernel (cosine_topk) is the 100 TB path."""
+    dbl = f"transform({vec_col}, x -> cast(x as double))"
+    qcols = [f"{id_col} AS query_id", f"{dbl} AS qv"]
+    ccols = [f"{id_col} AS vec_id", f"{dbl} AS cv"]
+    if exclude_label_col:
+        qcols.append(f"{exclude_label_col} AS qlabel")
+        ccols.append(f"{exclude_label_col} AS clabel")
+    # two-step select: a lateral-alias reference to qv/cv inside the same
+    # projection would make the analyzer INLINE the transform() expression
+    # into all `dim` terms — a separate projection keeps the tree linear
+    q = queries.selectExpr(*qcols).selectExpr(
+        "*", f"sqrt({_dot_unrolled('qv', 'qv', dim)}) AS qnorm"
+    )
+    c = corpus.selectExpr(*ccols).selectExpr(
+        "*", f"sqrt({_dot_unrolled('cv', 'cv', dim)}) AS cnorm"
+    )
+    cond = F.expr("vec_id != query_id")
+    if exclude_label_col:
+        # SQL NULL semantics match the kernel: NULL on either side drops the row
+        cond = cond & F.expr("clabel != qlabel")
+    scored = c.join(F.broadcast(q), cond).selectExpr(
+        "query_id",
+        "vec_id",
+        f"({_dot_unrolled('qv', 'cv', dim)}) / (qnorm * cnorm) AS cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    # key-hashed single partition (not coalesce) — satisfies the window's
+    # clustering requirement with exactly one exchange, and the upstream
+    # scan stays parallel; see the small-nq note in cosine_topk below.
+    return (
+        scored.repartition(1, F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .sortWithinPartitions("query_id", "rank")
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_routing_spark.operators import dedup, similarity, sketch, text
+from duckdb_routing_spark.operators import common, dedup, similarity, sketch, text
 from duckdb_routing_spark.queries.registry import register, table
 
 # shared oracle CTE: distinct word-3-gram shingles per doc
@@ -462,13 +462,23 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     # bounded-corpus dispatch by SOURCE size (the small-call pattern,
-    # ARCHITECTURE.md §2): a corpus this small scores faster in one fused
-    # task than through a distributed score -> exchange -> re-rank; past
-    # the threshold the distributed path takes over unchanged
-    small = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet")) < 256 * 1024 * 1024
-    return similarity.cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 3), k=10, single_task=small
-    )
+    # ARCHITECTURE.md §2): a corpus this small scores fastest fully
+    # JVM-side in ONE action (no query-side collect job, no Arrow worker);
+    # past the threshold the distributed map-side top-k kernel takes over.
+    # dataset_bytes, not getsize: a directory dataset must measure its
+    # part files, not the directory inode (~4 KB).
+    # dataset_bytes, not getsize: a directory dataset must measure its part
+    # files, not the directory inode (~4 KB).
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    small = common.dataset_bytes(path) < 256 * 1024 * 1024
+    queries = emb.filter(F.col("vec_id") < 3)
+    # A pure-JVM single-action form exists (cosine_topk_catalyst) and was
+    # A/B'd here: per-action re-analysis + codegen of its 192-term unrolled
+    # dot-product tree costs 0.40-0.70 s at every count() (bench re-derives
+    # a QueryExecution per action), losing to the fused Arrow kernel's
+    # measured 0.29 s single-task floor. It wins only when one DataFrame
+    # is reused across many actions (plan amortization: 0.14 s warm).
+    return similarity.cosine_topk(emb, queries, k=10, single_task=small)
 
 
 INT8_ORACLE = (

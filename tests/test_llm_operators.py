@@ -189,6 +189,32 @@ def test_cosine_topk_shape(spark, emb):
         assert coss == sorted(coss, reverse=True)
 
 
+def test_cosine_topk_catalyst_matches_kernel(spark, emb):
+    """The pure-JVM plan-reuse variant must be value-identical (cosine bits
+    included) to the Arrow kernel — same unrolled left-to-right accumulation
+    order. Covers the label-exclusion twin too."""
+    q = emb.filter(F.col("vec_id") < 3)
+    for kwargs in ({}, {"exclude_label_col": "label"}):
+        kernel = similarity.cosine_topk(emb, q, k=10, **kwargs).collect()
+        jvm = similarity.cosine_topk_catalyst(emb, q, dim=64, k=10, **kwargs).collect()
+        assert sorted(map(tuple, kernel)) == sorted(map(tuple, jvm))
+
+
+def test_dataset_bytes_and_dim_probe(spark, tmp_path):
+    """dataset_bytes must measure a DIRECTORY dataset's part files (the
+    os.path.getsize inode bug chose the bounded single-task path for
+    arbitrarily large directory corpora); probe_array_dim reads one row
+    driver-side from either layout."""
+    from duckdb_routing_spark.operators import common
+
+    out = str(tmp_path / "emb_dir.parquet")
+    spark.range(200).selectExpr(
+        "id AS vec_id", "array(cast(id as float), cast(id+1 as float), 0.5f) AS embedding"
+    ).repartition(4).write.parquet(out)
+    assert common.dataset_bytes(out) > 4096  # > a directory inode
+    assert common.probe_array_dim(out, "embedding") == 3
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     """The MOSS winnowing guarantee: two documents sharing a substring of
     length >= k + w - 1 (= 11 chars at k=8, w=4) share at least one
