@@ -9,6 +9,11 @@ from pyspark.sql import functions as F
 def swap_compacted_dir(live: str) -> tuple[str, "object"]:
     """Crash-safe staged-rewrite support for the index compactors.
 
+    POSIX-rename form only — superseded as the compactors' entry point by
+    operators.fs.swap_in_compacted, which additionally supports rename-less
+    object stores via a generation-directory + atomic-pointer commit.
+    Kept as the minimal primitive (and its pure-fs contract test).
+
     Returns (staging_path, finish) — callers write the compacted copy to
     staging_path, then call finish() to swap it in. Entry RECOVERS from a
     previous crash first: a lone <live>.old (died between the two renames)

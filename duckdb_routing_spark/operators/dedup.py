@@ -403,42 +403,56 @@ def build_dedup_index(
     n_hashes: int = 12,
     band_size: int = 3,
     mode: str = "overwrite",
+    index_fs=None,
 ) -> None:
     """Persist the dedup state a rolling pipeline carries between runs:
     the hashed shingle base (<index_dir>/base/ — exact-Jaccard side) and
     the MinHash band table (<index_dir>/bands/ — candidate side). Both are
     plain keyed parquet (Delta/Iceberg at cluster scale, compacted
     periodically); mode="append" folds an increment in, which is what
-    `near_dups_against_index(..., extend=True)` does after scoring."""
+    `near_dups_against_index(..., extend=True)` does after scoring.
+    All reads/writes resolve through operators.fs.live_table_dir so the
+    index works on rename-less object stores (pointer-commit compaction)."""
     import os as _os
+
+    from duckdb_routing_spark.operators.fs import live_table_dir
 
     base = shingle_hash_base(corpus, id_col, text_col, k, distinct=False).persist()
     try:
-        base.write.mode(mode).parquet(_os.path.join(index_dir, "base"))
+        base.write.mode(mode).parquet(
+            live_table_dir(_os.path.join(index_dir, "base"), index_fs)
+        )
         bands_from_hashes(base, n_hashes, band_size).write.mode(mode).parquet(
-            _os.path.join(index_dir, "bands")
+            live_table_dir(_os.path.join(index_dir, "bands"), index_fs)
         )
     finally:
         base.unpersist()
 
 
-def compact_dedup_index(spark, index_dir: str) -> None:
+def compact_dedup_index(spark, index_dir: str, index_fs=None) -> None:
     """Rewrite the dedup index's base and band tables as single compacted
     file sets — append-mode increments accumulate one file set per call,
     and listing/small-read cost grows with increment count. Results are
-    unchanged (both tables are plain row sets; pytest-pinned). Same
-    crash-recovering staged-rewrite swap as compact_ann_index
-    (common.swap_compacted_dir); a lakehouse table makes it a metadata
-    commit."""
+    unchanged (both tables are plain row sets; pytest-pinned).
+
+    The swap routes through operators.fs.swap_in_compacted: a staged
+    double-rename on POSIX/HDFS, a generation-directory + atomic pointer
+    PUT on rename-less object stores (pass index_fs=RenamelessFS() or an
+    s3fs-backed adapter). A lakehouse table makes it a metadata commit."""
     import os as _os
 
-    from duckdb_routing_spark.operators.common import swap_compacted_dir
+    from duckdb_routing_spark.operators.fs import live_table_dir, swap_in_compacted
 
     for sub in ("base", "bands"):
         d = _os.path.join(index_dir, sub)
-        staged, finish = swap_compacted_dir(d)
-        spark.read.parquet(d).write.mode("overwrite").parquet(staged)
-        finish()
+        live = live_table_dir(d, index_fs)
+        swap_in_compacted(
+            d,
+            lambda staged, _live=live: spark.read.parquet(_live)
+            .write.mode("overwrite")
+            .parquet(staged),
+            index_fs,
+        )
 
 
 def near_dups_against_index(
@@ -451,6 +465,7 @@ def near_dups_against_index(
     n_hashes: int = 12,
     band_size: int = 3,
     extend: bool = False,
+    index_fs=None,
 ) -> DataFrame:
     """Near-dup pairs of an INCREMENT against itself and the indexed
     corpus — the rolling-crawl production shape: yesterday's corpus is
@@ -466,11 +481,16 @@ def near_dups_against_index(
     hashes are ever read out of the base (semi join on the pair ids)."""
     import os as _os
 
+    from duckdb_routing_spark.operators.fs import live_table_dir
+
+    def _live(p: str) -> str:
+        return live_table_dir(p, index_fs)
+
     spark = new_docs.sparkSession
     base_new = shingle_hash_base(new_docs, id_col, text_col, k, distinct=False).persist()
     bands_new = bands_from_hashes(base_new, n_hashes, band_size).persist()
     within = _pairs_in_buckets(bands_new)
-    idx_bands = spark.read.parquet(_os.path.join(index_dir, "bands"))
+    idx_bands = spark.read.parquet(_live(_os.path.join(index_dir, "bands")))
     cross = (
         bands_new.select(F.col("doc_id").alias("doc_new"), "band", "band_sig")
         .join(
@@ -487,7 +507,7 @@ def near_dups_against_index(
     # Jaccard over the union base: the increment's hashes + only the
     # candidate slice of the indexed base (pair_intersection_sizes
     # semi-joins down to candidate docs either way)
-    idx_base = spark.read.parquet(_os.path.join(index_dir, "base"))
+    idx_base = spark.read.parquet(_live(_os.path.join(index_dir, "base")))
     base_union = base_new.unionByName(idx_base)
     out = jaccard_from_hashes(base_union, pairs).filter(F.col("jaccard") >= threshold)
     if extend:
@@ -498,8 +518,16 @@ def near_dups_against_index(
         # Every consumer of the persisted inputs has then run, so release
         # them — a rolling pipeline calls this once per increment forever.
         out = out.localCheckpoint()
-        base_new.write.mode("append").parquet(_os.path.join(index_dir, "base"))
-        bands_new.write.mode("append").parquet(_os.path.join(index_dir, "bands"))
+        # bands BEFORE base: the two appends are not atomic together, and a
+        # crash between them must fail SAFE. Bands-without-base degrades to
+        # the doc not existing (its candidate pairs score intersection 0
+        # and drop), while base-without-bands is a doc that can NEVER
+        # become an LSH candidate again — permanent silent recall loss.
+        # Either way a failed extend call must be retried (ids are distinct
+        # per increment, so the retry's appends are additive duplicates of
+        # at most one table — rewrite via compact_dedup_index if paranoid).
+        bands_new.write.mode("append").parquet(_live(_os.path.join(index_dir, "bands")))
+        base_new.write.mode("append").parquet(_live(_os.path.join(index_dir, "base")))
         base_new.unpersist()
         bands_new.unpersist()
     return out

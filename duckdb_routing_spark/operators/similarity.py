@@ -405,6 +405,7 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seeds: DataFrame | None = None,
+    index_fs=None,
 ) -> None:
     """Persist the IVF index the way a 100 TB vector store actually lays
     out: vectors written CELL-PARTITIONED (<index_dir>/cells/cell=K/) so a
@@ -421,7 +422,11 @@ def build_ann_index(
             .limit(n_cells)
             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("svec"))
         )
-    seeds.write.mode("overwrite").parquet(_os.path.join(index_dir, "seeds"))
+    from duckdb_routing_spark.operators.fs import live_table_dir
+
+    seeds.write.mode("overwrite").parquet(
+        live_table_dir(_os.path.join(index_dir, "seeds"), index_fs)
+    )
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
                       norm_col(F.col(vec_col)).alias("cnorm"))
     # two-level layout (ingest_batch, cell): the base build is batch -1 and
@@ -435,7 +440,7 @@ def build_ann_index(
         "ingest_batch", F.lit(-1)
     ).write.option("partitionOverwriteMode", "static").mode("overwrite").partitionBy(
         "ingest_batch", "cell"
-    ).parquet(_os.path.join(index_dir, "cells"))
+    ).parquet(live_table_dir(_os.path.join(index_dir, "cells"), index_fs))
 
 
 def extend_ann_index(
@@ -444,6 +449,7 @@ def extend_ann_index(
     increment: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_fs=None,
 ) -> None:
     """Grow a persisted IVF index in place: assign the new vectors against
     the index's OWN seed table (the quantizer is immutable once built —
@@ -457,41 +463,50 @@ def extend_ann_index(
     cell."""
     import os as _os
 
+    from duckdb_routing_spark.operators.fs import live_table_dir
+
     spark = new_vectors.sparkSession
-    seeds = spark.read.parquet(_os.path.join(index_dir, "seeds"))
+    seeds = spark.read.parquet(live_table_dir(_os.path.join(index_dir, "seeds"), index_fs))
     c = new_vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
                            norm_col(F.col(vec_col)).alias("cnorm"))
     _cell_assignments(c, seeds, "vec_id", "cvec", 1).withColumn(
         "ingest_batch", F.lit(increment)
     ).write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(
         "ingest_batch", "cell"
-    ).parquet(_os.path.join(index_dir, "cells"))
+    ).parquet(live_table_dir(_os.path.join(index_dir, "cells"), index_fs))
 
 
-def compact_ann_index(spark, index_dir: str) -> None:
+def compact_ann_index(spark, index_dir: str, index_fs=None) -> None:
     """Fold accumulated increments back into the base: read every
     (ingest_batch, cell) partition, rewrite as batch -1, and swap the
     directory in. Many tiny per-increment files are the classic
     streaming-ingest tax — listing cost and small-file reads grow with
     increment COUNT, not data size — so a periodic compaction restores
     one-file-set-per-cell. Probes are byte-identical before and after
-    (pytest-pinned). The staged-rewrite swap recovers from crashes and is
-    re-runnable (common.swap_compacted_dir); a lakehouse table
-    (Delta/Iceberg) would make it a metadata-only commit instead."""
+    (pytest-pinned).
+
+    The swap routes through operators.fs.swap_in_compacted: a staged
+    double-rename on POSIX/HDFS, a generation-directory + atomic pointer
+    PUT on rename-less object stores (pass index_fs=RenamelessFS() or an
+    s3fs-backed adapter). A lakehouse table (Delta/Iceberg) would make it
+    a metadata-only commit instead."""
     import os as _os
 
-    from duckdb_routing_spark.operators.common import swap_compacted_dir
+    from duckdb_routing_spark.operators.fs import live_table_dir, swap_in_compacted
 
     cells_dir = _os.path.join(index_dir, "cells")
-    staged, finish = swap_compacted_dir(cells_dir)
-    (
-        spark.read.parquet(cells_dir)
-        .select("vec_id", "cvec", "cnorm", F.lit(-1).alias("ingest_batch"), "cell")
-        .write.mode("overwrite")
-        .partitionBy("ingest_batch", "cell")
-        .parquet(staged)
-    )
-    finish()
+    live = live_table_dir(cells_dir, index_fs)
+
+    def _rewrite(staged: str) -> None:
+        (
+            spark.read.parquet(live)
+            .select("vec_id", "cvec", "cnorm", F.lit(-1).alias("ingest_batch"), "cell")
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch", "cell")
+            .parquet(staged)
+        )
+
+    swap_in_compacted(cells_dir, _rewrite, index_fs)
 
 
 def ann_query_index(
@@ -502,6 +517,7 @@ def ann_query_index(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_fs=None,
 ) -> DataFrame:
     """Probe a persisted IVF index: assign each query its n_probe nearest
     cells (against the broadcast seed table), then scan ONLY those cell
@@ -511,7 +527,9 @@ def ann_query_index(
     along with the PartitionFilters plan assertion)."""
     import os as _os
 
-    seeds = spark.read.parquet(_os.path.join(index_dir, "seeds"))
+    from duckdb_routing_spark.operators.fs import live_table_dir
+
+    seeds = spark.read.parquet(live_table_dir(_os.path.join(index_dir, "seeds"), index_fs))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
                        norm_col(F.col(vec_col)).alias("qnorm"))
     # materialize the (tiny) assignment once: the probe list collect and the
@@ -520,7 +538,7 @@ def ann_query_index(
     # probe cells its re-computed assignments no longer match
     q_cells = _cell_assignments(q, seeds, "query_id", "qvec", n_probe).localCheckpoint()
     probe = [r.cell for r in q_cells.select("cell").distinct().collect()]
-    cells = spark.read.parquet(_os.path.join(index_dir, "cells")).filter(
+    cells = spark.read.parquet(live_table_dir(_os.path.join(index_dir, "cells"), index_fs)).filter(
         F.col("cell").isin(probe)
     )
     scored = (

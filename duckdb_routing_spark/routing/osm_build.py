@@ -469,8 +469,11 @@ def write_valhalla_config(out_dir: str, modes=MODES) -> str:
         "engine": {"builder": "duckdb_routing_spark", "modes": list(modes)},
     }
     path = os.path.join(out_dir, "valhalla.json")
-    with open(path, "w") as f:
-        json.dump(cfg, f, indent=2)
+    # atomic publish: a torn config write must not leave a half-JSON that
+    # poisons every later load_config of this artifact dir
+    from duckdb_routing_spark.operators.fs import DEFAULT_FS
+
+    DEFAULT_FS.put_atomic(path, json.dumps(cfg, indent=2).encode("utf-8"))
     return path
 
 

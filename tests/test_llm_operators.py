@@ -1115,6 +1115,104 @@ def test_index_compaction_preserves_results(spark, emb, docs, tmp_path):
     assert p1 == p2
 
 
+def test_swap_in_compacted_renameless_pointer_commit(tmp_path):
+    """Object-store posture: on a rename-less FS the compaction swap is a
+    generation write + one atomic pointer PUT — never a rename. Crash
+    before the PUT leaves the old generation fully live; the retry
+    succeeds; superseded generations are garbage-collected."""
+    import os
+
+    from duckdb_routing_spark.operators.fs import (
+        RenamelessFS,
+        live_table_dir,
+        swap_in_compacted,
+    )
+
+    fs = RenamelessFS()
+    table = str(tmp_path / "cells")
+
+    def mk(d, marker):
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, marker), "w").write("x")
+
+    mk(table, "v1")
+    assert live_table_dir(table, fs) == table  # no pointer yet: plain path
+
+    # commit 1: generation dir + pointer; plain dir is GC'd
+    swap_in_compacted(table, lambda staged: mk(staged, "v2"), fs)
+    live = live_table_dir(table, fs)
+    assert live.endswith("__g1") and os.path.exists(os.path.join(live, "v2"))
+    assert not os.path.exists(table)  # superseded plain dir collected
+
+    # crash DURING the generation write (before the pointer PUT): old live
+    boom = RuntimeError("crash")
+
+    def crash_write(staged):
+        mk(staged, "torn")
+        raise boom
+
+    try:
+        swap_in_compacted(table, crash_write, fs)
+    except RuntimeError as e:
+        assert e is boom
+    assert live_table_dir(table, fs) == live  # pointer untouched
+
+    # retry clears the debris generation and commits
+    swap_in_compacted(table, lambda staged: mk(staged, "v3"), fs)
+    live2 = live_table_dir(table, fs)
+    assert live2.endswith("__g2") and os.path.exists(os.path.join(live2, "v3"))
+    assert not os.path.exists(os.path.join(live2, "torn"))
+    assert not os.path.exists(live)  # generation 1 GC'd
+
+
+def test_index_compaction_on_renameless_store(spark, emb, docs, tmp_path):
+    """The full VERDICT-4 posture check: ANN store and dedup index stay
+    correct through compaction on a store with NO rename, and
+    post-compaction extends land in the live generation."""
+    from duckdb_routing_spark.operators.fs import RenamelessFS
+
+    fs = RenamelessFS()
+
+    idx = str(tmp_path / "ivf")
+    similarity.build_ann_index(emb.filter("vec_id % 2 = 0"), idx, n_cells=8, index_fs=fs)
+    similarity.extend_ann_index(emb.filter("vec_id % 2 = 1"), idx, increment=1, index_fs=fs)
+    q = emb.filter("vec_id < 3")
+    before = [tuple(r) for r in
+              similarity.ann_query_index(spark, idx, q, k=10, n_probe=2, index_fs=fs).collect()]
+    similarity.compact_ann_index(spark, idx, index_fs=fs)
+    after = [tuple(r) for r in
+             similarity.ann_query_index(spark, idx, q, k=10, n_probe=2, index_fs=fs).collect()]
+    assert before == after and len(after) == 30
+
+    didx = str(tmp_path / "dedup")
+    dedup.build_dedup_index(docs.filter("doc_id % 5 NOT IN (0, 1)"), didx, index_fs=fs)
+    inc = docs.filter("doc_id % 5 = 0")
+    p_before = sorted(
+        tuple(r)
+        for r in dedup.near_dups_against_index(
+            inc, didx, threshold=0.8, extend=True, index_fs=fs
+        ).collect()
+    )
+    assert p_before
+    dedup.compact_dedup_index(spark, didx, index_fs=fs)
+    # a post-compaction increment must read AND extend the live generation
+    inc2 = docs.filter("doc_id % 5 = 1")
+    p1 = sorted(
+        tuple(r)
+        for r in dedup.near_dups_against_index(
+            inc2, didx, threshold=0.8, extend=True, index_fs=fs
+        ).collect()
+    )
+    # reference: same increment against a plain-FS index built on the same corpus slice
+    didx3 = str(tmp_path / "dedup3")
+    dedup.build_dedup_index(docs.filter("doc_id % 5 <> 1"), didx3)
+    p3 = sorted(
+        tuple(r)
+        for r in dedup.near_dups_against_index(inc2, didx3, threshold=0.8).collect()
+    )
+    assert p1 == p3
+
+
 def test_swap_compacted_dir_recovers_from_crashes(tmp_path):
     """Pure-filesystem contract: stale staging debris is cleared, and a
     crash between the two renames (only .old left) is recovered on the
