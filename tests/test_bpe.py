@@ -92,6 +92,26 @@ def test_train_matches_reference(merges, texts):
     assert len(merges) == 25  # corpus is big enough that no round dried up
 
 
+def test_local_and_distributed_train_identical(docs, merges):
+    """The size dispatch must be invisible: the heap-based driver-local
+    trainer (default for bounded vocabularies) and the one-job-per-round
+    distributed loop (forced via local_vocab_threshold=0) learn the exact
+    same merge sequence."""
+    assert bpe.bpe_train(docs, n_merges=25, local_vocab_threshold=0) == merges
+
+
+def test_deep_train_is_prefix_stable_and_fast(docs, merges, texts):
+    """A 1k-merge schedule (the scale the distributed loop cannot afford:
+    1k scheduler round trips) runs through the local trainer and is
+    prefix-consistent with the shallow train — greedy BPE extends, never
+    rewrites, earlier merges. Also pinned against the independent
+    reference at depth on the collected corpus."""
+    deep = bpe.bpe_train(docs, n_merges=1000, min_count=1)
+    assert deep[:25] == merges
+    assert len(deep) > 100  # trains to corpus exhaustion, far past 25
+    assert deep == ref_train(texts, n_merges=1000, min_count=1)
+
+
 def test_encode_matches_reference(spark, docs, merges, texts):
     got = {
         r.doc_id: list(r.bpe_tokens)
