@@ -22,30 +22,6 @@ from duckdb_routing_spark.queries import REGISTRY  # noqa: E402
 from duckdb_routing_spark.session import get_spark  # noqa: E402
 
 
-# Measured steady-state per-query seconds at sf0.1 on a quiet host
-# (tools/ratio.py interleaved best-of + BENCH_r04; route_tile_build and
-# sim_topk_cosine re-measured after their round-6 single-task folds). Used
-# ONLY to flag noise suspects for extra best-of rounds — never reported.
-EXPECTED_SF01 = {
-    "dedup_minhash_lsh": 0.65,
-    "dedup_near_dups": 1.25,
-    "doc_text_features": 0.07,
-    "events_hourly": 0.19,
-    "events_sessionize": 0.15,
-    "q10_returned_items": 0.39,
-    "q1_pricing_summary": 0.22,
-    "q3_shipping_priority": 0.48,
-    "q5_local_supplier": 0.47,
-    "q6_revenue_forecast": 0.12,
-    "route_batch_throughput": 0.56,
-    "route_matrix": 0.30,
-    "route_tile_build": 0.25,
-    "route_travel_time": 0.36,
-    "sim_topk_cosine": 0.33,
-    "window_topk_orders": 0.43,
-}
-
-
 def _register_bucketed_facts(spark, sf_dir: str) -> None:
     """Opt-in bucketed-layout mode (SPARK_GRAFT_BUCKETED=1): bucket
     lineitem+orders by orderkey (32 buckets, sorted) into the local
@@ -190,6 +166,7 @@ def main() -> None:
     # measurement, so cold parquet IO / per-query codegen / first-touch page
     # cache never bill a timed round (the r5 driver bench charged one cold
     # tile-build IO path 7.9 s on byte-identical code)
+    warm0: dict[str, float] = {}
     for r in range(runs + 1):
         for name in list(plans):
             # drop DataFrame caches a query persisted for its own internal
@@ -206,9 +183,13 @@ def main() -> None:
                 del plans[name]
                 print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
                 continue
-            if r == 0:
-                continue
             dt = time.perf_counter() - t0
+            if r == 0:
+                # untimed for scoring, but KEPT as the self-calibrating
+                # noise reference: round 0 pays cold IO + codegen, so a
+                # steady host's timed best-of always lands below it
+                warm0[name] = dt
+                continue
             if dt < timings.get(name, float("inf")):
                 timings[name] = dt
             if r == runs:
@@ -216,21 +197,21 @@ def main() -> None:
 
     # Adaptive noise recovery: this host shows outside-load bursts that can
     # poison even an interleaved best-of (BENCH_r05: 19.07 s vs 7.48 s on
-    # byte-identical code). Queries whose best-of still exceeds their
-    # measured sf0.1 steady state by >1.6x get up to 3 extra best-of rounds —
-    # the min estimator only improves with more samples, so this cannot bias
-    # a genuinely-slow query down, it only recovers burst victims. Sustained
+    # byte-identical code). A query whose timed best-of exceeds its OWN
+    # untimed cold round-0 (which includes cold IO + codegen, so steady
+    # timed rounds land BELOW it) is a burst victim — give it up to 3 extra
+    # best-of rounds. The min estimator only improves with more samples, so
+    # this cannot bias a genuinely-slow query down. Self-calibrating: no
+    # hard-coded steady-state table to go stale as implementations change
+    # (the previous EXPECTED_SF01 constants did exactly that). Sustained
     # hours-long load remains unfixable in-process (and then the DuckDB
     # baseline, run on the same host, slows equally).
-    try:
-        _sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
-    except ValueError:
-        _sf = None
-    if not errors and _sf == 0.1:
+    if not errors:
         for _ in range(3):
             suspects = [
                 n for n in plans
-                if timings.get(n, float("inf")) > 1.6 * EXPECTED_SF01.get(n, float("inf"))
+                if timings.get(n, float("inf")) > 1.1 * warm0.get(n, float("inf"))
+                and timings[n] - warm0[n] > 0.05
             ]
             if not suspects:
                 break
