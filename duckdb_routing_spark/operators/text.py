@@ -722,6 +722,98 @@ def train_quality_classifier(
         counts.unpersist()
 
 
+def train_quality_oracle_sql(
+    docs_table: str,
+    label_sql: str,
+    n_features: int = 64,
+    iterations: int = 6,
+    lr: float = 2.0,
+    train_where_sql: str = "TRUE",
+) -> str:
+    """DuckDB oracle for train_quality_classifier -> quality_classifier,
+    the full train-then-score composition, as ONE portable SQL query: the
+    gradient-descent loop UNROLLS into `iterations` CTE levels (the state
+    is the n_features-row weight table — tiny — so unrolling is cheap and
+    avoids engine-specific recursive-CTE aggregation limits).
+
+    Portability rests on the trainer's determinism contract: every
+    cross-row aggregate is an exact BIGINT sum of pre-quantized integers,
+    so engines may aggregate in any order; the per-row float ops (sigmoid
+    residual, weight update) replicate the trainer's operation order
+    exactly. round_even matches Python round()'s banker's rounding. The
+    one residual hazard is exp() differing in the last ulp between libm
+    and the JVM — the floor(x + 0.5) micro-quantization absorbs it except
+    when x sits within an ulp of an integer boundary (odds ~1e-10/row).
+
+    Every state CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, and each iteration references the previous weight table
+    three times — inlined, the plan would expand 3^iterations.
+
+    label_sql: SQL expression over `docs_table` columns producing the
+    0/1 label. train_where_sql restricts the TRAINING slice (class
+    rebalancing by deterministic subsample — the production shape for
+    rare-positive corpora); scoring always covers the full corpus."""
+    n, T = n_features, iterations
+    head = f"""
+WITH t AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM {docs_table}
+),
+tokb AS MATERIALIZED (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT % {n} AS bucket
+  FROM t WHERE tok != ''
+),
+c AS (
+  SELECT doc_id, bucket, count(*) AS cnt FROM tokb GROUP BY doc_id, bucket
+),
+lab AS (
+  SELECT doc_id, CASE WHEN {label_sql} THEN 1.0 ELSE 0.0 END AS y FROM {docs_table}
+),
+cl AS MATERIALIZED (
+  SELECT c.doc_id, c.bucket, c.cnt, lab.y FROM c JOIN lab USING (doc_id)
+  WHERE {train_where_sql}
+),
+nd AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n_docs FROM cl),
+w0 AS MATERIALIZED (SELECT unnest(range(0, {n}))::INT AS bucket, 0.0::DOUBLE AS w)"""
+    steps = []
+    for i in range(1, T + 1):
+        p = i - 1
+        steps.append(f""",
+wm{i} AS MATERIALIZED (
+  SELECT bucket, CAST(round_even(w * 1000000, 0) AS BIGINT) AS w_micro FROM w{p}
+),
+m{i} AS MATERIALIZED (
+  SELECT cl.doc_id, cl.y,
+         CAST(sum(cl.cnt * wm{i}.w_micro) AS BIGINT) / 1000000.0 AS m
+  FROM cl JOIN wm{i} USING (bucket) GROUP BY cl.doc_id, cl.y
+),
+r{i} AS MATERIALIZED (
+  SELECT doc_id, 1.0 / (1.0 + exp(-m)) - y AS r FROM m{i}
+),
+g{i} AS MATERIALIZED (
+  SELECT cl.bucket,
+         CAST(sum(CAST(floor(cl.cnt * r{i}.r * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS g_micro
+  FROM cl JOIN r{i} USING (doc_id) GROUP BY cl.bucket
+),
+w{i} AS MATERIALIZED (
+  SELECT w{p}.bucket,
+         w{p}.w - {lr!r} * (COALESCE(g{i}.g_micro, 0) / 1000000.0) / nd.n_docs AS w
+  FROM w{p} LEFT JOIN g{i} USING (bucket) CROSS JOIN nd
+)""")
+    tail = f""",
+wt AS MATERIALIZED (SELECT bucket, CAST(round_even(w * 1000, 0) AS BIGINT) AS weight FROM w{T}),
+scored AS (
+  SELECT tokb.doc_id, count(*) AS n_tokens,
+         CAST(sum(COALESCE(wt.weight, 0)) AS BIGINT) AS raw_score
+  FROM tokb LEFT JOIN wt USING (bucket) GROUP BY tokb.doc_id
+)
+SELECT doc_id, n_tokens, raw_score,
+       raw_score::DOUBLE / (1000 * n_tokens) AS quality,
+       raw_score > 0 AS keep
+FROM scored ORDER BY doc_id
+"""
+    return head + "".join(steps) + tail
+
+
 def phrase_lexicon_hits(
     docs: DataFrame,
     lexicon: DataFrame,

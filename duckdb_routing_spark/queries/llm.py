@@ -1176,6 +1176,49 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_classifier(docs, w, n_features=256).orderBy("doc_id")
 
 
+TRAINED_QUALITY_ORACLE = text.train_quality_oracle_sql(
+    "documents",
+    label_sql="list_contains(string_split(lower(text), ' '), 'dup')",
+    n_features=256,
+    iterations=30,
+    lr=5.0,
+    train_where_sql=(
+        "y = 1.0 OR ('0x' || substr(md5('neg:' || doc_id), 1, 8))::BIGINT % 20 = 0"
+    ),
+)
+
+
+@register("doc_trained_quality", oracle=TRAINED_QUALITY_ORACLE,
+          doc="in-engine classifier training -> scoring, oracle replays the full gradient loop")
+def doc_trained_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained twin of doc_quality_classifier: labels mark docs
+    containing the rare 'dup' marker token (a separable bag-of-words
+    concept), the training slice rebalances the 5%-positive corpus with a
+    deterministic md5 negative subsample (the production rare-positive
+    shape), the logistic trainer runs its integer-quantized full-batch
+    gradient descent in-engine, and the scorer applies the learned
+    (bucket, weight) table to the FULL corpus. The oracle replays the
+    ENTIRE 30-iteration training loop as unrolled SQL — the trainer's
+    exact-BIGINT aggregation contract is what makes a cross-engine replay
+    possible at all."""
+    docs = table(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "label", F.array_contains(F.split(F.lower("text"), " "), "dup").cast("int")
+    )
+    neg_keep = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("neg:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 20
+        == 0
+    )
+    train = labeled.filter((F.col("label") == 1) | neg_keep)
+    w = text.train_quality_classifier(train, "label", n_features=256, iterations=30, lr=5.0)
+    return text.quality_classifier(docs, w, n_features=256).orderBy("doc_id")
+
+
 def _mh_side_ctes(suffix: str, where: str) -> str:
     """MinHash band CTE chain for one SIDE of a cross-corpus comparison —
     the MINHASH_BANDS_CTE construction parameterized by a doc filter and a

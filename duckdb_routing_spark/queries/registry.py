@@ -136,6 +136,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "route_batch_throughput",
         "route_isochrone",
         "route_node_count",
+        # train->score composition of the exposed doc_quality_classifier:
+        # same scorer, weights learned in-engine; the oracle replays the
+        # full gradient loop as unrolled SQL; pytest-oracled
+        "doc_trained_quality",
         # per-dim normalization stats: decimal-exact sums; pytest-oracled
         "emb_dim_stats",
         # int8 scalar quantization: storage tier beside sim_pq_codes;
