@@ -688,6 +688,31 @@ def sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=10, n_cells=8, n_probe=2)
 
 
+@register("sim_ann_index_probe", oracle=SIM_IVF_ORACLE,
+          doc="persisted ANN store: build + extend + partition-pruned probe (full value-hash oracle)")
+def sim_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-store lifecycle as one driver row: build the cell-
+    partitioned IVF store from half the corpus (explicit first-8 seeds),
+    EXTEND it with the other half (dynamic partition overwrite — replay-
+    idempotent), then probe 3 queries with 2-probe cell pruning. Results
+    are exactly in-memory ivf_topk over the same seeds (extension
+    invisibility and the PartitionFilters pruning are both pytest-pinned),
+    so the hidden sim_ivf_topk's oracle value-hashes this end to end."""
+    import os as _os
+    import tempfile
+
+    emb = table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("svec")
+    )
+    idx = _os.path.join(tempfile.mkdtemp(prefix="ann_store_"), "ivf")
+    similarity.build_ann_index(emb.filter("vec_id % 2 = 0"), idx, seeds=seeds)
+    similarity.extend_ann_index(emb.filter("vec_id % 2 = 1"), idx, increment=1)
+    return similarity.ann_query_index(
+        spark, idx, emb.filter(F.col("vec_id") < 3), k=10, n_probe=2
+    )
+
+
 @register("sim_ann_lsh", oracle=SIM_ANN_ORACLE, doc="LSH-bucketed ANN top-10 (md5-derived hyperplanes, full value-hash oracle)")
 def sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")

@@ -150,6 +150,11 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "emb_hard_negatives",
         "sim_pq_codes",
         "sim_pq_topk",
+        # ⊂ sim_ann_index_probe (now exposed): identical cells/probe kernel
+        # and the SAME oracle, but the probe additionally exercises the
+        # persisted store lifecycle (build/extend/partition-pruned scan);
+        # the in-memory twin stays pytest-oracled
+        "sim_ivf_topk",
         "stream_dedup_minhash",
         "stream_interval_join",
         "stream_session_window",
