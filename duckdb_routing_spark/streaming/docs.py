@@ -61,6 +61,25 @@ def read_documents_stream(spark: SparkSession, chunk_dir: str) -> DataFrame:
     )
 
 
+def _prior_batches(spark, index_dir: str, batch_id: int):
+    """Index state visible to micro-batch `batch_id`: every batch=<k>
+    subdirectory with k < batch_id (a crashed attempt's own batch=<id> is
+    excluded, preserving replay idempotence), read through Spark's
+    partition discovery — the `batch` column infers from the directory
+    names, the < filter prunes at FILE-LISTING time, and no driver-side
+    os.listdir touches the store (object-store-safe, unlike the previous
+    POSIX listing). Returns None when no prior batch exists."""
+    try:
+        old = (
+            spark.read.option("basePath", index_dir)
+            .parquet(os.path.join(index_dir, "batch=*"))
+        )
+    except Exception:  # noqa: BLE001 — no batch dir yet (first micro-batch)
+        return None
+    old = old.filter(F.col("batch") < batch_id).drop("batch")
+    return old
+
+
 def streaming_minhash_candidates(
     stream: DataFrame,
     index_dir: str,
@@ -74,15 +93,6 @@ def streaming_minhash_candidates(
     and read the accumulated pairs from `pairs_dir`."""
     spark = stream.sparkSession
 
-    def _index_batches_before(batch_id: int) -> list[str]:
-        if not os.path.isdir(index_dir):
-            return []
-        return [
-            os.path.join(index_dir, d)
-            for d in os.listdir(index_dir)
-            if d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id
-        ]
-
     def _step(batch_df: DataFrame, batch_id: int) -> None:
         sigs = dedup.minhash_band_rows(
             batch_df, id_col="doc_id", text_col="text", k=k, n_hashes=n_hashes, band_size=band_size
@@ -92,9 +102,8 @@ def streaming_minhash_candidates(
             b = sigs.select("band", "band_sig", F.col("doc_id").alias("doc_b"))
             within = a.join(b, ["band", "band_sig"]).filter(F.col("doc_a") < F.col("doc_b"))
             pairs = within.select("doc_a", "doc_b")
-            prior = _index_batches_before(batch_id)
-            if prior:
-                old = spark.read.parquet(*prior)
+            old = _prior_batches(spark, index_dir, batch_id)
+            if old is not None:
                 cross = (
                     sigs.select("band", "band_sig", F.col("doc_id").alias("new_id"))
                     .join(old.withColumnRenamed("doc_id", "old_id"), ["band", "band_sig"])
@@ -163,15 +172,6 @@ def streaming_curate(
 
     spark = stream.sparkSession
 
-    def _index_batches_before(batch_id: int) -> list[str]:
-        if not os.path.isdir(index_dir):
-            return []
-        return [
-            os.path.join(index_dir, d)
-            for d in os.listdir(index_dir)
-            if d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id
-        ]
-
     def _step(batch_df: DataFrame, batch_id: int) -> None:
         gated = batch_df.withColumn("quality", text.quality_score(F.col("text"))).filter(
             F.col("quality") > 0.5
@@ -179,9 +179,8 @@ def streaming_curate(
         within = dedup.exact_dedup_keep_first(gated)
         fp = F.md5(F.lower(F.col("text"))).alias("fp")
         keyed = within.select("*", fp)
-        prior = _index_batches_before(batch_id)
-        if prior:
-            seen = spark.read.parquet(*prior)
+        seen = _prior_batches(spark, index_dir, batch_id)
+        if seen is not None:
             keyed = keyed.join(seen, "fp", "left_anti")
         keyed = keyed.persist()
         try:
