@@ -1119,6 +1119,27 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens").orderBy("doc_id")
 
 
+@register("doc_wordpiece_tokens", oracle=None,
+          doc="WordPiece tokenize: likelihood-scored train on a 100-doc sample, longest-match encode (pytest-oracled vs a pure-Python reference)")
+def doc_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BERT-family tokenizer beside the BPE pair: merges maximize
+    count(ab)/(count(a)*count(b)) (exact-integer cross-product argmax, no
+    float ever decides a merge), encode is greedy longest-match-first over
+    the broadcast vocabulary. No SQL oracle — longest-match segmentation
+    isn't reasonably one DuckDB query; test_wordpiece.py's independent
+    Fraction-scored reference is the oracle."""
+    from duckdb_routing_spark.operators import wordpiece
+
+    docs = table(spark, sf_dir, "documents")
+    merges = wordpiece.wordpiece_train(docs.orderBy("doc_id").limit(100), n_merges=20)
+    vocab = wordpiece.wordpiece_vocab(docs, merges)
+    return (
+        wordpiece.wordpiece_encode(docs, vocab)
+        .select("doc_id", "n_wp_tokens")
+        .orderBy("doc_id")
+    )
+
+
 @register("doc_training_sequences", oracle=None,
           doc="text -> fixed-length input_ids windows via BPE (pytest-oracled: ids decode back to the reference encoding)")
 def doc_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

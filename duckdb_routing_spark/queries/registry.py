@@ -84,6 +84,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # dedup_exact_stats; the Misra-Gries sketch twin is pytest-oracled
         # against it (test_sketch.py)
         "doc_topk_tokens",
+        # WordPiece twin of the hidden doc_bpe_tokens (tokenizer family
+        # driver-exercised via doc_token_stats + the BPE shard pipeline);
+        # pytest-value-oracled vs an independent reference
+        "doc_wordpiece_tokens",
         "doc_temperature_sample",
         "doc_repetition",
         "doc_stats",

@@ -125,6 +125,11 @@ def test_driver_exposed_set_fits_the_cap():
     # The named exceptions carry non-SQL oracles instead: the throughput
     # probe is rows-only by design; the BPE pair is value-oracled against
     # the independent pure-Python reference in test_bpe.py.
-    NON_SQL_ORACLED = {"route_batch_throughput", "doc_bpe_tokens", "doc_training_sequences"}
+    NON_SQL_ORACLED = {
+        "route_batch_throughput",
+        "doc_bpe_tokens",
+        "doc_training_sequences",
+        "doc_wordpiece_tokens",
+    }
     for n in DRIVER_HIDDEN:
         assert REGISTRY[n].oracle is not None or n in NON_SQL_ORACLED
