@@ -1140,6 +1140,27 @@ def doc_wordpiece_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("doc_unigram_tokens", oracle=None,
+          doc="unigram-LM (SentencePiece) tokenize: EM-trained pieces, Viterbi encode (pytest-oracled vs a log-space reference)")
+def doc_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third tokenizer family: piece probabilities EM-estimated over
+    every word's segmentation lattice (forward-backward), count-pruned to
+    the target vocabulary, Viterbi-encoded with a deterministic tie
+    order. No SQL oracle — lattice EM is not reasonably one DuckDB query;
+    test_unigram.py's independent log-space reference is the oracle."""
+    from duckdb_routing_spark.operators import unigram
+
+    docs = table(spark, sf_dir, "documents")
+    vocab = unigram.unigram_train(
+        docs.orderBy("doc_id").limit(100), vocab_size=80, max_piece_len=6
+    )
+    return (
+        unigram.unigram_encode(docs, vocab, max_piece_len=6)
+        .select("doc_id", "n_ug_tokens")
+        .orderBy("doc_id")
+    )
+
+
 @register("doc_training_sequences", oracle=None,
           doc="text -> fixed-length input_ids windows via BPE (pytest-oracled: ids decode back to the reference encoding)")
 def doc_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -88,6 +88,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # driver-exercised via doc_token_stats + the BPE shard pipeline);
         # pytest-value-oracled vs an independent reference
         "doc_wordpiece_tokens",
+        # unigram-LM third tokenizer family, same rationale;
+        # pytest-value-oracled vs an independent log-space reference
+        "doc_unigram_tokens",
         "doc_temperature_sample",
         "doc_repetition",
         "doc_stats",

@@ -130,6 +130,7 @@ def test_driver_exposed_set_fits_the_cap():
         "doc_bpe_tokens",
         "doc_training_sequences",
         "doc_wordpiece_tokens",
+        "doc_unigram_tokens",
     }
     for n in DRIVER_HIDDEN:
         assert REGISTRY[n].oracle is not None or n in NON_SQL_ORACLED
