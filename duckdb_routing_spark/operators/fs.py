@@ -65,6 +65,17 @@ class LocalFS:
         with open(path, "rb") as f:
             return f.read()
 
+    def list_siblings(self, path: str, prefix: str) -> list[str]:
+        """Entries of path's parent directory starting with prefix —
+        object stores implement this as a prefix listing (S3 ListObjectsV2),
+        so it stays available where rename is not."""
+        parent = os.path.dirname(path) or "."
+        if not os.path.isdir(parent):
+            return []
+        return [
+            os.path.join(parent, d) for d in os.listdir(parent) if d.startswith(prefix)
+        ]
+
 
 class RenamelessFS(LocalFS):
     """Object-store semantics over the local disk: rename is UNAVAILABLE
@@ -153,6 +164,15 @@ def swap_in_compacted(
         _ptr_path(table_dir),
         json.dumps({"dir": os.path.basename(nxt)}).encode("utf-8"),
     )
-    if fs.exists(live):
-        fs.delete(live)  # best-effort GC of the superseded generation (or
-        # the pre-pointer plain dir on the first commit)
+    # GC every superseded generation AND the pre-pointer plain dir — a
+    # prefix listing (available on object stores) rather than just `live`,
+    # so an orphan from a crash between a previous PUT and its delete is
+    # swept by the next successful commit, not leaked forever
+    import re
+
+    gen_pat = re.compile(re.escape(base) + r"__g\d+$")
+    for stale in fs.list_siblings(table_dir, base):
+        if stale == nxt:
+            continue
+        if stale == table_dir or gen_pat.fullmatch(os.path.basename(stale)):
+            fs.delete(stale)

@@ -1164,6 +1164,18 @@ def test_swap_in_compacted_renameless_pointer_commit(tmp_path):
     assert not os.path.exists(os.path.join(live2, "torn"))
     assert not os.path.exists(live)  # generation 1 GC'd
 
+    # crash AFTER the pointer PUT but BEFORE the old-generation delete:
+    # fabricate the orphan, then the next commit must sweep it — while a
+    # sibling table sharing the name prefix is never touched
+    mk(live, "orphan")  # resurrect g1 as the leaked dir
+    sibling = str(tmp_path / "cells2__g1")
+    mk(sibling, "other-table")
+    swap_in_compacted(table, lambda staged: mk(staged, "v4"), fs)
+    live3 = live_table_dir(table, fs)
+    assert live3.endswith("__g3") and os.path.exists(os.path.join(live3, "v4"))
+    assert not os.path.exists(live) and not os.path.exists(live2)  # swept
+    assert os.path.exists(os.path.join(sibling, "other-table"))  # untouched
+
 
 def test_index_compaction_on_renameless_store(spark, emb, docs, tmp_path):
     """The full VERDICT-4 posture check: ANN store and dedup index stay
