@@ -364,6 +364,14 @@ def training_sequences(
     doc boundaries — cross-doc packing is `chunking.pack_sequences`'s job."""
     enc = bpe_encode_ids_udf(merges, vocab)
     with_ids = docs.select(F.col(id_col).alias("doc_id"), enc(F.col(text_col)).alias("ids"))
+    return sequences_from_ids(with_ids, seq_len)
+
+
+def sequences_from_ids(with_ids: DataFrame, seq_len: int) -> DataFrame:
+    """(doc_id, ids) -> (doc_id, seq_id, input_ids, n_ids): the tokenizer-
+    agnostic windowing mile — row-local transform+posexplode, zero shuffle,
+    final partial window kept. Shared by the BPE, WordPiece, and unigram
+    training_sequences variants."""
     n_seq = F.ceil(F.size("ids") / F.lit(seq_len)).cast("int")
     windows = F.transform(
         F.sequence(F.lit(0), n_seq - 1),

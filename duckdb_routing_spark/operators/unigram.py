@@ -258,3 +258,63 @@ def unigram_encode(
         F.col(id_col).alias("doc_id"),
         enc(F.col(text_col)).alias("ug_tokens"),
     ).select("doc_id", "ug_tokens", F.size("ug_tokens").alias("n_ug_tokens"))
+
+
+def unigram_vocab_ids(vocab: list[tuple[str, float]]) -> list[str]:
+    """Deterministic id table for a trained unigram vocabulary: [UNK] at
+    position 0, pieces sorted — id = index, mirroring bpe_vocab's shape."""
+    return [UNK] + sorted(p for p, _ in vocab if p != UNK)
+
+
+def unigram_encode_ids_udf(
+    vocab: list[tuple[str, float]], id_table: list[str], max_piece_len: int = 8
+):
+    """text -> input_ids in one Arrow pass: Viterbi segmentation with the
+    id mapping folded into the same closure ([UNK] = 0)."""
+    from pyspark.sql.types import IntegerType
+
+    logp = dict(vocab)
+    ids = {s: i for i, s in enumerate(id_table)}
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode_ids(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[int]] = {}
+
+        def enc(text) -> list[int]:
+            if text is None:
+                return []
+            out: list[int] = []
+            for w in text.lower().split(" "):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    seg = _viterbi(w, logp, max_piece_len)
+                    got = cache[w] = (
+                        [ids.get(p, ids[UNK]) for p in seg] if seg is not None else [ids[UNK]]
+                    )
+                out.extend(got)
+            return out
+
+        return texts.map(enc)
+
+    return encode_ids
+
+
+def training_sequences(
+    docs: DataFrame,
+    vocab: list[tuple[str, float]],
+    seq_len: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Text -> fixed-length unigram input_ids windows — the same windowing
+    mile as bpe.training_sequences (shared sequences_from_ids)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.operators.bpe import sequences_from_ids
+
+    enc = unigram_encode_ids_udf(vocab, unigram_vocab_ids(vocab), max_piece_len)
+    with_ids = docs.select(F.col(id_col).alias("doc_id"), enc(F.col(text_col)).alias("ids"))
+    return sequences_from_ids(with_ids, seq_len)

@@ -241,3 +241,75 @@ def wordpiece_encode(
         F.col(id_col).alias("doc_id"),
         enc(F.col(text_col)).alias("wp_tokens"),
     ).select("doc_id", "wp_tokens", F.size("wp_tokens").alias("n_wp_tokens"))
+
+
+def wordpiece_encode_ids_udf(vocab: list[str], max_word_chars: int = 100):
+    """text -> input_ids in one Arrow pass: the longest-match encoder with
+    the id mapping (id = position in the wordpiece_vocab list, [UNK] = 0)
+    folded into the same closure — no extra stage, mirroring
+    bpe.bpe_encode_ids_udf."""
+    from pyspark.sql.types import IntegerType
+
+    ids = {s: i for i, s in enumerate(vocab)}
+    vset = frozenset(vocab)
+
+    def _encode_word(w: str) -> list[int]:
+        if len(w) > max_word_chars:
+            return [ids[UNK]]
+        out: list[int] = []
+        start = 0
+        while start < len(w):
+            end = len(w)
+            piece = None
+            while start < end:
+                cand = w[start:end]
+                if start > 0:
+                    cand = CONT + cand
+                if cand in vset:
+                    piece = cand
+                    break
+                end -= 1
+            if piece is None:
+                return [ids[UNK]]
+            out.append(ids[piece])
+            start = end
+        return out
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode_ids(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[int]] = {}
+
+        def enc(text) -> list[int]:
+            if text is None:
+                return []
+            out: list[int] = []
+            for w in text.lower().split(" "):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _encode_word(w)
+                out.extend(got)
+            return out
+
+        return texts.map(enc)
+
+    return encode_ids
+
+
+def training_sequences(
+    docs: DataFrame,
+    vocab: list[str],
+    seq_len: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Text -> fixed-length WordPiece input_ids windows — the same
+    windowing mile as bpe.training_sequences (shared sequences_from_ids)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.operators.bpe import sequences_from_ids
+
+    enc = wordpiece_encode_ids_udf(vocab)
+    with_ids = docs.select(F.col(id_col).alias("doc_id"), enc(F.col(text_col)).alias("ids"))
+    return sequences_from_ids(with_ids, seq_len)

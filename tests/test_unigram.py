@@ -202,3 +202,25 @@ def test_em_fuzz_matches_reference(words):
     assert set(got) == set(want)
     for p in got:
         assert got[p] == pytest.approx(want[p], rel=1e-9, abs=1e-12), p
+
+
+def test_training_sequences_ids_decode_back(spark, docs, texts):
+    """Unigram input_ids windows decode back through the id table to the
+    reference Viterbi encoding."""
+    vocab = ug.unigram_train(docs, vocab_size=80, max_piece_len=6)
+    logp = dict(vocab)
+    table = ug.unigram_vocab_ids(vocab)
+    seqs = ug.training_sequences(docs, vocab, seq_len=32, max_piece_len=6).collect()
+    by_doc = {}
+    for r in seqs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for doc_id, text in zip(ids, texts):
+        rows = sorted(by_doc[doc_id], key=lambda r: r.seq_id)
+        stream = [i for r in rows for i in r.input_ids]
+        want = []
+        for w in text.lower().split(" "):
+            if w:
+                want.extend(ref_viterbi(w, logp, 6) or ["[UNK]"])
+        assert [table[i] for i in stream] == want, f"doc {doc_id}"
+        assert all(r.n_ids == 32 for r in rows[:-1]) and 1 <= rows[-1].n_ids <= 32

@@ -159,3 +159,24 @@ def test_train_fuzz_matches_reference(words, n_merges):
     freqs = Counter(w for t in texts for w in t.lower().split(" ") if w)
     got = wp._train_local(sorted(freqs.items()), n_merges, min_count=2)
     assert got == ref_train(texts, n_merges, min_count=2)
+
+
+def test_training_sequences_ids_decode_back(spark, docs, merges, texts):
+    """input_ids windows: ids map back through the vocab to the reference
+    encoding, windows are contiguous seq_len slices, final partial kept."""
+    vocab = wp.wordpiece_vocab(docs, merges)
+    vset = frozenset(vocab)
+    seqs = wp.training_sequences(docs, vocab, seq_len=32).collect()
+    by_doc = {}
+    for r in seqs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for doc_id, text in zip(ids, texts):
+        rows = sorted(by_doc[doc_id], key=lambda r: r.seq_id)
+        stream = [i for r in rows for i in r.input_ids]
+        want = []
+        for w in text.lower().split(" "):
+            if w:
+                want.extend(ref_encode_word(w, vset))
+        assert [vocab[i] for i in stream] == want, f"doc {doc_id}"
+        assert all(r.n_ids == 32 for r in rows[:-1]) and 1 <= rows[-1].n_ids <= 32
