@@ -80,6 +80,58 @@ def _prior_batches(spark, index_dir: str, batch_id: int):
     return old
 
 
+def compact_stream_index(spark, index_dir: str) -> None:
+    """Fold a streaming batch index's accumulated batch=<id> directories
+    into ONE folded generation — the small-files maintenance the dedup/ANN
+    stores get from their compactors, adapted to the streaming twins'
+    semantics.
+
+    Scheme (NO renames, NO atomic swap — runs as-is on object stores):
+    the folded union of every batch b in [0, max) plus any previous folded
+    generation is written to a FRESH negative-id directory batch=-(g+1),
+    verified by count, and only then are the source directories deleted.
+    The newest batch (max id) is never folded, so a Structured Streaming
+    restart replaying it still sees exactly the prior state it first saw.
+
+    Crash-safety rests on the consumers' DUPLICATE tolerance — the
+    minhash-candidate join ends in .distinct() and the curation index is
+    the right side of a left_anti join, so a crash at ANY point (partial
+    new generation alongside intact originals, or originals partially
+    deleted after a complete generation) only ever exposes duplicated or
+    already-folded rows, never missing ones. Visibility is unchanged:
+    -(g+1) < N for every micro-batch N, exactly like the folded sources.
+
+    Run it BETWEEN micro-batches (foreachBatch is sequential; schedule it
+    from the same maintenance loop that owns the stream)."""
+    from duckdb_routing_spark.operators.fs import DEFAULT_FS
+
+    fs = DEFAULT_FS
+    try:
+        all_batches = spark.read.option("basePath", index_dir).parquet(
+            os.path.join(index_dir, "batch=*")
+        )
+    except Exception:  # noqa: BLE001 — nothing written yet
+        return
+    ids = [r.batch for r in all_batches.select("batch").distinct().collect()]
+    newest = max(ids)
+    fold = [b for b in ids if b != newest]
+    if not fold:
+        return
+    gen = 1 - min(0, min(fold))  # next folded generation id magnitude
+    target = os.path.join(index_dir, f"batch=-{gen}")
+    # materialize the union FIRST (lineage truncation): the write lands
+    # inside the directory the plan scans, and a path write invalidates
+    # cached plans reading it (bench-measurement lore) — a checkpointed
+    # row set cannot re-list and see its own partial output
+    folded = all_batches.filter(F.col("batch") != newest).drop("batch").localCheckpoint()
+    expected = folded.count()
+    folded.write.mode("overwrite").parquet(target)
+    if spark.read.parquet(target).count() != expected:  # torn-write guard
+        raise RuntimeError(f"compacted generation {target} failed verification")
+    for b in fold:
+        fs.delete(os.path.join(index_dir, f"batch={b}"))
+
+
 def streaming_minhash_candidates(
     stream: DataFrame,
     index_dir: str,

@@ -342,3 +342,58 @@ def test_streaming_ann_index_equals_batch_build(spark, tmp_path):
     b = [(r.query_id, r.vec_id, r.cosine, r.rank)
          for r in similarity.ann_query_index(spark, whole, queries, k=10, n_probe=2).collect()]
     assert a == b and len(a) == 30
+
+
+def test_compact_stream_index_preserves_visible_state(spark, tmp_path):
+    """Folding a streaming batch index must be invisible to future (and
+    replayed-last) micro-batches: the distinct prior-state row set for any
+    next batch id is identical before and after compaction, the newest
+    batch dir survives unfolded, and a simulated crash (partial folded
+    generation beside intact originals) only duplicates rows."""
+    import os
+
+    from duckdb_routing_spark.streaming import docs as sd
+    from duckdb_routing_spark.streaming.docs import _prior_batches, compact_stream_index
+
+    chunk_dir = sd.write_document_chunks_ordered(spark, SF_SMOKE, str(tmp_path / "in"), chunks=4)
+    index_dir, pairs_dir = str(tmp_path / "idx"), str(tmp_path / "pairs")
+    q = sd.streaming_minhash_candidates(
+        sd.read_documents_stream(spark, chunk_dir), index_dir, pairs_dir
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def visible(next_id):
+        df = _prior_batches(spark, index_dir, next_id)
+        return sorted(map(tuple, df.distinct().collect())) if df is not None else []
+
+    dirs = sorted(d for d in os.listdir(index_dir) if d.startswith("batch="))
+    assert len(dirs) >= 3  # several micro-batches accumulated
+    newest = max(int(d.split("=")[1]) for d in dirs)
+    before_next = visible(newest + 1)
+    before_replay = visible(newest)  # what a replayed newest batch saw
+
+    compact_stream_index(spark, index_dir)
+    dirs2 = sorted(d for d in os.listdir(index_dir) if d.startswith("batch="))
+    assert dirs2 == ["batch=-1", f"batch={newest}"]
+    assert visible(newest + 1) == before_next
+    assert visible(newest) == before_replay
+
+    # crash simulation: a partial folded generation appears while the
+    # originals are still present — readers may only see DUPLICATES
+    import shutil
+
+    partial = os.path.join(index_dir, "batch=-2")
+    shutil.copytree(os.path.join(index_dir, "batch=-1"), partial)
+    for f in sorted(os.listdir(partial))[1:]:
+        if not f.startswith("part-"):
+            continue
+        os.remove(os.path.join(partial, f))  # tear it: drop trailing parts
+    assert visible(newest + 1) == before_next  # distinct() absorbs dupes
+    shutil.rmtree(partial)
+
+    # second compaction folds the folded generation itself (idempotent set)
+    compact_stream_index(spark, index_dir)
+    assert visible(newest + 1) == before_next
