@@ -125,21 +125,31 @@ def export_tokenized_shards(
     train_sample: int = 1000,
     quality_min: float = 0.5,
     jaccard_threshold: float = 0.8,
+    tokenizer: str = "bpe",
 ) -> DataFrame:
-    """The tokenized last mile: curate -> BPE-tokenize -> fixed-length
+    """The tokenized last mile: curate -> tokenize -> fixed-length
     input_ids windows -> deterministic sharded shuffle, written as
     <out_dir>/shard_id=K/ parquet rows (doc_id, seq_id, input_ids).
     Returns the shard manifest.
 
-    Pass a trained merge table to reuse a tokenizer across runs (the
-    production path — the tokenizer is a versioned artifact); with
-    merges=None one is trained on the curated corpus's lowest-id
-    `train_sample` docs. The shard key is (doc_id, seq_id), so a
-    document's windows spread across the global read order instead of
-    sitting adjacent — the same dispersal contract as the mixture-epoch
-    key in export_pretraining_shards."""
+    `tokenizer` picks the family — "bpe" (default), "wordpiece", or
+    "unigram" — all three share the corpus-collapse training shape and the
+    sequences_from_ids windowing mile, so the pipeline downstream of the
+    encoder is byte-identical. Pass a trained `merges` table (BPE only) to
+    reuse a tokenizer across runs (the production path — the tokenizer is
+    a versioned artifact); otherwise one is trained on the curated
+    corpus's lowest-id `train_sample` docs. The shard key is
+    (doc_id, seq_id), so a document's windows spread across the global
+    read order instead of sitting adjacent — the same dispersal contract
+    as the mixture-epoch key in export_pretraining_shards."""
     from duckdb_routing_spark.operators import bpe
     from duckdb_routing_spark.operators import shard as _shard
+
+    if tokenizer not in ("bpe", "wordpiece", "unigram"):
+        raise ValueError(f"unknown tokenizer {tokenizer!r}")
+    if merges is not None and tokenizer != "bpe":
+        raise ValueError("a merges table is a BPE artifact; train in-pipeline "
+                         "for wordpiece/unigram")
 
     # curated fans out to three actions (merge training, vocab chars, the
     # shard write) — persist it or each one re-executes the whole curation
@@ -148,10 +158,22 @@ def export_tokenized_shards(
         docs, quality_min=quality_min, jaccard_threshold=jaccard_threshold
     ).filter(F.col("split") == "train").persist()
     try:
-        if merges is None:
-            merges = bpe.bpe_train(curated.orderBy("doc_id").limit(train_sample), n_merges=30)
-        vocab = bpe.bpe_vocab(curated, merges)
-        seqs = bpe.training_sequences(curated, merges, vocab, seq_len=seq_len)
+        sample = curated.orderBy("doc_id").limit(train_sample)
+        if tokenizer == "wordpiece":
+            from duckdb_routing_spark.operators import wordpiece as _wp
+
+            wp_vocab = _wp.wordpiece_vocab(curated, _wp.wordpiece_train(sample, n_merges=30))
+            seqs = _wp.training_sequences(curated, wp_vocab, seq_len=seq_len)
+        elif tokenizer == "unigram":
+            from duckdb_routing_spark.operators import unigram as _ug
+
+            ug_vocab = _ug.unigram_train(sample, vocab_size=120)
+            seqs = _ug.training_sequences(curated, ug_vocab, seq_len=seq_len)
+        else:
+            if merges is None:
+                merges = bpe.bpe_train(sample, n_merges=30)
+            vocab = bpe.bpe_vocab(curated, merges)
+            seqs = bpe.training_sequences(curated, merges, vocab, seq_len=seq_len)
         keyed = seqs.withColumn(
             "_shard_doc_key",
             F.concat_ws("#", F.col("doc_id").cast("string"), F.col("seq_id").cast("string")),

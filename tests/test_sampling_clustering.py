@@ -354,3 +354,29 @@ def test_read_training_shard_order(spark, docs, tmp_path):
         keys = [r.shard_key for r in rows]
         assert keys == sorted(keys) and len(keys) == man[sid].n_rows
         assert keys[0] == man[sid].min_key and keys[-1] == man[sid].max_key
+
+
+def test_export_tokenized_shards_tokenizer_families(spark, tmp_path):
+    """The pipeline's tokenizer switch: wordpiece and unigram exports run
+    the same curate -> windows -> shard mile, cover exactly the curated
+    train docs, and keep window integrity through the shuffle."""
+    from duckdb_routing_spark.pipelines import build_pretraining_dataset, export_tokenized_shards
+
+    small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train_ids = {
+        r.doc_id
+        for r in build_pretraining_dataset(small).filter("split = 'train'").select("doc_id").collect()
+    }
+    for fam in ("wordpiece", "unigram"):
+        out = str(tmp_path / f"tok_{fam}")
+        man = export_tokenized_shards(
+            small, out, seq_len=32, n_shards=4, train_sample=40, tokenizer=fam
+        ).collect()
+        back = spark.read.parquet(out)
+        assert back.count() == sum(r.n_rows for r in man) > 0, fam
+        assert {r.doc_id for r in back.select("doc_id").distinct().collect()} == train_ids, fam
+        assert back.filter(F.size("input_ids") != F.col("n_ids")).count() == 0, fam
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        export_tokenized_shards(small, str(tmp_path / "bad"), merges=[("a", "b")], tokenizer="unigram")
