@@ -145,11 +145,16 @@ def swap_in_compacted(
         if live != table_dir and fs.exists(table_dir):
             fs.delete(table_dir)  # stale pre-pointer plain dir from mixed history
         fs.rename(staged, table_dir)
-        fs.delete(old)
         if live != table_dir:
-            # index previously maintained pointer-style (mixed history):
-            # the plain path is live again, retire the pointer
+            # index previously maintained pointer-style (mixed history): the
+            # plain path is live again, so retire the pointer BEFORE deleting
+            # .old — in the reverse order a crash between the two deletes
+            # leaves the pointer naming the renamed-away generation with no
+            # .old left to recover it from (an unreadable table); in this
+            # order every crash point is re-runnable (a dangling pointer
+            # always coexists with .old, which the recovery above restores)
             fs.delete(_ptr_path(table_dir))
+        fs.delete(old)
         return
 
     # pointer commit: parse the current generation number off the live dir

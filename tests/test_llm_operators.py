@@ -1225,6 +1225,84 @@ def test_index_compaction_on_renameless_store(spark, emb, docs, tmp_path):
     assert p1 == p3
 
 
+def test_swap_in_compacted_crash_point_sweep(tmp_path):
+    """Exhaustive crash-point sweep over the rename branch's mutating ops,
+    in BOTH histories (plain table, and mixed history where a pointer-
+    committed generation is compacted by a rename-capable fs). After a
+    crash at ANY step, one plain retry must converge: the logical path is
+    live with the retry's content, and no pointer/.old/.compacting debris
+    survives. Guards the delete-order contract (pointer retired before
+    .old) — in the reverse order one crash point leaves the pointer naming
+    a dead generation with nothing left to recover it from."""
+    import os
+    import shutil
+
+    from duckdb_routing_spark.operators.fs import (
+        LocalFS,
+        RenamelessFS,
+        live_table_dir,
+        swap_in_compacted,
+    )
+
+    class Crash(Exception):
+        pass
+
+    class CrashingFS(LocalFS):
+        def __init__(self, crash_at: int):
+            self.crash_at, self.n = crash_at, 0
+
+        def _tick(self):
+            self.n += 1
+            if self.n == self.crash_at:
+                raise Crash()
+
+        def rename(self, src, dst):
+            self._tick()
+            super().rename(src, dst)
+
+        def delete(self, path):
+            self._tick()
+            super().delete(path)
+
+        def put_atomic(self, path, data):
+            self._tick()
+            super().put_atomic(path, data)
+
+    def mk(d, marker):
+        os.makedirs(d, exist_ok=True)
+        open(os.path.join(d, marker), "w").write("x")
+
+    def seed_plain(table):
+        mk(table, "v0")
+
+    def seed_mixed(table):
+        mk(table, "v0")
+        # one pointer commit: table lives in cells__g1 with cells.ptr
+        swap_in_compacted(table, lambda d: mk(d, "v0"), RenamelessFS())
+
+    for seed in (seed_plain, seed_mixed):
+        for crash_at in range(1, 12):
+            root = tmp_path / f"{seed.__name__}_{crash_at}"
+            root.mkdir()
+            table = str(root / "cells")
+            seed(table)
+            fs = CrashingFS(crash_at)
+            try:
+                swap_in_compacted(table, lambda d: mk(d, "crashed"), fs)
+                crashed = False
+            except Crash:
+                crashed = True
+            # retry on a plain fs must converge regardless of where it died
+            swap_in_compacted(table, lambda d: mk(d, "final"), LocalFS())
+            live = live_table_dir(table)
+            assert os.path.exists(os.path.join(live, "final")), (seed.__name__, crash_at)
+            for debris in (table + ".old", table + ".compacting", table + ".ptr"):
+                assert not os.path.exists(debris), (seed.__name__, crash_at, debris)
+            shutil.rmtree(root)
+            if not crashed:
+                break  # fewer mutating ops than crash_at: sweep complete
+
+
 def test_swap_compacted_dir_recovers_from_crashes(tmp_path):
     """Pure-filesystem contract: stale staging debris is cleared, and a
     crash between the two renames (only .old left) is recovered on the
