@@ -2031,3 +2031,44 @@ def doc_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     global shuffle order). min/max keys pin every row's shard assignment."""
     sharded = _shard.assign_shards(table(spark, sf_dir, "documents"), N_TRAIN_SHARDS)
     return _shard.shard_manifest(sharded, size_col="n_chars")
+
+
+from duckdb_routing_spark.operators.selection import dsir_oracle_sql as _dsir_oracle  # noqa: E402
+
+DSIR_N_FEATURES = 512  # ~1 gram/bucket at fixture scale; the paper's 10^4 at corpus scale
+DSIR_K = 100
+
+
+@register("doc_dsir_scores",
+          oracle=_dsir_oracle(0, n_features=DSIR_N_FEATURES, scores_only=True),
+          doc=f"DSIR importance log-weights (Xie et al. 2023): hashed unigram+bigram "
+              f"distributions ({DSIR_N_FEATURES} buckets), target = lang='en', exact "
+              f"micro-unit integer scores")
+def doc_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document importance log-weight sum_grams ln(p_target/p_raw) in
+    exact BIGINT micro-units: both corpus distributions are partial-agg
+    shuffles onto <= n_features keys, the log-ratio table broadcasts, and
+    the per-doc sum is one aggregation — order-independent integer algebra
+    end to end (the repo float policy)."""
+    from duckdb_routing_spark.operators import selection
+
+    docs = table(spark, sf_dir, "documents")
+    return selection.dsir_scores(
+        docs, docs.filter("lang = 'en'"), n_features=DSIR_N_FEATURES
+    ).orderBy("doc_id")
+
+
+@register("doc_dsir_select",
+          oracle=_dsir_oracle(DSIR_K, n_features=DSIR_N_FEATURES),
+          doc=f"DSIR Gumbel-top-{DSIR_K} resampling: without-replacement sample "
+              f"proportional to importance weights, TakeOrderedAndProject plan")
+def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selection step: Gumbel(0,1) noise (hash-u deterministic, so the
+    draw is replayable) added to the micro-unit log-weights, global top-k
+    via TakeOrderedAndProject — no full sort at any corpus size."""
+    from duckdb_routing_spark.operators import selection
+
+    docs = table(spark, sf_dir, "documents")
+    return selection.dsir_select(
+        docs, docs.filter("lang = 'en'"), k=DSIR_K, n_features=DSIR_N_FEATURES
+    )

@@ -92,6 +92,12 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # pytest-value-oracled vs an independent log-space reference
         "doc_unigram_tokens",
         "doc_temperature_sample",
+        # DSIR importance-resampling selection (scores + Gumbel-top-k);
+        # SQL-oracled with exact micro-unit integer log-weights. The data-
+        # selection family is driver-exercised via doc_quality_classifier /
+        # dedup_fuzzy_keep; these stay hidden to keep the exposed set stable
+        "doc_dsir_scores",
+        "doc_dsir_select",
         "doc_repetition",
         "doc_stats",
         "q7_nation_volume",
