@@ -2072,3 +2072,23 @@ def doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return selection.dsir_select(
         docs, docs.filter("lang = 'en'"), k=DSIR_K, n_features=DSIR_N_FEATURES
     )
+
+
+from duckdb_routing_spark.operators.pca import moment_components_oracle_sql as _pca_oracle  # noqa: E402
+
+
+@register("emb_pca_moments",
+          oracle=_pca_oracle() + "ORDER BY i, j",
+          doc="PCA moment matrix: exact-integer first/second moments of the quantized "
+              "embeddings — one numpy matmul per partition, ~2k-group merge shuffle")
+def emb_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed core of PCA/whitening: d(d+1)/2 + d + 1 exact
+    BIGINT moments (q = floor(float64(x)*1000)) regardless of corpus size.
+    mapInPandas folds each partition with one integer matmul; the driver
+    eigendecomposition (operators/pca.pca_fit) is d x d and corpus-size-
+    independent. Projection (pca_project) is a broadcast-matrix Arrow
+    stage with no shuffle — pytest-oracled vs numpy since eigenvectors
+    aren't reasonably one DuckDB query."""
+    from duckdb_routing_spark.operators import pca as _pca
+
+    return _pca.moment_components(table(spark, sf_dir, "embeddings")).orderBy("i", "j")

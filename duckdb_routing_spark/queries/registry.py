@@ -98,6 +98,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # dedup_fuzzy_keep; these stay hidden to keep the exposed set stable
         "doc_dsir_scores",
         "doc_dsir_select",
+        # exact-integer PCA moment matrix (SQL-oracled); the fit/projection
+        # ride on it and are pytest-oracled vs numpy. Embedding-statistics
+        # family driver-exercised via emb_dim_stats / dedup_semantic
+        "emb_pca_moments",
         "doc_repetition",
         "doc_stats",
         "q7_nation_volume",
