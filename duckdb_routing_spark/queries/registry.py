@@ -92,12 +92,16 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # pytest-value-oracled vs an independent log-space reference
         "doc_unigram_tokens",
         "doc_temperature_sample",
-        # DSIR importance-resampling selection (scores + Gumbel-top-k);
-        # SQL-oracled with exact micro-unit integer log-weights. The data-
-        # selection family is driver-exercised via doc_quality_classifier /
-        # dedup_fuzzy_keep; these stay hidden to keep the exposed set stable
+        # DSIR importance log-weight components: strict subset of the
+        # exposed doc_dsir_select (same score pipeline, no Gumbel/top-k);
+        # SQL-oracled with exact micro-unit integer log-weights
         "doc_dsir_scores",
-        "doc_dsir_select",
+        # per-label mean vector: a plain groupBy average, strictly less
+        # informative than the exposed emb_kmeans (full Lloyd-iteration
+        # parity); hidden to hand its driver row to doc_dsir_select, the
+        # data-selection flagship (round-7 swap, verified MATCH under the
+        # driver-emulation gate before exposure)
+        "emb_label_centroids",
         # exact-integer PCA moment matrix (SQL-oracled); the fit/projection
         # ride on it and are pytest-oracled vs numpy. Embedding-statistics
         # family driver-exercised via emb_dim_stats / dedup_semantic
