@@ -197,6 +197,7 @@ def dsir_oracle_sql(
     gumbel: bool = True,
     salt: str = "dsir",
     scores_only: bool = False,
+    scores_where: str = "",
 ) -> str:
     """The DuckDB twin of dsir_scores / dsir_select over `table`, with the
     target corpus defined by `target_pred`. Every aggregate the hash sees
@@ -234,7 +235,10 @@ scored AS (
   FROM cnts c JOIN lam l USING (bucket) GROUP BY 1
 )"""
     if scores_only:
-        return f"WITH {grams}\nSELECT doc_id, n_grams, score_mu FROM scored ORDER BY doc_id"
+        return (
+            f"WITH {grams}\nSELECT doc_id, n_grams, score_mu FROM scored "
+            f"{scores_where} ORDER BY doc_id"
+        )
     noise = (
         "floor(1000000 * -ln(-ln("
         f"((('0x' || substr(md5(doc_id || ':{salt}'), 1, 15))::BIGINT % 100000)::DOUBLE + 0.5)"

@@ -102,6 +102,11 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # data-selection flagship (round-7 swap, verified MATCH under the
         # driver-emulation gate before exposure)
         "emb_label_centroids",
+        # streaming DSIR twin: as-of scoring against the rolling raw
+        # distribution; SQL-oracled (final batch == batch scores over the
+        # drained corpus). Stream family exposed via stream_hourly /
+        # stream_dedup_exact / stream_sessionize_stateful
+        "stream_dsir_scores",
         # exact-integer PCA moment matrix (SQL-oracled); the fit/projection
         # ride on it and are pytest-oracled vs numpy. Embedding-statistics
         # family driver-exercised via emb_dim_stats / dedup_semantic

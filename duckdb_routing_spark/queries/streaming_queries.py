@@ -336,3 +336,52 @@ def stream_hll_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return out
+
+
+from duckdb_routing_spark.operators.selection import dsir_oracle_sql as _dsir_oracle  # noqa: E402
+
+_LAST_CHUNK_WHERE = (
+    "WHERE doc_id IN (SELECT doc_id FROM ("
+    "SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn, count(*) OVER () AS n "
+    "FROM documents) WHERE rn > 3 * ((n + 3) // 4))"
+)
+
+
+@register("stream_dsir_scores",
+          oracle=_dsir_oracle(0, n_features=512, scores_only=True,
+                              scores_where=_LAST_CHUNK_WHERE),
+          doc="streaming DSIR: per-batch importance scores against the as-of raw "
+              "distribution; final batch == batch dsir_scores over the drained corpus")
+def stream_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of doc_dsir_scores: 4 id-ordered micro-batches, each
+    scored against the rolling raw bucket-count index plus itself. The
+    FINAL batch's as-of corpus is the whole feed, so its scores equal the
+    batch pipeline's over the full table restricted to its documents —
+    which is exactly what the oracle computes (full-corpus DSIR scores
+    WHERE doc_id in the last id-range chunk)."""
+    import tempfile
+
+    from duckdb_routing_spark.streaming import docs as sd
+
+    work = tempfile.mkdtemp(prefix="stream_dsir_")
+    chunk_dir = sd.write_document_chunks_ordered(spark, sf_dir, os.path.join(work, "in"), chunks=4)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(chunk_dir, "chunk_*.parquet"))
+    )
+    target = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).filter("lang = 'en'")
+    q = sd.streaming_dsir_scores(
+        stream, target, os.path.join(work, "index"), os.path.join(work, "scores"), n_features=512
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    scores = spark.read.option("basePath", os.path.join(work, "scores")).parquet(
+        os.path.join(work, "scores", "batch=*")
+    )
+    last = scores.agg(F.max("batch")).collect()[0][0]
+    out = scores.filter(F.col("batch") == last).drop("batch").orderBy("doc_id").cache()
+    out.count()
+    return out

@@ -293,6 +293,69 @@ def streaming_ann_index(stream: DataFrame, index_dir: str,
     return stream.writeStream.outputMode("append").foreachBatch(_step).start()
 
 
+def streaming_dsir_scores(
+    stream: DataFrame,
+    target_docs: DataFrame,
+    index_dir: str,
+    scores_dir: str,
+    n_features: int = 512,
+):
+    """Continuous DSIR scoring — the streaming twin of
+    selection.dsir_scores for the crawl-feed shape: documents arrive in
+    micro-batches and each batch is scored AS OF its arrival.
+
+    The target distribution is training-time state (a static high-quality
+    corpus), computed once before the stream starts and reused per batch.
+    The RAW distribution is the accumulated bucket-count index (batch=<id>
+    subdirectories, n_features rows each) plus the current batch — so the
+    log-ratio table a batch sees is exactly what batch DSIR would compute
+    over the corpus drained so far. For the FINAL micro-batch that corpus
+    IS the whole feed, so its scores equal the batch dsir_scores over the
+    full corpus restricted to its documents (pytest-pinned equivalence,
+    the same as-of contract as near_dups_against_index).
+
+    Idempotent replays like every twin here: the index read for batch N
+    sees batches < N only, and both writes are per-batch OVERWRITE
+    subdirectories. State is n_features rows per batch — compact enough
+    that compact_stream_index is optional housekeeping, not a necessity."""
+    from duckdb_routing_spark.operators import selection
+
+    spark = stream.sparkSession
+    # one-time: the target side of the log ratio (lineage-truncated so the
+    # per-batch plans don't drag an arbitrary upstream DAG along forever)
+    tgt_dist = selection.bucket_distribution(target_docs, n_features).localCheckpoint()
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        counts = selection.hashed_bucket_counts(batch_df, n_features).persist()
+        try:
+            batch_dist = counts.groupBy("bucket").agg(F.sum("cnt").alias("c"))
+            prior = _prior_batches(spark, index_dir, batch_id)
+            raw = (
+                batch_dist
+                if prior is None
+                else batch_dist.unionByName(prior).groupBy("bucket").agg(F.sum("c").alias("c"))
+            )
+            lam = selection.dsir_log_ratio_table(raw, tgt_dist, n_features)
+            scores = (
+                counts.join(F.broadcast(lam), "bucket")
+                .groupBy("doc_id")
+                .agg(
+                    F.sum("cnt").alias("n_grams"),
+                    F.sum(F.col("cnt") * F.col("lam_mu")).alias("score_mu"),
+                )
+            )
+            scores.write.mode("overwrite").parquet(
+                os.path.join(scores_dir, f"batch={batch_id}")
+            )
+            batch_dist.write.mode("overwrite").parquet(
+                os.path.join(index_dir, f"batch={batch_id}")
+            )
+        finally:
+            counts.unpersist()
+
+    return stream.writeStream.outputMode("append").foreachBatch(_step).start()
+
+
 def streaming_shard_export(
     stream: DataFrame, out_dir: str, n_shards: int, key_col: str = "doc_id", salt: str = "shard"
 ):

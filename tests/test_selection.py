@@ -104,6 +104,55 @@ def test_dsir_select_gumbel_vs_greedy(spark, docs):
     assert g3 != g1
 
 
+def test_streaming_dsir_as_of_contract(spark, docs, tmp_path):
+    """The streaming twin scores each micro-batch against the corpus as of
+    its arrival: batch 0 equals batch DSIR over chunk 0 alone, and the
+    final batch equals batch DSIR over the FULL feed restricted to its
+    docs (the oracle's contract)."""
+    import os
+
+    from duckdb_routing_spark.streaming import docs as sd
+
+    pdf = docs.select("doc_id", "text", "lang").orderBy("doc_id").toPandas()
+    chunk_dir = str(tmp_path / "in")
+    os.makedirs(chunk_dir)
+    per = (len(pdf) + 2) // 3
+    chunks = [pdf.iloc[i * per:(i + 1) * per] for i in range(3)]
+    for b, part in enumerate(chunks):
+        part.to_parquet(os.path.join(chunk_dir, f"chunk_{b}.parquet"), index=False)
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(chunk_dir, "chunk_*.parquet"))
+    )
+    tgt = docs.filter("lang = 'en'")
+    q = sd.streaming_dsir_scores(
+        stream, tgt, str(tmp_path / "idx"), str(tmp_path / "scores"), n_features=N_FEATURES
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.option("basePath", str(tmp_path / "scores")).parquet(
+        str(tmp_path / "scores") + "/batch=*"
+    )
+
+    def as_rows(df):
+        return sorted((r.doc_id, r.n_grams, r.score_mu) for r in df.collect())
+
+    chunk0 = spark.createDataFrame(chunks[0])
+    assert as_rows(got.filter("batch = 0").drop("batch")) == as_rows(
+        selection.dsir_scores(chunk0, tgt, n_features=N_FEATURES)
+    )
+    last_ids = set(chunks[2].doc_id)
+    full = selection.dsir_scores(docs, tgt, n_features=N_FEATURES).filter(
+        F.col("doc_id").isin(last_ids)
+    )
+    assert as_rows(got.filter("batch = 2").drop("batch")) == as_rows(full)
+    # every doc scored exactly once across the drained feed
+    assert got.count() == len(pdf) == got.select("doc_id").distinct().count()
+
+
 def test_dsir_plan_shape(spark, docs):
     """100 TB posture, mechanically: the log-ratio table joins broadcast,
     and selection ends in TakeOrderedAndProject (global top-k without a
