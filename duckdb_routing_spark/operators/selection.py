@@ -90,8 +90,10 @@ def dsir_log_ratio_table(
     table is n_features rows — broadcast it."""
     spark = raw_dist.sparkSession
     buckets = spark.range(n_features).select(F.col("id").alias("bucket"))
-    nr = raw_dist.agg((F.sum("c") + n_features).alias("nr"))
-    nt = target_dist.agg((F.sum("c") + n_features).alias("nt"))
+    # coalesce: an EMPTY corpus sums to NULL; with add-one smoothing that
+    # degrades cleanly to the uniform distribution instead of NULL scores
+    nr = raw_dist.agg((F.coalesce(F.sum("c"), F.lit(0)) + n_features).alias("nr"))
+    nt = target_dist.agg((F.coalesce(F.sum("c"), F.lit(0)) + n_features).alias("nt"))
     joined = (
         buckets.join(raw_dist.withColumnRenamed("c", "cr"), "bucket", "left")
         .join(target_dist.withColumnRenamed("c", "ct"), "bucket", "left")
@@ -218,8 +220,8 @@ rawd AS (SELECT bucket, sum(cnt)::BIGINT AS c FROM cnts GROUP BY 1),
 tgtd AS (SELECT bucket, sum(cnt)::BIGINT AS c FROM cnts
          WHERE doc_id IN (SELECT doc_id FROM {table} WHERE {target_pred})
          GROUP BY 1),
-tot AS (SELECT (SELECT sum(c) FROM rawd)::BIGINT + {n_features} AS nr,
-               (SELECT sum(c) FROM tgtd)::BIGINT + {n_features} AS nt),
+tot AS (SELECT coalesce((SELECT sum(c) FROM rawd), 0)::BIGINT + {n_features} AS nr,
+               coalesce((SELECT sum(c) FROM tgtd), 0)::BIGINT + {n_features} AS nt),
 lam AS (
   SELECT g.range AS bucket,
          floor(1000000 * ln(((coalesce(t.c, 0) + 1) * tot.nr)::DOUBLE

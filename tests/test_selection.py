@@ -104,6 +104,16 @@ def test_dsir_select_gumbel_vs_greedy(spark, docs):
     assert g3 != g1
 
 
+def test_dsir_empty_target_degrades_to_uniform(spark, docs):
+    """Add-one smoothing makes an empty target corpus the UNIFORM target
+    (never NULL scores): every bucket ratio becomes (1 * Nr) / ((cr+1) * F),
+    which penalizes frequent buckets — scores stay defined and finite."""
+    s = selection.dsir_scores(docs, docs.filter("doc_id < 0"), n_features=N_FEATURES)
+    rows = s.collect()
+    assert len(rows) == docs.count()
+    assert all(r.score_mu is not None for r in rows)
+
+
 def test_streaming_dsir_as_of_contract(spark, docs, tmp_path):
     """The streaming twin scores each micro-batch against the corpus as of
     its arrival: batch 0 equals batch DSIR over chunk 0 alone, and the
