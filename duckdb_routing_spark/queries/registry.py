@@ -107,6 +107,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # drained corpus). Stream family exposed via stream_hourly /
         # stream_dedup_exact / stream_sessionize_stateful
         "stream_dsir_scores",
+        # exact-integer PageRank over the customer->supplier order graph;
+        # SQL-oracled (MATERIALIZED per-iteration CTEs). Iterative-algorithm
+        # family driver-exercised via emb_kmeans / dedup_fuzzy_keep
+        "graph_pagerank",
         # exact-integer PCA moment matrix (SQL-oracled); the fit/projection
         # ride on it and are pytest-oracled vs numpy. Embedding-statistics
         # family driver-exercised via emb_dim_stats / dedup_semantic

@@ -1330,3 +1330,41 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier dim. DECIMAL quantity sum keeps the HAVING threshold exact."""
     _views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
     return spark.sql(Q20_ORACLE)
+
+
+PAGERANK_EDGES_SQL = """
+SELECT 'c' || o.o_custkey AS src, 's' || l.l_suppkey AS dst, count(*)::BIGINT AS w
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey GROUP BY 1, 2"""
+
+
+@register("graph_pagerank", doc="exact-integer PageRank (5 damped iterations) over the "
+                                "customer->supplier order graph")
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics over relational edges: the bipartite
+    customer->supplier graph (edge weight = co-ordered line count) walked
+    for 5 damped PageRank rounds in BIGINT micro-units (operators/graph.py)
+    — byte-deterministic under any partitioning, every iteration one
+    src-keyed join + one dst-keyed partial agg, lineage truncated per
+    round. Suppliers are all dangling (bipartite sinks): their mass
+    redistributes through the dangling term each round."""
+    from duckdb_routing_spark.operators import graph as _graph
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .count()
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            F.col("count").alias("w"),
+        )
+    )
+    return _graph.pagerank(edges, iterations=5).orderBy("node")
+
+
+from duckdb_routing_spark.operators.graph import pagerank_oracle_sql as _pr_oracle  # noqa: E402
+from duckdb_routing_spark.queries.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_REGISTRY["graph_pagerank"].oracle = _pr_oracle(PAGERANK_EDGES_SQL, iterations=5)
