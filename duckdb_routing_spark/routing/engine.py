@@ -47,6 +47,7 @@ from duckdb_routing_spark.routing.geometry import (
     build_wkb_polygon,
     concave_hull_knn,
     convex_hull,
+    grid_contour_shell,
     haversine_m,
 )
 from duckdb_routing_spark.routing.graph import RoutingGraph
@@ -804,17 +805,39 @@ class RoutingEngine:
     # ------------------------------------------------------------------
 
     def isochrone_contours(
-        self, lat: float, lon: float, contours_minutes, costing: str = "auto", concave: bool = True
+        self,
+        lat: float,
+        lon: float,
+        contours_minutes,
+        costing: str = "auto",
+        concave: bool = True,
+        method: str | None = None,
+        grid_cells: int = 64,
     ) -> DataFrame:
         """Polygon contour isochrones (the valhalla_isochrone shape,
         valhalla-wrapper/src/wrapper.cpp:323-383): one polygon per contour
-        level over the reachable point cloud — a k-nearest-neighbors concave
-        hull by default (the generalized-contour shape Valhalla produces;
-        SURVEY §2.3), convex hull with concave=False or as the automatic
-        fallback. Returns DataFrame(minutes, n_reach, n_points, geometry WKB
-        POLYGON) — n_reach is the reachable-node count within the level
-        (path-independent, hence oracle-able); n_points the hull vertex
+        level over the reachable point cloud. Three contour generators:
+
+          method="knn" (default, concave=True) — k-nearest-neighbors
+            concave hull of the reached nodes; the oracle-stable shape.
+          method="convex" (concave=False) — convex hull.
+          method="grid" — Valhalla-parity GRIDDED contours: rasterize node
+            times onto a regular lon/lat grid (Valhalla's GriddedData
+            isotile) and extract the level set with marching squares +
+            linear interpolation, keeping the largest counterclockwise
+            shell. Unlike hulls this follows the road network's actual
+            shape (concavities, unreachable gaps) — the semantics the
+            wrapper's contour generation produces; grid_cells controls the
+            isotile resolution (Valhalla's generalize/denoise analog).
+
+        Returns DataFrame(minutes, n_reach, n_points, geometry WKB POLYGON)
+        — n_reach is the reachable-node count within the level
+        (path-independent, hence oracle-able); n_points the ring vertex
         count."""
+        if method is None:
+            method = "knn" if concave else "convex"
+        if method not in ("knn", "convex", "grid"):
+            raise ValueError("method must be one of knn | convex | grid")
         contours_minutes = sorted(float(m) for m in contours_minutes)
         if len(contours_minutes) > SERVICE_LIMITS["isochrone_max_contours"]:
             raise ValueError("too many contours (service limit 4)")
@@ -827,12 +850,18 @@ class RoutingEngine:
         rows = []
         if src >= 0 and contours_minutes:
             nodes, costs = kernels.dijkstra_isochrone(g, src, int(contours_minutes[-1] * 60_000))
+            all_minutes = costs / 60_000.0
             for minutes in contours_minutes:
                 mask = costs <= minutes * 60_000
                 pts = np.column_stack([g.node_lon[nodes[mask]], g.node_lat[nodes[mask]]])
                 if not len(pts):
                     hull = []
-                elif concave:
+                elif method == "grid":
+                    shell, _ = grid_contour_shell(
+                        g.node_lon[nodes], g.node_lat[nodes], all_minutes, minutes, grid_cells
+                    )
+                    hull = shell[:-1] if shell else []
+                elif method == "knn":
                     hull = concave_hull_knn(pts)
                 else:
                     hull = convex_hull(pts)
@@ -1052,6 +1081,10 @@ class RoutingEngine:
                     rows = self.isochrone_contours(
                         float(locs[0]["lat"]), float(locs[0]["lon"]),
                         [float(c.get("time", 15)) for c in contours], costing,
+                        # Valhalla request option: generalize/denoise pick the
+                        # isotile contour; "grid" here selects the
+                        # marching-squares generator over the hull default
+                        method=req.get("contour_method"),
                     ).collect()
                 except ValueError as e:
                     # request() never raises for bad input — error JSON,

@@ -465,3 +465,164 @@ def concave_hull_knn(points: np.ndarray, k: int = 8) -> list[tuple[float, float]
             return [(float(x), float(y)) for x, y in hull]
         k += 2
     return convex_hull(np.asarray(pts))
+
+
+# ---------------------------------------------------------------------------
+# gridded isochrone contours (marching squares — Valhalla's isotile shape,
+# valhalla-wrapper/src/wrapper.cpp:323-383 / Valhalla's GriddedData contour
+# generation; the published marching-squares cases follow Lorensen-style
+# inside-left orientation so shells come out counterclockwise)
+# ---------------------------------------------------------------------------
+
+def time_grid_from_points(lons, lats, minutes, n_cells: int = 64):
+    """Regular lon/lat grid over the padded bbox of reached points; grid
+    value[j, i] = MIN minutes of the points binned at that grid node,
+    +inf where nothing was reached. One ring of +inf border nodes is kept
+    on every side so every marching-squares contour closes. Returns
+    (V, lon0, lat0, dx, dy)."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    minutes = np.asarray(minutes, dtype=np.float64)
+    if lons.size == 0:
+        raise ValueError("no reached points")
+    lo_x, hi_x = float(lons.min()), float(lons.max())
+    lo_y, hi_y = float(lats.min()), float(lats.max())
+    span_x = max(hi_x - lo_x, 1e-4)
+    span_y = max(hi_y - lo_y, 1e-4)
+    # cap resolution by point density (Valhalla's generalize analog): finer
+    # than ~one point per cell turns every node into an isolated diamond
+    # instead of a connected region — aim for >=2 points per occupied cell
+    n_cells = min(n_cells, max(4, int(np.sqrt(lons.size) / 1.5)))
+    dx = span_x / n_cells
+    dy = span_y / n_cells
+    # pad one full cell so the border ring of grid nodes is never occupied
+    lon0 = lo_x - dx
+    lat0 = lo_y - dy
+    nx = n_cells + 3  # interior nodes + one empty ring each side
+    ny = n_cells + 3
+    V = np.full((ny, nx), np.inf)
+    ix = np.clip(np.rint((lons - lon0) / dx).astype(np.int64), 1, nx - 2)
+    iy = np.clip(np.rint((lats - lat0) / dy).astype(np.int64), 1, ny - 2)
+    np.minimum.at(V, (iy, ix), minutes)
+    return V, lon0, lat0, dx, dy
+
+
+# segment table: case bitmask (a=1 bottom-left, b=2 bottom-right, c=4
+# top-right, d=8 top-left; bit set = inside) -> list of (edge_from, edge_to)
+# with edges S(bottom) E(right) N(top) W(left); orientation keeps the inside
+# region on the LEFT, so exterior rings close counterclockwise.
+_MS_CASES = {
+    1: [("S", "W")],
+    2: [("E", "S")],
+    3: [("E", "W")],
+    4: [("N", "E")],
+    6: [("N", "S")],
+    7: [("N", "W")],
+    8: [("W", "N")],
+    9: [("S", "N")],
+    11: [("E", "N")],
+    12: [("W", "E")],
+    13: [("S", "E")],
+    14: [("W", "S")],
+}
+
+
+def marching_squares_rings(V, level: float, lon0: float, lat0: float, dx: float, dy: float):
+    """Closed contour rings of {V <= level} via marching squares with linear
+    interpolation on the crossing edges. Unreached (+inf) nodes are capped
+    to a finite sentinel so crossings interpolate toward the reached corner
+    instead of collapsing onto it. Returns a list of rings (each a closed
+    list of (lon, lat), first == last); counterclockwise rings are shells,
+    clockwise rings are holes."""
+    far = max(level * 2.0, level + 1.0)
+    W = np.where(np.isfinite(V), np.minimum(V, far), far)
+    inside = W <= level
+    ny, nx = W.shape
+    segs = {}
+
+    def _t(va, vb):
+        # pts are computed for all four edges of a square, crossing or not;
+        # equal corners only ever happen on non-crossing edges — any finite
+        # placeholder works there, and 0.5 keeps the arithmetic warning-free
+        if vb == va:
+            return 0.5
+        t = (level - va) / (vb - va)
+        return min(max(t, 1e-6), 1.0 - 1e-6)
+
+    for j in range(ny - 1):
+        for i in range(nx - 1):
+            a = inside[j, i]
+            b = inside[j, i + 1]
+            c = inside[j + 1, i + 1]
+            d = inside[j + 1, i]
+            case = (1 if a else 0) | (2 if b else 0) | (4 if c else 0) | (8 if d else 0)
+            if case in (0, 15):
+                continue
+            va, vb = W[j, i], W[j, i + 1]
+            vc, vd = W[j + 1, i + 1], W[j + 1, i]
+            x0, y0 = lon0 + i * dx, lat0 + j * dy
+            pts = {
+                "S": (x0 + _t(va, vb) * dx, y0),
+                "E": (x0 + dx, y0 + _t(vb, vc) * dy),
+                "N": (x0 + _t(vd, vc) * dx, y0 + dy),
+                "W": (x0, y0 + _t(va, vd) * dy),
+            }
+            if case == 5:  # a+c saddle: disambiguate on the center mean
+                pieces = (
+                    [("S", "E"), ("N", "W")]
+                    if (va + vb + vc + vd) / 4.0 <= level
+                    else [("S", "W"), ("N", "E")]
+                )
+            elif case == 10:  # b+d saddle
+                pieces = (
+                    [("W", "S"), ("E", "N")]
+                    if (va + vb + vc + vd) / 4.0 <= level
+                    else [("E", "S"), ("W", "N")]
+                )
+            else:
+                pieces = _MS_CASES[case]
+            for e_from, e_to in pieces:
+                p, q = pts[e_from], pts[e_to]
+                key = (round(p[0], 9), round(p[1], 9))
+                segs[key] = (p, (round(q[0], 9), round(q[1], 9)))
+
+    rings = []
+    while segs:
+        start_key = next(iter(segs))
+        ring = []
+        key = start_key
+        while True:
+            entry = segs.pop(key, None)
+            if entry is None:
+                break  # open chain (numeric duplicate) — drop it
+            p, nxt = entry
+            ring.append((float(p[0]), float(p[1])))
+            key = nxt
+            if key == start_key:
+                ring.append(ring[0])
+                rings.append(ring)
+                break
+    return rings
+
+
+def ring_area(ring) -> float:
+    """Signed shoelace area (positive = counterclockwise shell)."""
+    s = 0.0
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        s += x1 * y2 - x2 * y1
+    return s / 2.0
+
+
+def grid_contour_shell(lons, lats, minutes, level: float, n_cells: int = 64):
+    """One exterior contour ring for {time <= level}: grid the reached
+    points, march the squares, keep the largest-area counterclockwise ring
+    (the outer shell — island components and holes are smaller by
+    construction). Returns (ring, n_rings): the closed shell and the total
+    ring count the contour produced."""
+    V, lon0, lat0, dx, dy = time_grid_from_points(lons, lats, minutes, n_cells)
+    rings = marching_squares_rings(V, level, lon0, lat0, dx, dy)
+    shells = [r for r in rings if ring_area(r) > 0.0]
+    if not shells:
+        return [], len(rings)
+    shell = max(shells, key=ring_area)
+    return shell, len(rings)

@@ -39,6 +39,55 @@ def test_isochrone_contours(spark, engine):
     assert abs(c[0] - lo) < 0.01 and abs(c[1] - la) < 0.01
 
 
+def test_isochrone_contours_grid(spark, engine):
+    """The marching-squares generator: every node reached within the level
+    must fall inside the grid shell (up to grid-cell resolution), the shell
+    must close, and level polygons must nest (area monotone in time)."""
+    from duckdb_routing_spark.routing.geometry import (
+        _point_in_ring,
+        parse_wkb_polygon_ring,
+        ring_area,
+    )
+
+    la, lo = pt(5, 5)
+    rows = engine.isochrone_contours(la, lo, [1.0, 2.0], "auto", method="grid").collect()
+    assert [r.minutes for r in rows] == [1.0, 2.0]
+    areas = []
+    for r in rows:
+        assert r.geometry is not None and r.n_points >= 3
+        ring = parse_wkb_polygon_ring(bytes(r.geometry))
+        assert ring[0] == ring[-1]
+        area = ring_area(ring)
+        assert area > 0  # counterclockwise shell
+        areas.append(area)
+        # the source itself is always inside its own isochrone
+        assert _point_in_ring((lo, la), ring)
+        # reached nodes sit inside the shell (fringe nodes may land on
+        # island rings at sparse grid resolution — demand a high majority)
+        cloud = engine.isochrone(la, lo, r.minutes * 60.0, "auto").collect()
+        hits = sum(_point_in_ring((p.lon, p.lat), ring) for p in cloud)
+        assert hits >= 0.85 * len(cloud)
+    assert areas[1] >= areas[0]  # nesting: more minutes, no smaller shell
+
+
+def test_isochrone_contours_grid_via_request(spark, engine):
+    la, lo = pt(5, 5)
+    out = json.loads(
+        engine.request(
+            "isochrone",
+            json.dumps(
+                {
+                    "locations": [{"lat": la, "lon": lo}],
+                    "polygons": True,
+                    "contour_method": "grid",
+                    "contours": [{"time": 1.5}],
+                }
+            ),
+        )
+    )
+    assert len(out["contours"]) == 1 and out["contours"][0]["geometry_wkb_hex"]
+
+
 def test_isochrone_contours_limits(spark, engine):
     la, lo = pt(5, 5)
     with pytest.raises(ValueError, match="contours"):
