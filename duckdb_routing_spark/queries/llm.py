@@ -1445,6 +1445,21 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
+@register("dedup_cluster_star", oracle=CLUSTER_ORACLE,
+          doc="connected components via large-star/small-star contraction -> (doc_id, min-id cluster)")
+def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dedup_cluster_assign through a different published
+    algorithm: alternating large-star / small-star edge contraction
+    (Kiveris et al. 2014) — O(log n) shuffle rounds regardless of component
+    diameter, the bounded-job shape a 100 TB pair graph needs when one
+    boilerplate chain makes the diameter linear. Oracled by the same
+    transitive-closure recursive CTE, so the hash match proves both
+    algorithms and the oracle agree on the exact assignment."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    return dedup.dedup_clusters_star(pairs).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # repetition signals + benchmark contamination
 # ---------------------------------------------------------------------------

@@ -76,6 +76,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # pytest-oracled
         "asof_view_within_hour",
         "dedup_cluster_assign",
+        # same assignment as dedup_cluster_assign through star contraction
+        # (Kiveris et al.) — both SQL-oracled by the transitive-closure CTE
+        "dedup_cluster_star",
         "dedup_simhash",
         "dedup_simhash64_pairs",
         "doc_contamination",

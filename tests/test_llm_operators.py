@@ -378,6 +378,36 @@ def test_dedup_clusters_merges_transitive_components(spark):
     assert got == {1: 1, 5: 1, 9: 1, 20: 20, 21: 20, 2: 2, 40: 2}
 
 
+def test_dedup_clusters_star_matches_propagation(spark):
+    """Star contraction must produce the exact same (doc_id, cluster_id)
+    assignment as min-label propagation on a random multi-component graph
+    (parity between two independent algorithms is the correctness check)."""
+    import random
+
+    from duckdb_routing_spark.operators import dedup
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(120), rng.randrange(120)) for _ in range(90)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    via_star = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters_star(df).collect()}
+    via_prop = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(df).collect()}
+    assert via_star == via_prop
+
+
+def test_dedup_clusters_star_collapses_long_chain(spark):
+    """The O(log n) claim: a 200-node path has diameter 199, so label
+    propagation needs ~200 rounds — star contraction must label the whole
+    chain with cluster_id 0 within its default 30-round budget."""
+    from duckdb_routing_spark.operators import dedup
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters_star(chain).collect()}
+    assert got == {i: 0 for i in range(200)}
+
+
 def test_pq_adc_recall_vs_exact(spark, emb):
     """PQ ADC search must rank real near neighbors far above chance: with a
     16-entry sampled codebook per 8-dim subspace the distance estimate is
