@@ -80,3 +80,75 @@ def test_linestring_centroid_is_length_weighted():
     assert abs(lon - expected_lon) < 1e-9
     assert abs(lat - expected_lat) < 1e-9
     assert not math.isnan(lat)
+
+
+# ---------------------------------------------------------------------------
+# marching-squares gridded contours (pure-numpy kernel behind
+# engine.isochrone_contours(method="grid"))
+# ---------------------------------------------------------------------------
+
+def test_marching_squares_radial_field():
+    """On a dense radial time field the level-set shell must approximate the
+    circle: area within 25% of pi*r^2, nearly all reached points inside,
+    nearly all unreached points outside."""
+    import numpy as np
+
+    from duckdb_routing_spark.routing.geometry import (
+        _point_in_ring,
+        grid_contour_shell,
+        ring_area,
+    )
+
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1, 1, size=(4000, 2))
+    minutes = np.hypot(pts[:, 0], pts[:, 1]) * 10.0
+    for level in (3.0, 6.0, 9.0):
+        shell, _ = grid_contour_shell(pts[:, 0], pts[:, 1], minutes, level, n_cells=48)
+        assert shell[0] == shell[-1] and ring_area(shell) > 0
+        assert abs(ring_area(shell) - 3.14159 * (level / 10) ** 2) < 0.25 * 3.14159 * (level / 10) ** 2
+        inside = minutes <= level
+        hit = np.mean([_point_in_ring((x, y), shell) for x, y in pts[inside][:300]])
+        miss = np.mean([_point_in_ring((x, y), shell) for x, y in pts[~inside][:300]])
+        assert hit > 0.85 and miss < 0.05
+
+
+def test_marching_squares_properties():
+    """Random clouds: every emitted ring closes, total signed area is
+    non-negative (holes sit inside shells), all vertices stay inside the
+    padded grid bbox, and the output is deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from duckdb_routing_spark.routing.geometry import (
+        marching_squares_rings,
+        ring_area,
+        time_grid_from_points,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(0, 2**31 - 1), st.integers(5, 300), st.floats(0.5, 9.5))
+    def check(seed, n, level):
+        rng = np.random.default_rng(seed)
+        lons = rng.uniform(10, 11, n)
+        lats = rng.uniform(50, 51, n)
+        minutes = rng.uniform(0, 10, n)
+        V, lon0, lat0, dx, dy = time_grid_from_points(lons, lats, minutes, n_cells=24)
+        rings = marching_squares_rings(V, level, lon0, lat0, dx, dy)
+        rings2 = marching_squares_rings(V, level, lon0, lat0, dx, dy)
+        assert rings == rings2
+        ny, nx = V.shape
+        hi_x, hi_y = lon0 + (nx - 1) * dx, lat0 + (ny - 1) * dy
+        total = 0.0
+        for r in rings:
+            assert r[0] == r[-1] and len(r) >= 4
+            for x, y in r:
+                assert lon0 - 1e-9 <= x <= hi_x + 1e-9
+                assert lat0 - 1e-9 <= y <= hi_y + 1e-9
+            total += ring_area(r)
+        if (minutes <= level).any():
+            assert rings, "reached points must produce at least one ring"
+        assert total >= -1e-12
+
+    check()
