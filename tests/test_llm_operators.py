@@ -395,6 +395,60 @@ def test_dedup_clusters_star_matches_propagation(spark):
     assert via_star == via_prop
 
 
+def _union_find_labels(pairs):
+    """Independent pure-Python reference: min-id component labels."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_cluster_algorithms_match_union_find(spark):
+    """Both distributed CC algorithms vs a pure-Python union-find on
+    several random graph shapes (sparse, dense-ish, two-chain)."""
+    import random
+
+    from duckdb_routing_spark.operators import dedup
+
+    cases = []
+    rng = random.Random(11)
+    cases.append([(rng.randrange(60), rng.randrange(60)) for _ in range(30)])
+    cases.append([(rng.randrange(25), rng.randrange(25)) for _ in range(60)])
+    cases.append([(i, i + 1) for i in range(0, 40)] + [(100 + i, 101 + i) for i in range(20)])
+    for raw in cases:
+        pairs = [(a, b) for a, b in raw if a != b]
+        want = _union_find_labels(pairs)
+        df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got_star = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters_star(df).collect()}
+        got_prop = {
+            r.doc_id: r.cluster_id
+            for r in dedup.dedup_clusters(df, fallback_after=None).collect()
+        }
+        assert got_star == want
+        assert got_prop == want
+
+
+def test_dedup_clusters_deep_graph_falls_back_to_star(spark):
+    """A 60-node chain exceeds the 8-round propagation budget; the default
+    dedup_clusters must still return the exact assignment (via the star
+    fallback) instead of a half-propagated one."""
+    from duckdb_routing_spark.operators import dedup
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(59)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup.dedup_clusters(chain).collect()}
+    assert got == {i: 0 for i in range(60)}
+
+
 def test_dedup_clusters_star_collapses_long_chain(spark):
     """The O(log n) claim: a 200-node path has diameter 199, so label
     propagation needs ~200 rounds — star contraction must label the whole
