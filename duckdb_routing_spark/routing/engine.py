@@ -45,8 +45,10 @@ from duckdb_routing_spark.routing.geometry import (
     any_geometry_to_lonlat,
     build_wkb_linestring,
     build_wkb_polygon,
+    build_wkb_multipolygon,
     concave_hull_knn,
     convex_hull,
+    grid_contour_multipolygon,
     grid_contour_shell,
     haversine_m,
 )
@@ -813,6 +815,7 @@ class RoutingEngine:
         concave: bool = True,
         method: str | None = None,
         grid_cells: int = 64,
+        multipolygon: bool = False,
     ) -> DataFrame:
         """Polygon contour isochrones (the valhalla_isochrone shape,
         valhalla-wrapper/src/wrapper.cpp:323-383): one polygon per contour
@@ -829,6 +832,9 @@ class RoutingEngine:
             shape (concavities, unreachable gaps) — the semantics the
             wrapper's contour generation produces; grid_cells controls the
             isotile resolution (Valhalla's generalize/denoise analog).
+            With multipolygon=True the geometry is a WKB MULTIPOLYGON
+            carrying EVERY island shell with its holes nested (the full
+            Valhalla contour shape) instead of the largest shell only.
 
         Returns DataFrame(minutes, n_reach, n_points, geometry WKB POLYGON)
         — n_reach is the reachable-node count within the level
@@ -838,6 +844,8 @@ class RoutingEngine:
             method = "knn" if concave else "convex"
         if method not in ("knn", "convex", "grid"):
             raise ValueError("method must be one of knn | convex | grid")
+        if multipolygon and method != "grid":
+            raise ValueError("multipolygon contours require method='grid'")
         contours_minutes = sorted(float(m) for m in contours_minutes)
         if len(contours_minutes) > SERVICE_LIMITS["isochrone_max_contours"]:
             raise ValueError("too many contours (service limit 4)")
@@ -854,6 +862,18 @@ class RoutingEngine:
             for minutes in contours_minutes:
                 mask = costs <= minutes * 60_000
                 pts = np.column_stack([g.node_lon[nodes[mask]], g.node_lat[nodes[mask]]])
+                if method == "grid" and multipolygon and len(pts):
+                    # full Valhalla shape: every island shell + its holes
+                    polys, _ = grid_contour_multipolygon(
+                        g.node_lon[nodes], g.node_lat[nodes], all_minutes, minutes, grid_cells
+                    )
+                    n_verts = sum(
+                        (len(s) - 1) + sum(len(h) - 1 for h in hs) for s, hs in polys
+                    )
+                    rows.append(
+                        (minutes, int(mask.sum()), n_verts, build_wkb_multipolygon(polys))
+                    )
+                    continue
                 if not len(pts):
                     hull = []
                 elif method == "grid":
@@ -1083,8 +1103,11 @@ class RoutingEngine:
                         [float(c.get("time", 15)) for c in contours], costing,
                         # Valhalla request option: generalize/denoise pick the
                         # isotile contour; "grid" here selects the
-                        # marching-squares generator over the hull default
+                        # marching-squares generator over the hull default,
+                        # and "multipolygon" emits every island + hole (the
+                        # wrapper's MultiPolygon contour shape)
                         method=req.get("contour_method"),
+                        multipolygon=bool(req.get("multipolygon")),
                     ).collect()
                 except ValueError as e:
                     # request() never raises for bad input — error JSON,

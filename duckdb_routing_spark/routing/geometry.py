@@ -626,3 +626,76 @@ def grid_contour_shell(lons, lats, minutes, level: float, n_cells: int = 64):
         return [], len(rings)
     shell = max(shells, key=ring_area)
     return shell, len(rings)
+
+
+def build_wkb_multipolygon(polygons) -> bytes | None:
+    """Little-endian WKB MULTIPOLYGON. `polygons` is a list of
+    (shell, holes) where shell is a closed CCW ring and holes is a list of
+    closed CW rings; rings are closed here if they aren't already."""
+    if not polygons:
+        return None
+    out = bytearray()
+    out += struct.pack("<BII", 0x01, _WKB_MULTIPOLYGON, len(polygons))
+    for shell, holes in polygons:
+        rings = [shell] + list(holes)
+        rings = [list(r) + [r[0]] if r[0] != r[-1] else list(r) for r in rings]
+        out += struct.pack("<BII", 0x01, _WKB_POLYGON, len(rings))
+        for ring in rings:
+            out += struct.pack("<I", len(ring))
+            for lon, lat in ring:
+                out += struct.pack("<dd", float(lon), float(lat))
+    return bytes(out)
+
+
+def parse_wkb_multipolygon(data: bytes):
+    """Inverse of build_wkb_multipolygon: list of (shell, holes)."""
+    byte_order, geom_type, n_polys = struct.unpack_from("<BII", data, 0)
+    if byte_order != 1 or (geom_type & 0x0FFFFFFF) != _WKB_MULTIPOLYGON:
+        raise ValueError("not a little-endian WKB MULTIPOLYGON")
+    off = 9
+    polys = []
+    for _ in range(n_polys):
+        _, _, n_rings = struct.unpack_from("<BII", data, off)
+        off += 9
+        rings = []
+        for _ in range(n_rings):
+            (n_pts,) = struct.unpack_from("<I", data, off)
+            off += 4
+            ring = [struct.unpack_from("<dd", data, off + 16 * i) for i in range(n_pts)]
+            off += 16 * n_pts
+            rings.append(ring)
+        polys.append((rings[0], rings[1:]))
+    return polys
+
+
+def nest_contour_rings(rings):
+    """Assemble marching-squares output into polygons: counterclockwise
+    rings are shells, clockwise rings are holes; each hole belongs to the
+    SMALLEST shell that contains it (a vertex test suffices — marching
+    squares never produces crossing rings). Returns a list of
+    (shell, holes), largest shell first."""
+    shells = sorted(
+        (r for r in rings if ring_area(r) > 0.0), key=ring_area, reverse=True
+    )
+    holes = [r for r in rings if ring_area(r) < 0.0]
+    out = [(s, []) for s in shells]
+    for h in holes:
+        probe = h[0]
+        best = None
+        for i, s in enumerate(shells):
+            if _point_in_ring(probe, s) and (
+                best is None or ring_area(s) < ring_area(shells[best])
+            ):
+                best = i
+        if best is not None:
+            out[best][1].append(h)
+    return out
+
+
+def grid_contour_multipolygon(lons, lats, minutes, level: float, n_cells: int = 64):
+    """All contour components for {time <= level} as (polygons, n_rings):
+    every island shell with its holes nested (the MULTIPOLYGON shape
+    Valhalla's contour generation emits), largest shell first."""
+    V, lon0, lat0, dx, dy = time_grid_from_points(lons, lats, minutes, n_cells)
+    rings = marching_squares_rings(V, level, lon0, lat0, dx, dy)
+    return nest_contour_rings(rings), len(rings)

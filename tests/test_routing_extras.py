@@ -70,6 +70,79 @@ def test_isochrone_contours_grid(spark, engine):
     assert areas[1] >= areas[0]  # nesting: more minutes, no smaller shell
 
 
+def test_isochrone_contours_grid_multipolygon(spark, engine):
+    """multipolygon=True: geometry is a parseable WKB MULTIPOLYGON whose
+    largest shell equals the single-polygon shape's shell; the union of all
+    components covers at least as many reached nodes as the shell alone."""
+    from duckdb_routing_spark.routing.geometry import (
+        _point_in_ring,
+        parse_wkb_multipolygon,
+        parse_wkb_polygon_ring,
+        ring_area,
+    )
+
+    la, lo = pt(5, 5)
+    single = engine.isochrone_contours(la, lo, [1.5], "auto", method="grid").collect()[0]
+    multi = engine.isochrone_contours(
+        la, lo, [1.5], "auto", method="grid", multipolygon=True
+    ).collect()[0]
+    assert multi.n_reach == single.n_reach
+    polys = parse_wkb_multipolygon(bytes(multi.geometry))
+    assert polys, "at least one component"
+    # largest shell first, identical to the single-polygon shell
+    assert polys[0][0] == parse_wkb_polygon_ring(bytes(single.geometry))
+    for shell, holes in polys:
+        assert shell[0] == shell[-1] and ring_area(shell) > 0
+        for h in holes:
+            assert ring_area(h) < 0
+            assert _point_in_ring(h[0], shell) or h[0] in shell
+    cloud = engine.isochrone(la, lo, 1.5 * 60.0, "auto").collect()
+    in_multi = sum(
+        any(_point_in_ring((p.lon, p.lat), s) for s, _ in polys) for p in cloud
+    )
+    in_single = sum(
+        _point_in_ring((p.lon, p.lat), polys[0][0]) for p in cloud
+    )
+    assert in_multi >= in_single
+
+
+def test_nest_contour_rings_assigns_holes():
+    """A CW ring inside a big CCW ring becomes its hole; a distant CCW ring
+    stays a separate island."""
+    from duckdb_routing_spark.routing.geometry import nest_contour_rings
+
+    big = [(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)]            # CCW shell
+    hole = [(4, 4), (4, 6), (6, 6), (6, 4), (4, 4)]               # CW
+    island = [(20, 20), (21, 20), (21, 21), (20, 21), (20, 20)]   # CCW
+    polys = nest_contour_rings([hole, island, big])
+    assert len(polys) == 2
+    # the big shell got exactly the one hole, the island none
+    assert next(h for s, h in polys if s == big) == [hole]
+    assert next(h for s, h in polys if s == island) == []
+
+
+def test_multipolygon_via_request(spark, engine):
+    la, lo = pt(5, 5)
+    out = json.loads(
+        engine.request(
+            "isochrone",
+            json.dumps(
+                {
+                    "locations": [{"lat": la, "lon": lo}],
+                    "polygons": True,
+                    "contour_method": "grid",
+                    "multipolygon": True,
+                    "contours": [{"time": 1.5}],
+                }
+            ),
+        )
+    )
+    from duckdb_routing_spark.routing.geometry import parse_wkb_multipolygon
+
+    geom = bytes.fromhex(out["contours"][0]["geometry_wkb_hex"])
+    assert parse_wkb_multipolygon(geom)
+
+
 def test_isochrone_contours_grid_via_request(spark, engine):
     la, lo = pt(5, 5)
     out = json.loads(
