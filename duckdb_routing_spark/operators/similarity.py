@@ -132,6 +132,54 @@ def cosine_topk_catalyst(
     )
 
 
+def _score_block(pdf, qarrays, exclude_label_col, k):
+    """Score one corpus block against the query arrays and keep the block's
+    top-k per query. Operation order is the oracle's: per-dim left-to-right
+    float64 accumulation for norms and dots, cosine = dot / (qnorm * cnorm),
+    ties by vec_id. Per-pair math is independent of block boundaries, so
+    any batch split yields identical values."""
+    qids, qmat, qn, qlabels = qarrays
+    nq = len(qids)
+    ids = pdf["vec_id"].to_numpy()
+    clabels = pdf["clabel"].to_numpy() if exclude_label_col else None
+    cmat = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64, copy=False)
+    cn = np.zeros(len(ids), dtype=np.float64)
+    dots = np.zeros((nq, len(ids)), dtype=np.float64)
+    for j in range(cmat.shape[1]):
+        cj = cmat[:, j]
+        cn += cj * cj
+        dots += qmat[:, j][:, None] * cj[None, :]
+    cos = dots / (qn[:, None] * np.sqrt(cn)[None, :])
+    out_q, out_v, out_c = [], [], []
+    for qi in range(nq):
+        keep = ids != qids[qi]
+        if clabels is not None:
+            qv = qlabels[qi]
+            # SQL NULL semantics: NULL on either side disqualifies.
+            # Numeric NULLs surface as NaN through pandas (NaN != NaN),
+            # string NULLs as None — treat both as NULL.
+            if qv is None or qv != qv:
+                keep &= False  # NULL != x is never TRUE
+            else:
+                keep &= np.array(
+                    [c is not None and c == c and c != qv for c in clabels],
+                    dtype=bool,
+                )
+        sel = np.flatnonzero(keep)
+        order = np.lexsort((ids[sel], -cos[qi, sel]))[:k]
+        pick = sel[order]
+        out_q.append(np.full(len(pick), qids[qi]))
+        out_v.append(ids[pick])
+        out_c.append(cos[qi, pick])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "vec_id": np.concatenate(out_v),
+            "cosine": np.concatenate(out_c),
+        }
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -166,66 +214,6 @@ def cosine_topk(
     semantics match the SQL predicate `label != qlabel`: a NULL on either
     side disqualifies the row (a NULL-labeled query gets no negatives),
     so the kernel stays hash-identical to the DuckDB oracle."""
-    qcols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")]
-    if exclude_label_col:
-        qcols.append(F.col(exclude_label_col).alias("qlabel"))
-    qpdf = queries.select(*qcols).toPandas()
-    nq = len(qpdf)
-    qids = qpdf["query_id"].to_numpy()
-    qlabels = qpdf["qlabel"].to_numpy() if exclude_label_col else None
-    if nq:
-        qmat = np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]])
-        qn = np.zeros(nq, dtype=np.float64)
-        for j in range(qmat.shape[1]):
-            qn += qmat[:, j] * qmat[:, j]
-        qn = np.sqrt(qn)
-
-    def score_batches(batches):
-        for pdf in batches:
-            if not nq or not len(pdf):
-                continue
-            ids = pdf["vec_id"].to_numpy()
-            clabels = pdf["clabel"].to_numpy() if exclude_label_col else None
-            cmat = np.vstack(pdf["cvec"].to_numpy()).astype(np.float64, copy=False)
-            cn = np.zeros(len(ids), dtype=np.float64)
-            dots = np.zeros((nq, len(ids)), dtype=np.float64)
-            for j in range(cmat.shape[1]):
-                cj = cmat[:, j]
-                cn += cj * cj
-                dots += qmat[:, j][:, None] * cj[None, :]
-            cos = dots / (qn[:, None] * np.sqrt(cn)[None, :])
-            out_q, out_v, out_c = [], [], []
-            for qi in range(nq):
-                keep = ids != qids[qi]
-                if clabels is not None:
-                    qv = qlabels[qi]
-                    # SQL NULL semantics: NULL on either side disqualifies.
-                    # Numeric NULLs surface as NaN through pandas (NaN != NaN),
-                    # string NULLs as None — treat both as NULL.
-                    if qv is None or qv != qv:
-                        keep &= False  # NULL != x is never TRUE
-                    else:
-                        keep &= np.array(
-                            [c is not None and c == c and c != qv for c in clabels],
-                            dtype=bool,
-                        )
-                sel = np.flatnonzero(keep)
-                order = np.lexsort((ids[sel], -cos[qi, sel]))[:k]
-                pick = sel[order]
-                out_q.append(np.full(len(pick), qids[qi]))
-                out_v.append(ids[pick])
-                out_c.append(cos[qi, pick])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "vec_id": np.concatenate(out_v),
-                    "cosine": np.concatenate(out_c),
-                }
-            )
-
-    # output id types follow the INPUT id columns (the old crossJoin form
-    # preserved them implicitly; a hardcoded `long` would break string or
-    # int32 id columns at Arrow conversion time)
     q_id_t = queries.schema[id_col].dataType.simpleString()
     c_id_t = corpus.schema[id_col].dataType.simpleString()
     ccols = [F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")]
@@ -233,13 +221,80 @@ def cosine_topk(
         ccols.append(F.col(exclude_label_col).alias("clabel"))
     out_schema = f"query_id {q_id_t}, vec_id {c_id_t}, cosine double, rank int"
 
+    def _build_query_arrays(ids_np, vecs, labels_np):
+        """Query matrix + norms with the pinned accumulation order (per-dim
+        left-to-right in float64 — the oracle's operation order)."""
+        qmat = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        qn = np.zeros(len(ids_np), dtype=np.float64)
+        for j in range(qmat.shape[1]):
+            qn += qmat[:, j] * qmat[:, j]
+        return ids_np, qmat, np.sqrt(qn), labels_np
+
+    if single_task and q_id_t == c_id_t and (
+        not exclude_label_col
+        or queries.schema[exclude_label_col].dataType
+        == corpus.schema[exclude_label_col].dataType
+    ):
+        # bounded-corpus dispatch, fully fused: queries ride the SAME scan
+        # as the corpus behind a boolean tag, so the whole query — query
+        # load, scoring, final re-rank — is ONE task in ONE job. The
+        # two-job form below (driver collect of the query side, then the
+        # kernel job) measured ~0.1-0.2 s slower at bench scale purely in
+        # job overhead. Values identical: per-pair math is independent of
+        # batch boundaries, and the same (query_id, -cosine, vec_id) total
+        # order ranks the candidates.
+        tagged = corpus.select(*ccols, F.lit(False).alias("is_q")).unionByName(
+            queries.select(*ccols, F.lit(True).alias("is_q"))
+        )
+
+        def score_and_rank_fused(batches):
+            pdfs = [p for p in batches]
+            if not pdfs:
+                return
+            allp = pd.concat(pdfs, ignore_index=True)
+            qp = allp[allp["is_q"]]
+            cp = allp[~allp["is_q"]]
+            if not len(qp) or not len(cp):
+                return
+            qarrays = _build_query_arrays(
+                qp["vec_id"].to_numpy(),
+                qp["cvec"],
+                qp["clabel"].to_numpy() if exclude_label_col else None,
+            )
+            out = _score_block(cp, qarrays, exclude_label_col, k)
+            allc = out.sort_values(
+                ["query_id", "cosine", "vec_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            allc["rank"] = (allc.groupby("query_id").cumcount() + 1).astype("int32")
+            yield allc[allc["rank"] <= k].reset_index(drop=True)
+
+        return tagged.coalesce(1).mapInPandas(score_and_rank_fused, out_schema)
+
+    qcols = [F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")]
+    if exclude_label_col:
+        qcols.append(F.col(exclude_label_col).alias("qlabel"))
+    qpdf = queries.select(*qcols).toPandas()
+    nq = len(qpdf)
+    if nq:
+        qarrays = _build_query_arrays(
+            qpdf["query_id"].to_numpy(),
+            qpdf["qvec"],
+            qpdf["qlabel"].to_numpy() if exclude_label_col else None,
+        )
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not nq or not len(pdf):
+                continue
+            yield _score_block(pdf, qarrays, exclude_label_col, k)
+
     if single_task:
-        # bounded-corpus dispatch (caller vouches the corpus fits one Arrow
-        # task, e.g. by source file size — the matrix/tile-build small-call
-        # pattern, ARCHITECTURE.md §2): scan + score + final re-rank fuse
-        # into ONE task with no exchange at all. Values identical: the
-        # fused path runs the same score_batches generator then the same
-        # (query_id, -cosine, vec_id) total order.
+        # bounded-corpus dispatch without a same-typed query side (or when
+        # the fused-union path above can't apply): scan + score + final
+        # re-rank still fuse into one task, with the query side collected
+        # driver-side first (one extra job).
         def score_and_rank(batches):
             cands = list(score_batches(batches))
             if not cands:

@@ -475,9 +475,12 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A pure-JVM single-action form exists (cosine_topk_catalyst) and was
     # A/B'd here: per-action re-analysis + codegen of its 192-term unrolled
     # dot-product tree costs 0.40-0.70 s at every count() (bench re-derives
-    # a QueryExecution per action), losing to the fused Arrow kernel's
-    # measured 0.29 s single-task floor. It wins only when one DataFrame
-    # is reused across many actions (plan amortization: 0.14 s warm).
+    # a QueryExecution per action), losing to the fused Arrow kernel. The
+    # single-task path now rides ONE job (queries tagged into the same
+    # scan); its measured ~0.25 s floor is the Python-worker Arrow stage
+    # itself (a passthrough mapInPandas over this corpus costs the same),
+    # i.e. the irreducible small-scale cost of any Python kernel — the
+    # shape inverts at sf1 (scale_study parity + timing).
     return similarity.cosine_topk(emb, queries, k=10, single_task=small)
 
 
