@@ -422,3 +422,32 @@ def test_geometry_sniffer_never_raises_on_text(s):
 
     out = any_geometry_to_lonlat(s)
     assert out is None or (isinstance(out, tuple) and len(out) == 2)
+
+
+# ---------------------------------------------------------------------------
+# geometry-input sniffing: the ANY-typed argument surface must never raise
+# (the reference returns NULL for unparseable geometry, never errors)
+# ---------------------------------------------------------------------------
+
+@given(st.binary(min_size=0, max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_geometry_sniffers_never_raise_on_random_bytes(data):
+    from duckdb_routing_spark.routing.geometry import (
+        any_geometry_to_lonlat,
+        looks_like_geometry_internal,
+        looks_like_wkb,
+    )
+
+    looks_like_wkb(data)
+    looks_like_geometry_internal(data)
+    out = any_geometry_to_lonlat(data)
+    assert out is None or (len(out) == 2 and all(isinstance(v, float) for v in out))
+
+
+@given(st.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_wkt_parsing_never_raises_on_random_text(s):
+    from duckdb_routing_spark.routing.geometry import any_geometry_to_lonlat
+
+    out = any_geometry_to_lonlat(s)
+    assert out is None or len(out) == 2
