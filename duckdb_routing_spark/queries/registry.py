@@ -298,6 +298,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # driver-exercised via dedup_semantic/sim_* rows; fully SQL-oracled
         # on the exact integer component table
         "doc_hashed_embedding",
+        # time-series gap fill (round 7): dense hourly spine + LOCF +
+        # linear interpolation; events family driver-exercised via
+        # events_hourly/events_sessionize; fully SQL-oracled
+        "events_gapfill",
     }
 )
 DRIVER_QUERY_CAP = 50

@@ -1368,3 +1368,52 @@ from duckdb_routing_spark.operators.graph import pagerank_oracle_sql as _pr_orac
 from duckdb_routing_spark.queries.registry import REGISTRY as _REGISTRY  # noqa: E402
 
 _REGISTRY["graph_pagerank"].oracle = _pr_oracle(PAGERANK_EDGES_SQL, iterations=5)
+
+
+EVENTS_GAPFILL_ORACLE = """
+WITH e AS (SELECT event_type AS k,
+                  make_timestamp(((epoch_us(cast(ts AS TIMESTAMP)) // 1000000) // 3600) * 3600000000) AS bucket,
+                  cast(value AS DECIMAL(18,4)) AS dv
+           FROM events),
+agg AS (SELECT k, bucket, count(*) AS n_events, cast(sum(dv) AS DOUBLE) AS v_sum
+        FROM e GROUP BY 1, 2),
+span AS (SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM agg GROUP BY 1),
+spine AS (SELECT k, unnest(generate_series(lo, hi, INTERVAL 3600 SECOND)) AS bucket FROM span),
+j AS (SELECT s.k, s.bucket, coalesce(a.n_events, 0) AS n_events, a.v_sum,
+             epoch_us(s.bucket) // 1000000 AS t,
+             CASE WHEN a.v_sum IS NOT NULL THEN epoch_us(s.bucket) // 1000000 END AS obs_t
+      FROM spine s LEFT JOIN agg a ON s.k = a.k AND s.bucket = a.bucket),
+w AS (SELECT k, bucket, n_events, v_sum, t,
+             last_value(v_sum IGNORE NULLS) OVER (PARTITION BY k ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(obs_t IGNORE NULLS) OVER (PARTITION BY k ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+             first_value(v_sum IGNORE NULLS) OVER (PARTITION BY k ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(obs_t IGNORE NULLS) OVER (PARTITION BY k ORDER BY bucket
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j)
+SELECT k AS event_type, bucket, n_events, v_sum,
+       pv AS v_locf,
+       CASE WHEN v_sum IS NOT NULL THEN v_sum
+            WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN pv + (nv - pv) * (cast(t - pt AS DOUBLE) / cast(nt - pt AS DOUBLE))
+       END AS v_interp
+FROM w
+ORDER BY event_type, bucket
+"""
+
+
+@register("events_gapfill", oracle=EVENTS_GAPFILL_ORACLE,
+          doc="dense hourly spine per event_type with LOCF + linear interpolation over gap buckets")
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series (operators/timeseries.py bucket_gapfill):
+    missing hours materialize as rows (n_events=0), values carry forward
+    (LOCF) and interpolate linearly between the neighbouring observations —
+    the TimescaleDB time_bucket_gapfill/locf/interpolate surface. Spine
+    generation is row-local sequence+explode off the per-key min/max
+    aggregate; LOCF/interp are per-key ordered windows over the DENSE spine
+    (partition size = span/step, independent of event volume)."""
+    from duckdb_routing_spark.operators.timeseries import bucket_gapfill
+
+    return bucket_gapfill(table(spark, sf_dir, "events")).orderBy("event_type", "bucket")
