@@ -1,0 +1,66 @@
+"""Slowly-changing-dimension type 2 (SCD2) builds from a changelog.
+
+The warehouse primitive downstream of CDC: given an event/changelog table
+(key, ts, attributes...), emit one row per ATTRIBUTE RUN with
+[valid_from, valid_to) validity, a per-key version number, and an
+is_current flag. Consecutive rows whose tracked attributes are unchanged
+collapse into the run that opened them — the classic "only persist the
+change points" contract, so the dimension's size is the number of changes,
+not the number of observations.
+
+Companion to `operators/snapshot.py` (snapshot diffing): the diff feeds an
+incremental pipeline, SCD2 is the queryable history it maintains.
+
+Scale shape: two per-key ordered windows (change detection, then
+valid_to/version over the CHANGE POINTS only) — every shuffle keys on the
+dimension key, partition size is one key's history, never the table. No
+driver state, no global sort; the final orderBy belongs to the report, not
+the operator.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Collapse a changelog into SCD2 validity intervals.
+
+    Returns `key, <attrs...>, valid_from, valid_to, version, is_current`:
+    one row per maximal run of identical `attr_cols` values per key,
+    `valid_to` = the next run's `valid_from` (NULL on the open run),
+    `version` = 1-based run index per key. Rows with equal timestamps order
+    by `tiebreak_col` (pass a unique column for deterministic results).
+    Attribute comparison is null-safe: NULL -> 'X' and 'X' -> NULL both
+    open new runs, NULL -> NULL does not.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changed = reduce(
+        lambda a, b: a | b,
+        [~F.lag(c).over(w).eqNullSafe(F.col(c)) for c in attr_cols],
+    )
+    points = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_chg", changed)
+        .where((F.col("_rn") == 1) | F.col("_chg"))
+    )
+    order2 = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w2 = Window.partitionBy(key_col).orderBy(*order2)
+    return points.select(
+        key_col,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

@@ -302,6 +302,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # linear interpolation; events family driver-exercised via
         # events_hourly/events_sessionize; fully SQL-oracled
         "events_gapfill",
+        # SCD2 dimension build (round 7): change-run collapse + validity
+        # intervals; window family driver-exercised via window_topk_orders,
+        # CDC family via snapshot_diff_docs sibling; fully SQL-oracled
+        "scd2_customer_status",
     }
 )
 DRIVER_QUERY_CAP = 50

@@ -1417,3 +1417,42 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_routing_spark.operators.timeseries import bucket_gapfill
 
     return bucket_gapfill(table(spark, sf_dir, "events")).orderBy("event_type", "bucket")
+
+
+SCD2_CUSTOMER_STATUS_ORACLE = """
+WITH c AS (SELECT o_custkey AS k, cast(o_orderdate AS TIMESTAMP) AS ts,
+                  o_orderkey AS tb, o_orderstatus AS st FROM orders),
+m AS (SELECT k, ts, tb, st,
+             row_number() OVER w AS rn,
+             CASE WHEN lag(st) OVER w IS DISTINCT FROM st THEN 1 ELSE 0 END AS chg
+      FROM c WINDOW w AS (PARTITION BY k ORDER BY ts, tb)),
+s AS (SELECT k, ts, tb, st FROM m WHERE rn = 1 OR chg = 1)
+SELECT k AS o_custkey, st AS o_orderstatus, ts AS valid_from,
+       lead(ts) OVER w2 AS valid_to,
+       row_number() OVER w2 AS version,
+       (lead(ts) OVER w2 IS NULL) AS is_current
+FROM s WINDOW w2 AS (PARTITION BY k ORDER BY ts, tb)
+ORDER BY o_custkey, version
+"""
+
+
+@register("scd2_customer_status", oracle=SCD2_CUSTOMER_STATUS_ORACLE,
+          doc="SCD2 dimension build: order-status change runs per customer with [valid_from, valid_to) validity")
+def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension (operators/scd.py): the orders
+    changelog collapsed to status-change points per customer, each run
+    carrying [valid_from, valid_to) validity, a per-key version and an
+    is_current flag — the queryable history a CDC pipeline maintains.
+    Both windows key on the dimension key; partition size is one
+    customer's history."""
+    from duckdb_routing_spark.operators.scd import scd2_from_changelog
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").alias("ts"), "o_orderkey", "o_orderstatus"
+    )
+    return scd2_from_changelog(
+        o, key_col="o_custkey", ts_col="ts", attr_cols=["o_orderstatus"],
+        tiebreak_col="o_orderkey",
+    ).select(
+        "o_custkey", "o_orderstatus", "valid_from", "valid_to", "version", "is_current"
+    ).orderBy("o_custkey", "version")
