@@ -149,3 +149,163 @@ cand AS (SELECT * FROM p WHERE term IN ({in_list}))
 SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf
 FROM cand GROUP BY doc_id HAVING count(DISTINCT term) = {len(lowered)}
 """
+
+
+def hybrid_rrf_search(
+    docs: DataFrame,
+    query: str,
+    k_each: int = 50,
+    k: int = 20,
+    rrf_c: int = 60,
+    dim: int = 16,
+    n_features: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid retrieval: lexical + embedding candidate lists fused with
+    reciprocal-rank fusion (Cormack et al. 2009: score = sum 1/(C + rank)).
+
+    Lexical list: disjunctive postings match ranked by (matched terms,
+    total tf, doc_id) — all integers. Semantic list: exact BIGINT inner
+    product of the corpus' hashed-projection components
+    (text.hashed_doc_embedding_components) against the SAME hashing of the
+    query string — model-free, so the whole pipeline runs on text alone.
+    RRF contributions are integer micro-units (1e9 // (C + rank)), so the
+    fused ordering is engine-portable with no float anywhere.
+
+    Scale shape: each list is a keyed aggregation ending in a distributed
+    top-k (TakeOrderedAndProject) — the rank windows run over the k_each
+    SURVIVORS only, never the corpus; the fusion join is k_each x k_each.
+    Docs absent from a list carry rank 0 (contributing nothing) rather
+    than NULL, keeping the rank columns integer end to end.
+    """
+    from pyspark.sql import Window
+
+    from duckdb_routing_spark.operators import text as _text
+
+    spark = docs.sparkSession
+    terms = sorted({t for t in query.lower().split() if t})
+    p = postings(docs, id_col, text_col)
+    lex = (
+        p.filter(F.col("term").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+    )
+    lex_order = [F.desc("n_terms"), F.desc("total_tf"), F.asc("doc_id")]
+    lex_ranked = (
+        lex.orderBy(*lex_order)
+        .limit(k_each)
+        .withColumn("rank_lex", F.row_number().over(Window.orderBy(*lex_order)))
+        .select("doc_id", "rank_lex")
+    )
+    dcomp = _text.hashed_doc_embedding_components(
+        docs, dim=dim, n_features=n_features, id_col=id_col, text_col=text_col
+    )
+    qdf = spark.createDataFrame([(0, query)], f"{id_col} long, {text_col} string")
+    qcomp = _text.hashed_doc_embedding_components(
+        qdf, dim=dim, n_features=n_features, id_col=id_col, text_col=text_col
+    ).select("j", F.col("s").alias("qs"))
+    sem = (
+        dcomp.join(F.broadcast(qcomp), "j")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("s") * F.col("qs")).alias("dot"))
+    )
+    sem_order = [F.desc("dot"), F.asc("doc_id")]
+    sem_ranked = (
+        sem.orderBy(*sem_order)
+        .limit(k_each)
+        .withColumn("rank_sem", F.row_number().over(Window.orderBy(*sem_order)))
+        .select("doc_id", "rank_sem")
+    )
+    fused = (
+        lex_ranked.join(sem_ranked, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("rank_lex", F.lit(0)).cast("long").alias("rank_lex"),
+            F.coalesce("rank_sem", F.lit(0)).cast("long").alias("rank_sem"),
+        )
+        .withColumn(
+            "rrf_ppb",
+            (
+                F.when(F.col("rank_lex") > 0, F.expr(f"1000000000 div ({rrf_c} + rank_lex)")).otherwise(F.lit(0))
+                + F.when(F.col("rank_sem") > 0, F.expr(f"1000000000 div ({rrf_c} + rank_sem)")).otherwise(F.lit(0))
+            ).cast("long"),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_ppb"), F.asc("doc_id")).limit(k)
+
+
+def hybrid_rrf_oracle_sql(
+    query: str,
+    k_each: int = 50,
+    k: int = 20,
+    rrf_c: int = 60,
+    dim: int = 16,
+    n_features: int = 256,
+    table: str = "documents",
+) -> str:
+    """The fused ranking in portable DuckDB SQL (exact integers throughout)."""
+    terms = sorted({t for t in query.lower().split() if t})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    q_lit = query.lower().replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM {table}
+),
+p AS (
+  SELECT term, doc_id, count(*) AS tf FROM toks WHERE term != '' GROUP BY term, doc_id
+),
+lex AS (
+  SELECT doc_id, count(DISTINCT term) AS n_terms, sum(tf)::BIGINT AS total_tf
+  FROM p WHERE term IN ({in_list}) GROUP BY doc_id
+),
+lex_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_terms DESC, total_tf DESC, doc_id) AS rank_lex
+  FROM lex QUALIFY rank_lex <= {k_each}
+),
+c AS (
+  SELECT doc_id, ('0x' || substr(md5(term), 1, 8))::BIGINT % {n_features} AS bucket, count(*) AS cnt
+  FROM toks WHERE term != '' GROUP BY doc_id, bucket
+),
+comp AS (
+  SELECT b.bucket, j.j,
+         ('0x' || substr(md5('emb:' || b.bucket || ':' || j.j), 1, 8))::BIGINT % 2001 - 1000 AS v
+  FROM (SELECT unnest(range(0, {n_features})) AS bucket) b,
+       (SELECT unnest(range(0, {dim})) AS j) j
+),
+dcomp AS (
+  SELECT c.doc_id, comp.j, sum(c.cnt * comp.v)::BIGINT AS s
+  FROM c JOIN comp USING (bucket) GROUP BY c.doc_id, comp.j
+),
+qt AS (SELECT unnest(string_split('{q_lit}', ' ')) AS tok),
+qc AS (
+  SELECT ('0x' || substr(md5(tok), 1, 8))::BIGINT % {n_features} AS bucket, count(*) AS cnt
+  FROM qt WHERE tok != '' GROUP BY bucket
+),
+qv AS (
+  SELECT comp.j, sum(qc.cnt * comp.v)::BIGINT AS qs
+  FROM qc JOIN comp USING (bucket) GROUP BY comp.j
+),
+sem AS (
+  SELECT d.doc_id, sum(d.s * qv.qs)::BIGINT AS dot
+  FROM dcomp d JOIN qv USING (j) GROUP BY d.doc_id
+),
+sem_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS rank_sem
+  FROM sem QUALIFY rank_sem <= {k_each}
+),
+f AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+         coalesce(l.rank_lex, 0)::BIGINT AS rank_lex,
+         coalesce(s.rank_sem, 0)::BIGINT AS rank_sem
+  FROM lex_ranked l FULL OUTER JOIN sem_ranked s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, rank_lex, rank_sem,
+       ((CASE WHEN rank_lex > 0 THEN 1000000000 // ({rrf_c} + rank_lex) ELSE 0 END)
+        + (CASE WHEN rank_sem > 0 THEN 1000000000 // ({rrf_c} + rank_sem) ELSE 0 END))::BIGINT AS rrf_ppb
+FROM f
+ORDER BY rrf_ppb DESC, doc_id LIMIT {k}
+"""

@@ -888,6 +888,23 @@ def search_bm25_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "term")
 
 
+_HYBRID_QUERY = "hash join batch"
+HYBRID_RRF_ORACLE = _search.hybrid_rrf_oracle_sql(_HYBRID_QUERY)
+
+
+@register("search_hybrid_rrf", oracle=HYBRID_RRF_ORACLE,
+          doc="hybrid retrieval: lexical + hashed-embedding candidate lists fused by integer reciprocal-rank fusion")
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two retrievers, one ranking (Cormack et al. 2009 RRF): the postings
+    list and the model-free hashed-embedding inner-product list each end in
+    a distributed top-k, ranks fuse as exact 1e9//(60+rank) micro-units —
+    no float anywhere, so the fused order is engine-portable. The RAG
+    answer to 'lexical misses paraphrase, dense misses rare terms'."""
+    return _search.hybrid_rrf_search(
+        table(spark, sf_dir, "documents"), _HYBRID_QUERY
+    )
+
+
 from duckdb_routing_spark.operators import snapshot as _snapshot  # noqa: E402
 
 _SNAP_OLD = "SELECT * FROM documents WHERE doc_id % 7 != 0"

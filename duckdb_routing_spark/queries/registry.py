@@ -306,6 +306,11 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # intervals; window family driver-exercised via window_topk_orders,
         # CDC family via snapshot_diff_docs sibling; fully SQL-oracled
         "scd2_customer_status",
+        # hybrid RRF retrieval (round 7): lexical + hashed-embedding lists
+        # fused by integer reciprocal-rank; retrieval family driver-
+        # exercised via sim_ann_index_probe/sim_topk_cosine; fully
+        # SQL-oracled
+        "search_hybrid_rrf",
     }
 )
 DRIVER_QUERY_CAP = 50

@@ -789,6 +789,36 @@ def test_conjunctive_search_requires_every_term(spark):
     assert got == {0: 2, 2: 3}
 
 
+def test_hybrid_rrf_fusion_semantics(spark):
+    from duckdb_routing_spark.operators import search
+
+    # tiny corpus where doc 0 is the clear lexical+semantic match for the
+    # query; docs appearing in only one list must carry rank 0 on the other
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha beta gamma"),
+            (1, "alpha alpha"),
+            (2, "delta epsilon zeta"),
+            (3, "beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in search.hybrid_rrf_search(df, "alpha beta", k_each=3, k=4).collect()}
+    assert out[0].rank_lex == 1  # 2 distinct terms, highest tf
+    # every returned row: contribution only from lists the doc appears in
+    for r in out.values():
+        want = (1_000_000_000 // (60 + r.rank_lex) if r.rank_lex > 0 else 0) + (
+            1_000_000_000 // (60 + r.rank_sem) if r.rank_sem > 0 else 0
+        )
+        assert r.rrf_ppb == want
+    # doc 2 shares no term with the query -> absent from the lexical list
+    if 2 in out:
+        assert out[2].rank_lex == 0
+    # a doc in both lists outranks one with a single equal-rank contribution
+    ranked = sorted(out.values(), key=lambda r: -r.rrf_ppb)
+    assert ranked[0].doc_id == 0
+
+
 def test_hard_negatives_exclude_query_label(spark):
     from duckdb_routing_spark.operators import similarity
 
