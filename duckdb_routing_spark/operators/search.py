@@ -309,3 +309,61 @@ SELECT doc_id, rank_lex, rank_sem,
 FROM f
 ORDER BY rrf_ppb DESC, doc_id LIMIT {k}
 """
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Integer-exact retrieval evaluation: how well a ranked candidate list
+    covers a relevance set.
+
+    `ranked` carries (group_cols..., id_col, rank_col) with 1-based ranks;
+    `truth` carries (group_cols..., id_col) — the relevant ids. Returns one
+    row per group (one row total when group_cols is None):
+      n_ranked        — candidate list size
+      n_relevant      — truth set size
+      hits_at_k       — relevant ids at rank <= k
+      first_hit_rank  — best rank holding a relevant id (0 = no hit)
+      rr_ppb          — reciprocal rank in integer micro-units
+                        (1e9 // first_hit_rank; the MRR numerator summed
+                        across groups stays exact)
+
+    All columns are BIGINT, so cross-engine parity is exact — the float
+    forms (MRR, recall) are one final division away. Plan: one keyed join
+    of the (small) ranked list to the truth set + keyed one-row folds; at
+    fleet scale group_cols = the query id and everything shuffles on it.
+    """
+    g = list(group_cols or [])
+    r = ranked.select(*g, F.col(id_col).alias("_id"), F.col(rank_col).cast("long").alias("_rk"))
+    t = truth.select(*g, F.col(id_col).alias("_id"), F.lit(1).alias("_rel"))
+    hits = r.join(t, g + ["_id"], "inner") if g else r.join(t, ["_id"], "inner")
+
+    def _agg(df, cols):
+        gb = df.groupBy(*cols) if cols else df.groupBy()
+        return gb
+
+    n_ranked = _agg(r, g).agg(F.count(F.lit(1)).alias("n_ranked"))
+    n_rel = _agg(t, g).agg(F.count(F.lit(1)).alias("n_relevant"))
+    h = _agg(hits, g).agg(
+        F.sum(F.when(F.col("_rk") <= k, 1).otherwise(0)).cast("long").alias("hits_at_k"),
+        F.min("_rk").alias("_best"),
+    )
+    if g:
+        out = n_ranked.join(n_rel, g, "full_outer").join(h, g, "left")
+    else:
+        out = n_ranked.crossJoin(n_rel).crossJoin(
+            h.select("hits_at_k", "_best")
+        )
+    return out.select(
+        *g,
+        F.coalesce("n_ranked", F.lit(0)).cast("long").alias("n_ranked"),
+        F.coalesce("n_relevant", F.lit(0)).cast("long").alias("n_relevant"),
+        F.coalesce("hits_at_k", F.lit(0)).cast("long").alias("hits_at_k"),
+        F.coalesce("_best", F.lit(0)).cast("long").alias("first_hit_rank"),
+        F.coalesce(F.expr("1000000000 div _best"), F.lit(0)).cast("long").alias("rr_ppb"),
+    )

@@ -905,6 +905,47 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SEARCH_EVAL_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY rrf_ppb DESC, doc_id) AS rank
+  FROM ({HYBRID_RRF_ORACLE}) h
+),
+toks2 AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+truth AS (
+  SELECT doc_id FROM toks2 WHERE term IN ('batch', 'hash', 'join')
+  GROUP BY doc_id HAVING count(DISTINCT term) = 3
+),
+hits AS (SELECT r.rank FROM ranked r JOIN truth USING (doc_id))
+SELECT (SELECT count(*) FROM ranked)::BIGINT AS n_ranked,
+       (SELECT count(*) FROM truth)::BIGINT AS n_relevant,
+       (SELECT count(*) FROM hits WHERE rank <= 10)::BIGINT AS hits_at_k,
+       coalesce((SELECT min(rank) FROM hits), 0)::BIGINT AS first_hit_rank,
+       CASE WHEN (SELECT min(rank) FROM hits) IS NOT NULL
+            THEN 1000000000 // (SELECT min(rank) FROM hits) ELSE 0 END::BIGINT AS rr_ppb
+"""
+
+
+@register("search_eval_hybrid", oracle=SEARCH_EVAL_ORACLE,
+          doc="retrieval evaluation: integer hits@10 / first-hit-rank / reciprocal-rank of the hybrid RRF list vs the conjunctive truth set")
+def search_eval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval harness over the retrieval stack: the hybrid-RRF top-20
+    scored against 'docs containing every query term' as the relevance
+    set. All metric columns are exact BIGINT (reciprocal rank in 1e9
+    micro-units), so quality tracking is engine-portable — the pattern
+    extends to ANN-vs-brute-force recall with query ids as group_cols."""
+    docs = table(spark, sf_dir, "documents")
+    fused = _search.hybrid_rrf_search(docs, _HYBRID_QUERY)
+    from pyspark.sql import Window
+
+    ranked = fused.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("rrf_ppb"), F.asc("doc_id")))
+    ).select("doc_id", "rank")
+    truth = _search.conjunctive_search(docs, _HYBRID_QUERY.split()).select("doc_id")
+    return _search.ranking_metrics(ranked, truth, k=10)
+
+
 from duckdb_routing_spark.operators import snapshot as _snapshot  # noqa: E402
 
 _SNAP_OLD = "SELECT * FROM documents WHERE doc_id % 7 != 0"

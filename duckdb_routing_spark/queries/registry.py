@@ -311,6 +311,11 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # exercised via sim_ann_index_probe/sim_topk_cosine; fully
         # SQL-oracled
         "search_hybrid_rrf",
+        # retrieval evaluation metrics (round 7): integer hits@k /
+        # first-hit-rank / reciprocal rank of the hybrid list vs the
+        # conjunctive truth set; same family as search_hybrid_rrf; fully
+        # SQL-oracled
+        "search_eval_hybrid",
     }
 )
 DRIVER_QUERY_CAP = 50

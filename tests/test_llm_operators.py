@@ -819,6 +819,38 @@ def test_hybrid_rrf_fusion_semantics(spark):
     assert ranked[0].doc_id == 0
 
 
+def test_ranking_metrics_grouped_and_no_hit(spark):
+    from duckdb_routing_spark.operators import search
+
+    ranked = spark.createDataFrame(
+        [("q1", 10, 1), ("q1", 11, 2), ("q1", 12, 3), ("q2", 20, 1), ("q2", 21, 2)],
+        "q string, doc_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [("q1", 11), ("q1", 99), ("q2", 77)], "q string, doc_id long"
+    )
+    out = {
+        r.q: r
+        for r in search.ranking_metrics(ranked, truth, k=2, group_cols=["q"]).collect()
+    }
+    assert out["q1"].n_ranked == 3 and out["q1"].n_relevant == 2
+    assert out["q1"].hits_at_k == 1 and out["q1"].first_hit_rank == 2
+    assert out["q1"].rr_ppb == 1_000_000_000 // 2
+    # q2: no relevant doc ranked -> zero metrics, rank 0 sentinel
+    assert out["q2"].hits_at_k == 0 and out["q2"].first_hit_rank == 0 and out["q2"].rr_ppb == 0
+
+
+def test_ranking_metrics_ungrouped_empty_truth(spark):
+    from duckdb_routing_spark.operators import search
+
+    ranked = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    truth = spark.createDataFrame([], "doc_id long")
+    row = search.ranking_metrics(ranked, truth, k=5).collect()[0]
+    assert (row.n_ranked, row.n_relevant, row.hits_at_k, row.first_hit_rank, row.rr_ppb) == (
+        2, 0, 0, 0, 0,
+    )
+
+
 def test_hard_negatives_exclude_query_label(spark):
     from duckdb_routing_spark.operators import similarity
 
