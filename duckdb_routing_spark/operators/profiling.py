@@ -171,3 +171,24 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int, id_col: str | None = None
+) -> DataFrame:
+    """Privacy audit for a data release: k-anonymity over quasi-identifiers.
+
+    A row is k-anonymous when at least k rows share its full quasi-identifier
+    combination (Sweeney 2002); combinations below k re-identify. Returns one
+    row per VIOLATING combination: (quasi_cols..., group_size, sample_id) —
+    sample_id (min of id_col) points an auditor at a concrete affected row.
+    An empty result certifies the release at the chosen k.
+
+    Scale shape: one partial-agg shuffle onto the quasi-identifier key —
+    the same keyed-count plan as the skew report; the violating slice is
+    small by definition (each group < k rows). All integer columns.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("group_size")]
+    if id_col:
+        aggs.append(F.min(id_col).alias("sample_id"))
+    return df.groupBy(*quasi_cols).agg(*aggs).where(F.col("group_size") < k)

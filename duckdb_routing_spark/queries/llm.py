@@ -2168,3 +2168,32 @@ def emb_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from duckdb_routing_spark.operators import pca as _pca
 
     return _pca.moment_components(table(spark, sf_dir, "embeddings")).orderBy("i", "j")
+
+
+K_ANON_ORACLE = """
+SELECT lang, source, n_chars // 100 AS size_bucket,
+       count(*)::BIGINT AS group_size, min(doc_id)::BIGINT AS sample_id
+FROM documents
+GROUP BY 1, 2, 3 HAVING count(*) < 5
+ORDER BY 1, 2, 3
+"""
+
+
+@register("privacy_k_anonymity", oracle=K_ANON_ORACLE,
+          doc="k-anonymity audit: quasi-identifier combinations shared by fewer than k rows (privacy QA for a data release)")
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate privacy audit (operators/profiling.py
+    k_anonymity_report, Sweeney 2002): each (lang, source, size-bucket)
+    combination held by fewer than k=5 documents re-identifies — the
+    violating slice with a concrete sample row id per group. One keyed
+    partial-agg shuffle; empty result certifies the release. Complements
+    doc_pii_scrub: scrubbing removes direct identifiers, this audits the
+    quasi-identifiers scrubbing can't touch."""
+    from duckdb_routing_spark.operators.profiling import k_anonymity_report
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "size_bucket", F.expr("n_chars div 100")
+    )
+    return k_anonymity_report(
+        docs, ["lang", "source", "size_bucket"], k=5, id_col="doc_id"
+    ).orderBy("lang", "source", "size_bucket")

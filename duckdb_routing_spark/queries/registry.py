@@ -316,6 +316,15 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # conjunctive truth set; same family as search_hybrid_rrf; fully
         # SQL-oracled
         "search_eval_hybrid",
+        # incremental aggregate maintenance (round 7): mergeable keyed
+        # state, merged(base, delta) == full recompute (the oracle IS the
+        # recompute); agg family driver-exercised via q1/grouping_sets;
+        # fully SQL-oracled
+        "orders_incremental_agg",
+        # k-anonymity privacy audit (round 7): quasi-identifier group-size
+        # violations; QA family driver-exercised via skew_key_report/
+        # corpus_report siblings + doc_pii_scrub; fully SQL-oracled
+        "privacy_k_anonymity",
     }
 )
 DRIVER_QUERY_CAP = 50

@@ -1456,3 +1456,34 @@ def scd2_customer_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_custkey", "o_orderstatus", "valid_from", "valid_to", "version", "is_current"
     ).orderBy("o_custkey", "version")
+
+
+ORDERS_INCR_AGG_ORACLE = """
+SELECT o_orderpriority,
+       count(o_totalprice)::BIGINT AS n,
+       cast(sum(cast(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+       cast(sum(cast(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / count(o_totalprice) AS mean,
+       min(o_totalprice) AS v_min,
+       max(o_totalprice) AS v_max
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("orders_incremental_agg", oracle=ORDERS_INCR_AGG_ORACLE,
+          doc="incremental aggregate maintenance: base state + delta batch merged == full recompute (the oracle IS the recompute)")
+def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view delta pattern (operators/incremental.py): the
+    orders table split into a 'history' state and a 'today' delta batch;
+    the keyed states merge (counts/DECIMAL sums add, min/max fold) and the
+    oracle recomputes over the FULL table — merge == recompute is the
+    operator's contract, checked bit-for-bit. A daily update costs
+    O(|delta| + |keys|) regardless of history size."""
+    from duckdb_routing_spark.operators import incremental as _incr
+
+    o = table(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderkey") % 3 != 0)
+    delta = o.where(F.col("o_orderkey") % 3 == 0)
+    keys = ["o_orderpriority"]
+    state = _incr.partial_agg_state(base, keys, "o_totalprice")
+    merged = _incr.merge_agg_states(state, _incr.partial_agg_state(delta, keys, "o_totalprice"), keys)
+    return _incr.finalize_agg_state(merged, keys).orderBy("o_orderpriority")

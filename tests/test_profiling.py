@@ -100,3 +100,24 @@ def test_reference_check_ignores_null_fks(spark):
     ref = spark.createDataFrame([(7,)], "k int")
     out = run_checks(df, [Check("fk", "reference", expr="fk", ref=ref, ref_col="k")]).collect()
     assert out[0]["n_violations"] == 0 and out[0]["passed"]
+
+
+def test_k_anonymity_flags_small_groups_only(spark):
+    from duckdb_routing_spark.operators.profiling import k_anonymity_report
+
+    df = spark.createDataFrame(
+        [(1, "en", "web"), (2, "en", "web"), (3, "en", "web"), (4, "de", "web"), (5, "de", "books")],
+        "id long, lang string, src string",
+    )
+    out = {(r["lang"], r["src"]): r for r in
+           k_anonymity_report(df, ["lang", "src"], k=3, id_col="id").collect()}
+    # (en, web) has 3 rows -> k-anonymous at k=3; the two singletons violate
+    assert set(out) == {("de", "web"), ("de", "books")}
+    assert out[("de", "web")]["group_size"] == 1 and out[("de", "web")]["sample_id"] == 4
+
+
+def test_k_anonymity_empty_result_certifies(spark):
+    from duckdb_routing_spark.operators.profiling import k_anonymity_report
+
+    df = spark.createDataFrame([(1, "en"), (2, "en")], "id long, lang string")
+    assert k_anonymity_report(df, ["lang"], k=2).count() == 0
