@@ -64,20 +64,37 @@ def _dot_unrolled(a: str, b: str, dim: int) -> str:
     a[0]*b[0] + a[1]*b[1] + ... — SQL `+` is left-associative, so this
     accumulates left-to-right over dimensions, the identical operation
     order to _dot_seq and DuckDB's list_dot_product; values stay
-    hash-exact. Two rejected forms, both measured: aggregate/zip_with
-    higher-order functions evaluate INTERPRETED (~2 s for a mere 6k-pair x
-    64-dim join), and building the same unrolled tree from Column operators
-    costs ~1.2 s of py4j round trips PER QUERY CONSTRUCTION before any
-    action runs — a string parses JVM-side in one call. Requires a uniform,
-    known dim (ragged arrays would silently truncate) — callers probe it
-    from the dataset footer driver-side (common.probe_array_dim)."""
+    hash-exact. Requires a uniform, known dim (ragged arrays would
+    silently truncate) — callers probe it from the dataset footer
+    driver-side (common.probe_array_dim). Note the analyzer+codegen cost
+    of the ~3*dim-term tree is paid PER ACTION (~0.4-0.7 s at dim=64);
+    _dot_hof below is the constant-size-tree form that avoids it."""
     return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+
+
+def _dot_hof(a: str, b: str) -> str:
+    """Dot product as higher-order functions — a CONSTANT-size expression
+    tree whatever the dim: aggregate folds (0 + p0) + p1 + ... strictly
+    left-to-right, so values are bit-identical to _dot_unrolled/_dot_seq
+    (pinned by test_cosine_topk_catalyst_matches_kernel). Needs no known
+    dim and re-analyzes in milliseconds where the unrolled tree costs
+    0.4-0.7 s per action. CAVEAT that sank an earlier HOF attempt: `a`/`b`
+    must name REAL columns from a PRIOR projection — referencing a
+    same-projection transform() alias makes the analyzer inline that
+    transform into every element access, and the resulting tree evaluates
+    interpreted (~2 s for 6k pairs x 64 dims). With materialized operand
+    columns this form times identically to the unrolled codegen chain at
+    bench scale (measured 0.33 s scored-count either way, sf0.1)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0 as double), (acc, x) -> acc + x)"
+    )
 
 
 def cosine_topk_catalyst(
     corpus: DataFrame,
     queries: DataFrame,
-    dim: int,
+    dim: int | None = None,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -87,15 +104,19 @@ def cosine_topk_catalyst(
 
     The bounded-corpus twin of cosine_topk (same columns, same total order,
     hash-identical values): the query side broadcasts into a nested-loop
-    join against the corpus scan, dot products run as unrolled codegen
-    expressions (_dot_unrolled), and a single hash exchange on query_id
-    finishes the rank window. Collecting the result is one action with no
-    separate query-side toPandas job and no Arrow worker startup — the
-    fixed ~0.3-0.5 s the mapInPandas form pays at small scale.
+    join against the corpus scan, dot products run as constant-size
+    higher-order-function expressions (_dot_hof — same left-to-right
+    accumulation, no per-action re-analysis of an unrolled tree, no known
+    dim needed; `dim` is kept for signature compatibility and unused), and
+    a single hash exchange on query_id finishes the rank window.
+    Collecting the result is one action with no separate query-side
+    toPandas job and no Arrow worker startup — the fixed ~0.3-0.5 s the
+    mapInPandas form pays at small scale.
 
     Scale posture: the scored set is |corpus| x |queries| rows through one
     exchange, so this is ONLY for size-dispatched bounded calls; the
     map-side top-k kernel (cosine_topk) is the 100 TB path."""
+    del dim  # HOF dots fold any length; ragged inputs zip to the shorter
     dbl = f"transform({vec_col}, x -> cast(x as double))"
     qcols = [f"{id_col} AS query_id", f"{dbl} AS qv"]
     ccols = [f"{id_col} AS vec_id", f"{dbl} AS cv"]
@@ -104,12 +125,13 @@ def cosine_topk_catalyst(
         ccols.append(f"{exclude_label_col} AS clabel")
     # two-step select: a lateral-alias reference to qv/cv inside the same
     # projection would make the analyzer INLINE the transform() expression
-    # into all `dim` terms — a separate projection keeps the tree linear
+    # into every element access of the dot — with HOF dots that inlining is
+    # what made an earlier attempt evaluate interpreted (see _dot_hof)
     q = queries.selectExpr(*qcols).selectExpr(
-        "*", f"sqrt({_dot_unrolled('qv', 'qv', dim)}) AS qnorm"
+        "*", f"sqrt({_dot_hof('qv', 'qv')}) AS qnorm"
     )
     c = corpus.selectExpr(*ccols).selectExpr(
-        "*", f"sqrt({_dot_unrolled('cv', 'cv', dim)}) AS cnorm"
+        "*", f"sqrt({_dot_hof('cv', 'cv')}) AS cnorm"
     )
     cond = F.expr("vec_id != query_id")
     if exclude_label_col:
@@ -118,7 +140,7 @@ def cosine_topk_catalyst(
     scored = c.join(F.broadcast(q), cond).selectExpr(
         "query_id",
         "vec_id",
-        f"({_dot_unrolled('qv', 'cv', dim)}) / (qnorm * cnorm) AS cosine",
+        f"({_dot_hof('qv', 'cv')}) / (qnorm * cnorm) AS cosine",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     # key-hashed single partition (not coalesce) — satisfies the window's
