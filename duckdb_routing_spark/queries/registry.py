@@ -325,6 +325,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # violations; QA family driver-exercised via skew_key_report/
         # corpus_report siblings + doc_pii_scrub; fully SQL-oracled
         "privacy_k_anonymity",
+        # entity resolution (round 7): blocked Levenshtein pairs; dedup/
+        # linkage family driver-exercised via dedup_fuzzy_keep siblings;
+        # fully SQL-oracled (integer edit distances)
+        "er_customer_pairs",
     }
 )
 DRIVER_QUERY_CAP = 50

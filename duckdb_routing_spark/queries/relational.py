@@ -1487,3 +1487,33 @@ def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _incr.partial_agg_state(base, keys, "o_totalprice")
     merged = _incr.merge_agg_states(state, _incr.partial_agg_state(delta, keys, "o_totalprice"), keys)
     return _incr.finalize_agg_state(merged, keys).orderBy("o_orderpriority")
+
+
+ER_CUSTOMER_PAIRS_ORACLE = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+ORDER BY id_a, id_b
+"""
+
+
+@register("er_customer_pairs", oracle=ER_CUSTOMER_PAIRS_ORACLE,
+          doc="entity resolution: blocked Levenshtein candidate pairs over customer names (block = nation x segment)")
+def er_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage candidates (operators/er.py): the self-join keys on
+    the blocking columns so the pair space is per-block, Levenshtein runs
+    JVM-side, and unit-cost edit distance is the same integer in every
+    engine — matched pairs feed the shared cluster/survivor machinery the
+    way LSH candidates feed fuzzy dedup."""
+    from duckdb_routing_spark.operators.er import blocked_levenshtein_pairs
+
+    return blocked_levenshtein_pairs(
+        table(spark, sf_dir, "customer"),
+        id_col="c_custkey",
+        name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"],
+        max_dist=2,
+    ).orderBy("id_a", "id_b")
