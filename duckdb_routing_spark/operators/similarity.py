@@ -553,6 +553,99 @@ def extend_ann_index(
     ).parquet(live_table_dir(_os.path.join(index_dir, "cells"), index_fs))
 
 
+def delete_from_ann_index(
+    spark,
+    index_dir: str,
+    ids: DataFrame,
+    id_col: str = "vec_id",
+    index_fs=None,
+) -> int:
+    """Remove vectors from a persisted IVF index, copy-on-write.
+
+    Only the (ingest_batch, cell) partitions actually holding the ids are
+    rewritten (dynamic partition overwrite); partitions left with zero
+    survivors are dropped through the fs shim. Returns the number of
+    vectors removed.
+
+    Crash/retry contract: the rewrite is per-partition; a crash mid-way
+    leaves some affected partitions rewritten and the rest intact, and
+    REPLAYING the same delete is a no-op on the already-rewritten ones —
+    the idempotence at-least-once delivery needs. No read-side cost: a
+    probe never consults a tombstone table (deletes here are copy-on-write
+    like a lakehouse DELETE without deletion vectors; at 100 TB batch your
+    deletes so one locating scan amortizes over many ids).
+
+    The locating scan reads only (vec_id, ingest_batch, cell) —
+    column-pruned — because a vector's cell cannot be derived from its id
+    alone; the rewrite then re-reads just the affected partitions
+    (partition-pruned at file listing)."""
+    import os as _os
+
+    from duckdb_routing_spark.operators.fs import DEFAULT_FS, live_table_dir
+
+    fs = index_fs or DEFAULT_FS
+    live = live_table_dir(_os.path.join(index_dir, "cells"), index_fs)
+    cells = spark.read.parquet(live)
+    idsdf = ids.select(F.col(id_col).alias("vec_id")).distinct()
+    affected = [
+        (r.ingest_batch, r.cell)
+        for r in cells.join(F.broadcast(idsdf), "vec_id")
+        .select("ingest_batch", "cell")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return 0
+    part_pred = None
+    for b, c in affected:
+        p = (F.col("ingest_batch") == b) & (F.col("cell") == c)
+        part_pred = p if part_pred is None else (part_pred | p)
+    touched = cells.filter(part_pred)
+    n_before = touched.count()
+    # localCheckpoint: Spark refuses to overwrite a path that feeds the
+    # writing plan — materialize the survivors first (bounded: affected
+    # partitions only), same idiom as the dedup-index extension
+    survivors = touched.join(F.broadcast(idsdf), "vec_id", "left_anti").localCheckpoint()
+    n_after = survivors.count()
+    survivors.write.option("partitionOverwriteMode", "dynamic").mode(
+        "overwrite"
+    ).partitionBy("ingest_batch", "cell").parquet(live)
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data: a partition whose every row was deleted produces no output and
+    # would keep serving its old files — drop those directories explicitly
+    kept = {
+        (r.ingest_batch, r.cell)
+        for r in survivors.select("ingest_batch", "cell").distinct().collect()
+    }
+    for b, c in affected:
+        if (b, c) not in kept:
+            fs.delete(_os.path.join(live, f"ingest_batch={b}", f"cell={c}"))
+    return n_before - n_after
+
+
+def upsert_ann_index(
+    new_vectors: DataFrame,
+    index_dir: str,
+    increment: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_fs=None,
+) -> None:
+    """Replace-or-insert vectors: copy-on-write delete of any existing
+    copies of the incoming ids, then a normal extension under
+    (ingest_batch=increment). The quantizer is immutable, so a probe after
+    an upsert is byte-identical to one over a from-scratch rebuild whose
+    corpus carries the updated vectors (pytest-pinned). Single-writer, like
+    every other maintenance call on the store."""
+    spark = new_vectors.sparkSession
+    delete_from_ann_index(
+        spark, index_dir, new_vectors.select(id_col), id_col=id_col, index_fs=index_fs
+    )
+    extend_ann_index(
+        new_vectors, index_dir, increment, id_col=id_col, vec_col=vec_col, index_fs=index_fs
+    )
+
+
 def compact_ann_index(spark, index_dir: str, index_fs=None) -> None:
     """Fold accumulated increments back into the base: read every
     (ingest_batch, cell) partition, rewrite as batch -1, and swap the

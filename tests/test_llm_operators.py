@@ -1227,6 +1227,100 @@ def test_extend_ann_index_equals_rebuild(spark, emb, tmp_path):
     assert a == b and len(a) == 30
 
 
+def test_delete_from_ann_index_equals_rebuild(spark, emb, tmp_path):
+    """Copy-on-write delete: the probe over the shrunk index is
+    byte-identical to a from-scratch build over the surviving corpus (same
+    seeds), and replaying the delete is a no-op."""
+    seeds = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    shrunk, ref = str(tmp_path / "shrunk"), str(tmp_path / "ref")
+    similarity.build_ann_index(emb, shrunk, seeds=seeds)
+    doomed = emb.filter("vec_id % 7 = 3").select("vec_id")
+    n = similarity.delete_from_ann_index(spark, shrunk, doomed)
+    assert n == doomed.count()
+    assert similarity.delete_from_ann_index(spark, shrunk, doomed) == 0  # replay
+    similarity.build_ann_index(emb.filter("vec_id % 7 != 3"), ref, seeds=seeds)
+    q = emb.filter("vec_id < 3")
+    a = [tuple(r) for r in similarity.ann_query_index(spark, shrunk, q, k=10, n_probe=2).collect()]
+    b = [tuple(r) for r in similarity.ann_query_index(spark, ref, q, k=10, n_probe=2).collect()]
+    assert a == b and len(a) == 30
+    # no deleted id can ever surface from any probe
+    alive = {r.vec_id for r in spark.read.parquet(f"{shrunk}/cells").select("vec_id").collect()}
+    assert alive.isdisjoint({r.vec_id for r in doomed.collect()})
+
+
+def test_delete_drops_emptied_partitions(spark, emb, tmp_path):
+    """A partition whose every row is deleted must disappear from disk —
+    dynamic overwrite alone would leave its old files serving."""
+    import os
+
+    idx = str(tmp_path / "empty_cell")
+    similarity.build_ann_index(emb, idx, n_cells=8)
+    cells = spark.read.parquet(f"{idx}/cells")
+    victim = cells.filter("cell = 5").select("vec_id")
+    assert victim.count() > 0
+    similarity.delete_from_ann_index(spark, idx, victim)
+    assert not os.path.exists(os.path.join(idx, "cells", "ingest_batch=-1", "cell=5"))
+    assert spark.read.parquet(f"{idx}/cells").filter("cell = 5").count() == 0
+
+
+def test_upsert_ann_index_equals_rebuild(spark, emb, tmp_path):
+    """Replacing vectors in place: probes over the upserted index equal a
+    from-scratch build whose corpus carries the updated vectors."""
+    from pyspark.sql import types as T
+
+    seeds = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    upserted, ref = str(tmp_path / "upserted"), str(tmp_path / "ref2")
+    similarity.build_ann_index(emb, upserted, seeds=seeds)
+    # move vectors 40..44 somewhere else in space (reverse their components)
+    moved = emb.filter("vec_id >= 40 AND vec_id < 45").select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    similarity.upsert_ann_index(moved, upserted, increment=1)
+    updated_corpus = emb.filter("vec_id < 40 OR vec_id >= 45").select("vec_id", "embedding").unionByName(moved)
+    similarity.build_ann_index(updated_corpus, ref, seeds=seeds)
+    q = emb.filter("vec_id < 3")
+    a = [tuple(r) for r in similarity.ann_query_index(spark, upserted, q, k=10, n_probe=3).collect()]
+    b = [tuple(r) for r in similarity.ann_query_index(spark, ref, q, k=10, n_probe=3).collect()]
+    assert a == b
+    # exactly one live copy of each upserted id
+    counts = (
+        spark.read.parquet(f"{upserted}/cells")
+        .filter("vec_id >= 40 AND vec_id < 45")
+        .groupBy("vec_id").count().collect()
+    )
+    assert len(counts) == 5 and all(r["count"] == 1 for r in counts)
+
+
+def test_delete_and_upsert_on_renameless_fs(spark, emb, tmp_path):
+    """The whole delete/upsert lifecycle must run where rename doesn't
+    exist (object stores): route every maintenance call through
+    RenamelessFS and pin probe equality to the plain-path run."""
+    from duckdb_routing_spark.operators.fs import RenamelessFS
+
+    fs = RenamelessFS()
+    seeds = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    a_dir, b_dir = str(tmp_path / "rless"), str(tmp_path / "plain")
+    doomed = emb.filter("vec_id % 9 = 4").select("vec_id")
+    moved = emb.filter("vec_id IN (50, 51)").select("vec_id", F.reverse("embedding").alias("embedding"))
+    for d, kw in ((a_dir, {"index_fs": fs}), (b_dir, {})):
+        similarity.build_ann_index(emb, d, seeds=seeds, **kw)
+        similarity.delete_from_ann_index(spark, d, doomed, **kw)
+        similarity.upsert_ann_index(moved, d, increment=1, **kw)
+    q = emb.filter("vec_id < 3")
+    a = [tuple(r) for r in similarity.ann_query_index(spark, a_dir, q, k=10, n_probe=2, index_fs=fs).collect()]
+    b = [tuple(r) for r in similarity.ann_query_index(spark, b_dir, q, k=10, n_probe=2).collect()]
+    assert a == b and len(a) == 30
+
+
 def test_index_compaction_preserves_results(spark, emb, docs, tmp_path):
     """Compaction is invisible: ANN probes and incremental dedup pairs are
     identical before/after, and the increment subdirectories collapse."""
