@@ -455,6 +455,37 @@ def compact_dedup_index(spark, index_dir: str, index_fs=None) -> None:
         )
 
 
+def delete_from_dedup_index(
+    spark, index_dir: str, ids: DataFrame, id_col: str = "doc_id", index_fs=None
+) -> None:
+    """Retire documents from the persisted dedup index: filtered rewrite of
+    the base (shingle) and band tables so retired docs stop producing
+    candidate pairs for future increments — the GDPR-removal /
+    corpus-rollback path. Both tables are unpartitioned row sets, so this
+    is the compaction shape with a predicate: each table rewrites once
+    through swap_in_compacted (staged double-rename on POSIX/HDFS,
+    generation + pointer PUT on rename-less stores) and inherits its
+    crash/retry safety; a replayed delete is a no-op rewrite. Batch deletes
+    so one rewrite amortizes over many ids; a lakehouse table turns this
+    into a DELETE commit."""
+    import os as _os
+
+    from duckdb_routing_spark.operators.fs import live_table_dir, swap_in_compacted
+
+    idsdf = ids.select(F.col(id_col).alias("doc_id")).distinct()
+    for sub in ("base", "bands"):
+        d = _os.path.join(index_dir, sub)
+        live = live_table_dir(d, index_fs)
+        swap_in_compacted(
+            d,
+            lambda staged, _live=live: spark.read.parquet(_live)
+            .join(F.broadcast(idsdf), "doc_id", "left_anti")
+            .write.mode("overwrite")
+            .parquet(staged),
+            index_fs,
+        )
+
+
 def near_dups_against_index(
     new_docs: DataFrame,
     index_dir: str,

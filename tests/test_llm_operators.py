@@ -1026,6 +1026,29 @@ def test_phrase_lexicon_hits_multiword(spark):
     assert out == {0: 1, 2: 1}
 
 
+def test_delete_from_dedup_index_equals_rebuild(spark, docs, tmp_path):
+    """Retiring docs from the index: a later increment's pairs must equal
+    those from an index never containing the retired docs — no candidate
+    ever points at a removed document."""
+    full_idx = str(tmp_path / "didx_del")
+    ref_idx = str(tmp_path / "didx_ref")
+    corpus = docs.filter("doc_id % 5 <> 0")
+    retired = corpus.filter("doc_id % 3 = 1").select("doc_id")
+    dedup.build_dedup_index(corpus, full_idx)
+    dedup.delete_from_dedup_index(spark, full_idx, retired)
+    # replaying the delete is a no-op rewrite
+    dedup.delete_from_dedup_index(spark, full_idx, retired)
+    dedup.build_dedup_index(
+        corpus.join(retired, "doc_id", "left_anti"), ref_idx
+    )
+    inc = docs.filter("doc_id % 5 = 0")
+    a = sorted(tuple(r) for r in dedup.near_dups_against_index(inc, full_idx, threshold=0.8).collect())
+    b = sorted(tuple(r) for r in dedup.near_dups_against_index(inc, ref_idx, threshold=0.8).collect())
+    assert a == b and len(a) > 0
+    gone = {r.doc_id for r in retired.collect()}
+    assert all(r[0] not in gone and r[1] not in gone for r in a)
+
+
 def test_incremental_index_dedup_equals_full_rerun(spark, docs, tmp_path):
     """The rolling-crawl contract: dedup'ing an increment against the
     persisted index must produce EXACTLY the full-corpus near-dup pairs
