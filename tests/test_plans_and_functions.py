@@ -390,3 +390,55 @@ def test_no_cartesian_product_across_entire_registry(spark):
         if "CartesianProduct" in plan:
             offenders[name] = plan[:400]
     assert not offenders, list(offenders)
+
+
+def test_round7_operator_plans_are_scale_shaped(spark):
+    """Plan audits for the round-7 additions: every new operator stays on
+    keyed shuffles and broadcasts — gapfill windows partition by key, SCD2
+    windows by the dimension key, hybrid RRF's only broadcast-side join is
+    the 16-row query vector (plus two bounded top-k lists), ER's self-join
+    is an equi-join on the blocking columns, incremental merge is a keyed
+    re-agg, and none of them materialize a cartesian pair space or fall
+    into Python."""
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.operators import er, incremental, scd, search, timeseries
+
+    events = spark.read.parquet(f"{SF_ORACLE}/events.parquet")
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    cust = spark.read.parquet(f"{SF_ORACLE}/customer.parquet")
+    orders = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+
+    gap = timeseries.bucket_gapfill(events.withColumn("ts", F.col("ts").cast("timestamp")))
+    p_gap = audit.formatted_plan(gap)
+    assert "CartesianProduct" not in p_gap
+    assert "PartitionBy: [k" in p_gap or "partitionBy" in p_gap.lower() or "Window" in p_gap
+    assert audit.python_eval_stages(gap) == 0, "gapfill must stay JVM-side"
+
+    dim = scd.scd2_from_changelog(
+        orders.select("o_custkey", F.col("o_orderdate").alias("ts"), "o_orderkey", "o_orderstatus"),
+        "o_custkey", "ts", ["o_orderstatus"], tiebreak_col="o_orderkey",
+    )
+    p_dim = audit.formatted_plan(dim)
+    assert "CartesianProduct" not in p_dim
+    assert audit.python_eval_stages(dim) == 0
+    # both windows cluster on the dimension key: exactly one key exchange
+    phys = dim._jdf.queryExecution().executedPlan().toString()
+    assert phys.count("Exchange hashpartitioning") == 1, "SCD2 must reuse one key partitioning"
+
+    fused = search.hybrid_rrf_search(docs, "hash join batch")
+    p_rrf = audit.formatted_plan(fused)
+    assert "CartesianProduct" not in p_rrf
+    assert "TakeOrderedAndProject" in p_rrf, "each list must end in a distributed top-k"
+    assert audit.python_eval_stages(fused) == 0
+
+    pairs = er.blocked_levenshtein_pairs(cust, "c_custkey", "c_name", ["c_nationkey", "c_mktsegment"])
+    p_er = audit.formatted_plan(pairs)
+    assert "CartesianProduct" not in p_er, "ER must equi-join on the block key"
+    assert audit.python_eval_stages(pairs) == 0
+
+    st = incremental.partial_agg_state(orders, ["o_orderpriority"], "o_totalprice")
+    merged = incremental.merge_agg_states(st, st, ["o_orderpriority"])
+    p_m = audit.formatted_plan(merged)
+    assert "CartesianProduct" not in p_m and "partial" in p_m.lower()
+    assert audit.python_eval_stages(merged) == 0
