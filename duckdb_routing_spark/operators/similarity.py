@@ -585,7 +585,14 @@ def delete_from_ann_index(
 
     fs = index_fs or DEFAULT_FS
     live = live_table_dir(_os.path.join(index_dir, "cells"), index_fs)
-    cells = spark.read.parquet(live)
+    try:
+        cells = spark.read.parquet(live)
+    except Exception as e:  # noqa: BLE001
+        # a seed-only bootstrap store has no row files yet — nothing to
+        # delete (any other read failure re-raises untouched)
+        if "infer schema" in str(e) or "Path does not exist" in str(e):
+            return 0
+        raise
     idsdf = ids.select(F.col(id_col).alias("vec_id")).distinct()
     affected = [
         (r.ingest_batch, r.cell)

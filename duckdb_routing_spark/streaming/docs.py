@@ -386,3 +386,55 @@ def streaming_shard_export(
         )
 
     return stream.writeStream.outputMode("append").foreachBatch(_step).start()
+
+
+def reduce_cdc_batch(df: DataFrame, id_col: str, op_col: str, seq_col: str) -> DataFrame:
+    """Collapse a CDC micro-batch to one FINAL operation per id: the row
+    with the highest sequence number wins (a changelog can carry
+    upsert->delete->upsert chains for one id inside a single batch).
+    Sequence numbers must be unique per id — ties break on op to stay
+    deterministic ('upsert' > 'delete'), but relying on that means the
+    changelog is broken upstream."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc(seq_col), F.desc(op_col))
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def streaming_ann_sync(
+    stream: DataFrame,
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+    seq_col: str | None = None,
+):
+    """CDC-driven vector-store maintenance: each micro-batch carries
+    'upsert' and 'delete' operations; deletes retire every existing copy
+    (copy-on-write over the affected partitions), upserts replace-or-insert
+    under (ingest_batch=<micro-batch id>). The drained store serves probes
+    byte-identically to a batch build over the NET corpus (pytest-pinned)
+    because assignment is a pure function of (vector, seeds) and
+    delete/upsert are state-free rewrites.
+
+    Replay contract (foreachBatch is at-least-once): deletes are
+    idempotent no-ops on already-rewritten partitions, and the upsert's
+    extension dynamic-overwrites its own (ingest_batch, cell) partitions —
+    a crashed batch replays to the same final state. Single-writer like
+    every maintenance call on the store; the index (and its immutable
+    quantizer) must exist before the stream starts."""
+    from duckdb_routing_spark.operators import similarity as _sim
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        df = batch_df
+        if seq_col:
+            df = reduce_cdc_batch(df, id_col, op_col, seq_col)
+        dels = df.where(F.col(op_col) == "delete").select(id_col)
+        ups = df.where(F.col(op_col) == "upsert").select(id_col, vec_col)
+        _sim.delete_from_ann_index(spark, index_dir, dels, id_col=id_col)
+        _sim.upsert_ann_index(
+            ups, index_dir, increment=batch_id, id_col=id_col, vec_col=vec_col
+        )
+
+    return stream.writeStream.outputMode("append").foreachBatch(_step).start()

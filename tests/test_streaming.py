@@ -397,3 +397,78 @@ def test_compact_stream_index_preserves_visible_state(spark, tmp_path):
     # second compaction folds the folded generation itself (idempotent set)
     compact_stream_index(spark, index_dir)
     assert visible(newest + 1) == before_next
+
+
+def test_streaming_ann_sync_equals_net_batch_build(spark, tmp_path):
+    """CDC maintenance drained == batch build over the NET corpus: inserts,
+    vector updates and deletes arriving across micro-batches leave the
+    store probe-identical to a from-scratch build carrying only the final
+    state (same immutable quantizer)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.operators import similarity
+    from duckdb_routing_spark.streaming import docs as sd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seeds = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    synced, net_dir = str(tmp_path / "synced"), str(tmp_path / "net")
+    base = emb.filter("vec_id % 2 = 0")
+    similarity.build_ann_index(base, synced, seeds=seeds)
+
+    upd = emb.filter("vec_id IN (0, 2)").select("vec_id", F.reverse("embedding").alias("embedding"))
+    chunks = [
+        # batch 0: insert the odd slice
+        emb.filter("vec_id % 2 = 1").select("vec_id", "embedding", F.lit("upsert").alias("op")),
+        # batch 1: update vectors 0 and 2, delete 4 and 6
+        upd.select("vec_id", "embedding", F.lit("upsert").alias("op")).unionByName(
+            spark.createDataFrame([(4,), (6,)], "vec_id long")
+            .select("vec_id", F.lit(None).cast("array<float>").alias("embedding"), F.lit("delete").alias("op"))
+        ),
+        # batch 2: delete 1, re-insert 3 unchanged (a no-op upsert)
+        spark.createDataFrame([(1,)], "vec_id long")
+        .select("vec_id", F.lit(None).cast("array<float>").alias("embedding"), F.lit("delete").alias("op"))
+        .unionByName(emb.filter("vec_id = 3").select("vec_id", "embedding", F.lit("upsert").alias("op"))),
+    ]
+    in_dir = tmp_path / "cdc_in"
+    in_dir.mkdir()
+    for b, ch in enumerate(chunks):
+        ch.coalesce(1).write.parquet(str(in_dir / f"chunk_{b}.parquet"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "chunk_*.parquet"))
+    )
+    q = sd.streaming_ann_sync(stream, synced)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    net = (
+        base.filter("vec_id NOT IN (0, 2, 4, 6)")
+        .unionByName(emb.filter("vec_id % 2 = 1 AND vec_id <> 1"))
+        .unionByName(upd)
+    )
+    similarity.build_ann_index(net, net_dir, seeds=seeds)
+    queries = emb.filter("vec_id IN (10, 11, 12)")
+    a = [tuple(r) for r in similarity.ann_query_index(spark, synced, queries, k=10, n_probe=2).collect()]
+    b = [tuple(r) for r in similarity.ann_query_index(spark, net_dir, queries, k=10, n_probe=2).collect()]
+    assert a == b and len(a) == 30
+    alive = {r.vec_id for r in spark.read.parquet(f"{synced}/cells").select("vec_id").collect()}
+    assert {1, 4, 6}.isdisjoint(alive) and {0, 2, 3} <= alive
+
+
+def test_reduce_cdc_batch_last_op_wins(spark):
+    from duckdb_routing_spark.streaming.docs import reduce_cdc_batch
+
+    df = spark.createDataFrame(
+        [(7, "upsert", 1), (7, "delete", 2), (8, "delete", 1), (8, "upsert", 5), (9, "upsert", 3)],
+        "vec_id long, op string, seq long",
+    )
+    got = {r.vec_id: r.op for r in reduce_cdc_batch(df, "vec_id", "op", "seq").collect()}
+    assert got == {7: "delete", 8: "upsert", 9: "upsert"}
