@@ -59,3 +59,36 @@ def test_multi_attribute_change_detection(spark):
     )
     out = scd2_from_changelog(df, "k", "ts", ["a", "b"], tiebreak_col="tb").collect()
     assert sorted((r["a"], r["b"]) for r in out) == [("A", "x"), ("A", "y")]
+
+
+def test_apply_delta_equals_full_rebuild(spark):
+    from duckdb_routing_spark.operators.scd import scd2_apply_delta, scd2_from_changelog
+
+    hist = [(1, _ts(1), 1, "A"), (1, _ts(2), 2, "A"), (1, _ts(3), 3, "B"),
+            (2, _ts(1), 4, "X"), (3, _ts(2), 5, "Q")]
+    late = [(1, _ts(5), 6, "A"), (2, _ts(4), 7, "X"), (2, _ts(6), 8, "Y")]
+    full_df = spark.createDataFrame(hist + late, "k bigint, ts timestamp, tb bigint, status string")
+    hist_df = spark.createDataFrame(hist, "k bigint, ts timestamp, tb bigint, status string")
+    delta_df = spark.createDataFrame(late, "k bigint, ts timestamp, tb bigint, status string")
+
+    dim = scd2_from_changelog(hist_df, "k", "ts", ["status"], tiebreak_col="tb")
+    merged = scd2_apply_delta(dim, delta_df, "k", "ts", ["status"], tiebreak_col="tb")
+    want = scd2_from_changelog(full_df, "k", "ts", ["status"], tiebreak_col="tb")
+    canon = lambda df: sorted(map(tuple, df.collect()))
+    assert canon(merged) == canon(want)
+    # key 3 had no delta rows -> passes through untouched
+    assert sum(1 for r in merged.collect() if r["k"] == 3) == 1
+
+
+def test_apply_delta_rejects_out_of_order_keys(spark):
+    import pytest as _pytest
+
+    from duckdb_routing_spark.operators.scd import scd2_apply_delta, scd2_from_changelog
+
+    hist_df = spark.createDataFrame(
+        [(1, _ts(1), 1, "A"), (1, _ts(5), 2, "B")], "k bigint, ts timestamp, tb bigint, status string"
+    )
+    dim = scd2_from_changelog(hist_df, "k", "ts", ["status"], tiebreak_col="tb")
+    stale = spark.createDataFrame([(1, _ts(3), 9, "C")], "k bigint, ts timestamp, tb bigint, status string")
+    with _pytest.raises(ValueError, match="older than"):
+        scd2_apply_delta(dim, stale, "k", "ts", ["status"], tiebreak_col="tb")
