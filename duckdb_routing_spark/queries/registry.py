@@ -298,10 +298,20 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # driver-exercised via dedup_semantic/sim_* rows; fully SQL-oracled
         # on the exact integer component table
         "doc_hashed_embedding",
-        # time-series gap fill (round 7): dense hourly spine + LOCF +
-        # linear interpolation; events family driver-exercised via
-        # events_hourly/events_sessionize; fully SQL-oracled
-        "events_gapfill",
+        # WKB route struct: shares kernel #4 with the exposed
+        # route_travel_time (same snap + path + duration surface; the
+        # byte-exact WKB layout stays pinned by test_wkb_linestring_layout
+        # and test_route_wkb_all_input_kinds); hidden late round 7 to hand
+        # its driver row to events_gapfill, the new time-series-family
+        # flagship — swap driver-emulation-verified before exposure
+        "route_wkb_duration",
+        # SimHash banded pairs: the simhash family's exposed row handed to
+        # er_customer_pairs (new record-linkage family); the banding
+        # pigeonhole proof and 64-bit twin stay pytest-oracled
+        # (test_properties + dedup_simhash/dedup_simhash64_pairs hidden
+        # siblings), dedup family still driver-exercised via 6 rows
+        # (exact/minhash/near_dups/fuzzy_keep/semantic/embedding_cosine)
+        "dedup_simhash_pairs",
         # SCD2 dimension build (round 7): change-run collapse + validity
         # intervals; window family driver-exercised via window_topk_orders,
         # CDC family via snapshot_diff_docs sibling; fully SQL-oracled
@@ -325,10 +335,6 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # violations; QA family driver-exercised via skew_key_report/
         # corpus_report siblings + doc_pii_scrub; fully SQL-oracled
         "privacy_k_anonymity",
-        # entity resolution (round 7): blocked Levenshtein pairs; dedup/
-        # linkage family driver-exercised via dedup_fuzzy_keep siblings;
-        # fully SQL-oracled (integer edit distances)
-        "er_customer_pairs",
     }
 )
 DRIVER_QUERY_CAP = 50
