@@ -65,6 +65,33 @@ def hll_registers(df: DataFrame, key_col: str, b: int = 12) -> DataFrame:
     )
 
 
+def hll_registers_grouped(
+    df: DataFrame, key_col: str, group_cols: list[str], b: int = 12
+) -> DataFrame:
+    """One register table PER GROUP: (group_cols..., register, max_rank),
+    ≤ 2^b rows per group. The grouped form of hll_registers — the slice
+    sketches an incremental pipeline persists (per hour, per day, per
+    source) and later folds with hll_merge_grouped without re-reading the
+    events."""
+    register, rank = hll_register_rank(key_col, b)
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, register, rank)
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_merge_grouped(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold register tables up a grouping hierarchy (hours -> days,
+    days -> sources): groupBy the COARSER keys, MAX rank per register.
+    Exactly the sketch of the union per coarse group — associativity means
+    the fold sees ≤ 2^b rows per fine slice, never the underlying data."""
+    return sketches.groupBy(*group_cols, "register").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+
+
 def hll_merge(*sketches: DataFrame) -> DataFrame:
     """Union register tables into one sketch: groupBy register, MAX rank.
 

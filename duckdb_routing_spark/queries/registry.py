@@ -335,6 +335,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # violations; QA family driver-exercised via skew_key_report/
         # corpus_report siblings + doc_pii_scrub; fully SQL-oracled
         "privacy_k_anonymity",
+        # hourly->daily HLL register rollup (round 7): merge == sketch of
+        # the union, oracle computes days directly; sketch family
+        # pytest-oracled via sketch_hll_registers sibling; fully SQL-oracled
+        "events_daily_hll_rollup",
     }
 )
 DRIVER_QUERY_CAP = 50

@@ -1517,3 +1517,51 @@ def er_customer_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["c_nationkey", "c_mktsegment"],
         max_dist=2,
     ).orderBy("id_a", "id_b")
+
+
+def _hll_daily_rollup_oracle(b: int = 12) -> str:
+    """Direct per-day register table — the rollup's oracle computes each
+    day's sketch straight from the events, so a MATCH proves the
+    hourly->daily merge equals the sketch of the union."""
+    from duckdb_routing_spark.operators.sketch import HASH_BITS
+
+    w = HASH_BITS - b
+    return f"""
+WITH h AS (
+  SELECT cast(ts AS TIMESTAMP)::DATE AS day,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events WHERE user_id IS NOT NULL
+),
+rr AS (
+  SELECT day, CAST(hv // {1 << w} AS INTEGER) AS register,
+         CAST(CASE WHEN hv % {1 << w} = 0 THEN {w + 1}
+              ELSE {w + 1} - length(bin(hv % {1 << w})) END AS INTEGER) AS rank
+  FROM h
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, register, max(rank) AS max_rank
+FROM rr GROUP BY day, register ORDER BY day, register
+"""
+
+
+EVENTS_DAILY_HLL_ORACLE = _hll_daily_rollup_oracle()
+
+
+@register("events_daily_hll_rollup", oracle=EVENTS_DAILY_HLL_ORACLE,
+          doc="hourly HLL sketches merged to daily distinct-user registers — the fold never re-reads events")
+def events_daily_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-rollup contract, driver-visible: per-(day, hour)
+    register tables (<= 2^b rows each) fold to per-day sketches via
+    groupBy-MAX (operators/sketch.py hll_merge_grouped) — the daily pass
+    touches register rows only. The oracle computes each day's registers
+    DIRECTLY from the events, so the hash match proves merge == sketch of
+    the union. In production the hourly tables persist and days/weeks fold
+    incrementally without ever rescanning history."""
+    from duckdb_routing_spark.operators import sketch as _sketch
+
+    e = (
+        table(spark, sf_dir, "events")
+        .withColumn("day", F.date_format(F.to_date("ts"), "yyyy-MM-dd"))
+        .withColumn("hr", F.hour("ts"))
+    )
+    hourly = _sketch.hll_registers_grouped(e, "user_id", ["day", "hr"], b=12)
+    return _sketch.hll_merge_grouped(hourly, ["day"]).orderBy("day", "register")

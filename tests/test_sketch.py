@@ -347,3 +347,19 @@ def test_quantile_sample_plan_is_partial_topk(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan[:500]
     assert "Exchange" not in plan
+
+
+def test_hll_grouped_merge_equals_direct_sketch(spark):
+    from duckdb_routing_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(d, h, u) for d in ("a", "b") for h in range(3) for u in range(d == "a", 40 + 10 * h)],
+        "day string, hr int, user_id long",
+    )
+    hourly = sketch.hll_registers_grouped(df, "user_id", ["day", "hr"], b=8)
+    rolled = sketch.hll_merge_grouped(hourly, ["day"])
+    for day in ("a", "b"):
+        direct = sketch.hll_registers(df.filter(F.col("day") == day), "user_id", b=8)
+        a = sorted((r.register, r.max_rank) for r in rolled.filter(F.col("day") == day).collect())
+        b = sorted((r.register, r.max_rank) for r in direct.collect())
+        assert a == b
