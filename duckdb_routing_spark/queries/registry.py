@@ -339,6 +339,11 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # the union, oracle computes days directly; sketch family
         # pytest-oracled via sketch_hll_registers sibling; fully SQL-oracled
         "events_daily_hll_rollup",
+        # blocked point-in-polygon spatial join (round 7): the oracle
+        # cross-joins the same exact fixtures, so MATCH proves blocking
+        # lossless; geo family driver-exercised via route_isochrone_contours
+        # + ST_ kit; fully SQL-oracled
+        "geo_points_in_polygons",
     }
 )
 DRIVER_QUERY_CAP = 50

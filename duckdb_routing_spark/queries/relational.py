@@ -1565,3 +1565,71 @@ def events_daily_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hourly = _sketch.hll_registers_grouped(e, "user_id", ["day", "hr"], b=12)
     return _sketch.hll_merge_grouped(hourly, ["day"]).orderBy("day", "register")
+
+
+GEO_PIP_ORACLE = """
+WITH poly AS (
+  SELECT n_nationkey AS poly_id,
+         (('0x' || substr(md5('gx:' || n_nationkey), 1, 8))::BIGINT % 10000) / 100.0 AS cx,
+         (('0x' || substr(md5('gy:' || n_nationkey), 1, 8))::BIGINT % 10000) / 100.0 AS cy,
+         5 + (('0x' || substr(md5('gr:' || n_nationkey), 1, 8))::BIGINT % 1000) / 100.0 AS r
+  FROM nation
+),
+pv AS (
+  SELECT poly_id,
+         [{'x': cx + r, 'y': cy}, {'x': cx, 'y': cy + r}, {'x': cx - r, 'y': cy},
+          {'x': cx, 'y': cy - r}, {'x': cx + r, 'y': cy}] AS vs
+  FROM poly
+),
+pts AS (
+  SELECT c_custkey AS point_id,
+         (('0x' || substr(md5('px:' || c_custkey), 1, 8))::BIGINT % 10000) / 100.0 AS px,
+         (('0x' || substr(md5('py:' || c_custkey), 1, 8))::BIGINT % 10000) / 100.0 AS py
+  FROM customer
+)
+SELECT point_id, poly_id
+FROM pts, pv
+WHERE (list_sum(list_transform(range(1, len(vs)), i ->
+        CASE WHEN ((vs[i].y > py) != (vs[i + 1].y > py))
+              AND (px < (vs[i + 1].x - vs[i].x) * (py - vs[i].y) / (vs[i + 1].y - vs[i].y) + vs[i].x)
+        THEN 1 ELSE 0 END))) % 2 = 1
+ORDER BY point_id, poly_id
+"""
+
+
+@register("geo_points_in_polygons", oracle=GEO_PIP_ORACLE,
+          doc="spatial join: hashed customer points inside hashed nation diamonds via grid-cell blocking + HOF ray cast")
+def geo_points_in_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked point-in-polygon join (operators/geo_join.py): polygons
+    explode onto their bbox grid cells, points hash to one cell, the
+    even-odd ray cast runs as a row-local HOF expression — candidate space
+    = cell occupancy, never |points| x |polygons|. The DuckDB oracle
+    cross-joins the same exact-arithmetic fixtures with the identical
+    crossing expression, so a MATCH also proves the blocking loses no
+    pair. (Deterministic diamond rings keep every coordinate md5-derived
+    integer math — no transcendental vertex placement to diverge.)"""
+    from duckdb_routing_spark.operators.geo_join import points_in_polygons
+
+    def h8(tag: str, key: str, mod: int) -> str:
+        return (
+            f"cast(conv(substring(md5(concat('{tag}:', {key})), 1, 8), 16, 10) as bigint)"
+            f" % {mod}"
+        )
+
+    polys = table(spark, sf_dir, "nation").selectExpr(
+        "n_nationkey AS poly_id",
+        f"({h8('gx', 'n_nationkey', 10000)}) / 100.0 AS cx",
+        f"({h8('gy', 'n_nationkey', 10000)}) / 100.0 AS cy",
+        f"5 + ({h8('gr', 'n_nationkey', 1000)}) / 100.0 AS r",
+    ).selectExpr(
+        "poly_id",
+        "array(struct(cx + r AS x, cy AS y), struct(cx AS x, cy + r AS y),"
+        " struct(cx - r AS x, cy AS y), struct(cx AS x, cy - r AS y),"
+        " struct(cx + r AS x, cy AS y)) AS vertices",
+    )
+    pts = table(spark, sf_dir, "customer").selectExpr(
+        "c_custkey AS point_id",
+        f"({h8('px', 'c_custkey', 10000)}) / 100.0 AS x",
+        f"({h8('py', 'c_custkey', 10000)}) / 100.0 AS y",
+    )
+    return points_in_polygons(pts, polys, cell_size=10.0).orderBy("point_id", "poly_id")

