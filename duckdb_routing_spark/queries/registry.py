@@ -344,6 +344,11 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # lossless; geo family driver-exercised via route_isochrone_contours
         # + ST_ kit; fully SQL-oracled
         "geo_points_in_polygons",
+        # ER end-to-end golden record (round 7): pairs -> star components
+        # -> argmax-acctbal survivor; linkage family driver-exercised via
+        # the exposed er_customer_pairs; fully SQL-oracled (recursive
+        # closure + ranked window)
+        "er_customer_golden",
     }
 )
 DRIVER_QUERY_CAP = 50

@@ -1633,3 +1633,71 @@ def geo_points_in_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({h8('py', 'c_custkey', 10000)}) / 100.0 AS y",
     )
     return points_in_polygons(pts, polys, cell_size=10.0).orderBy("point_id", "poly_id")
+
+
+ER_GOLDEN_ORACLE = """
+WITH RECURSIVE p AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+reach(n, lab) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.n
+),
+comp AS (SELECT n AS c_custkey, min(lab) AS cid FROM reach GROUP BY n),
+ranked AS (
+  SELECT c.c_custkey, c.cid,
+         row_number() OVER (PARTITION BY c.cid ORDER BY cu.c_acctbal DESC, c.c_custkey) AS rk
+  FROM comp c JOIN customer cu USING (c_custkey)
+)
+SELECT cu.c_custkey,
+       coalesce(r.cid, cu.c_custkey) AS cluster_id,
+       coalesce(r.rk = 1, TRUE) AS is_golden
+FROM customer cu LEFT JOIN ranked r USING (c_custkey)
+ORDER BY cu.c_custkey
+"""
+
+
+@register("er_customer_golden", oracle=ER_GOLDEN_ORACLE,
+          doc="entity resolution end to end: blocked pairs -> star-contraction components -> golden record per cluster (argmax acctbal)")
+def er_customer_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full record-linkage pipeline in one plan: Levenshtein candidate
+    pairs (operators/er.py) feed the O(log n) star-contraction components
+    (operators/dedup.py — the same machinery fuzzy dedup uses), and each
+    cluster elects its golden record by highest account balance with id
+    tiebreak. The oracle replays the closure as a recursive CTE + ranked
+    window, so the hash match pins pairs, components AND the survivor
+    policy cross-engine."""
+    from duckdb_routing_spark.operators import dedup as _dedup
+    from duckdb_routing_spark.operators.er import blocked_levenshtein_pairs
+    from pyspark.sql import Window
+
+    cust = table(spark, sf_dir, "customer")
+    pairs = blocked_levenshtein_pairs(
+        cust, id_col="c_custkey", name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"], max_dist=2,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = _dedup.dedup_clusters_star(pairs).select(
+        F.col("doc_id").alias("c_custkey"), F.col("cluster_id").alias("cid")
+    )
+    ranked = comp.join(cust.select("c_custkey", "c_acctbal"), "c_custkey").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("cid").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        ),
+    )
+    return (
+        cust.select("c_custkey")
+        .join(ranked.select("c_custkey", "cid", "rk"), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("cid", "c_custkey").alias("cluster_id"),
+            F.coalesce(F.col("rk") == 1, F.lit(True)).alias("is_golden"),
+        )
+        .orderBy("c_custkey")
+    )
