@@ -206,6 +206,30 @@ def main() -> None:
     # (the previous EXPECTED_SF01 constants did exactly that). Sustained
     # hours-long load remains unfixable in-process (and then the DuckDB
     # baseline, run on the same host, slows equally).
+    # Paired settling round: the interleaved loop exposes each query to
+    # CROSS-QUERY interference — measured: the heavy driver-side builders
+    # (route_tile_build's single-batch fold, route_matrix's CH m2m) leave
+    # the NEXT single-task Arrow query ~2-3x slower for exactly one
+    # execution (sim_topk_cosine 0.6-1.1 s after them vs 0.25 s steady;
+    # JVM gc() and settling sleeps do NOT clear it, one victim execution
+    # does). The interleaved rounds never run a query twice in a row, and
+    # round-0's noise reference is itself poisoned by the same neighbor, so
+    # the suspect detector can't see it. Run each query twice back-to-back:
+    # the first absorbs the interference, the second samples steady state.
+    for name in plans:
+        try:
+            spark.catalog.clearCache()
+            plans[name].count()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            plans[name].count()
+            dt = time.perf_counter() - t0
+        except Exception:  # noqa: BLE001 — fault isolation as above
+            continue
+        if dt < timings.get(name, float("inf")):
+            timings[name] = dt
+            warm0[name] = min(warm0.get(name, float("inf")), dt)
+
     if not errors:
         for _ in range(3):
             suspects = [
