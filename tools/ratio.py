@@ -106,6 +106,26 @@ def main() -> None:
             con.execute(spec.oracle).fetchall()
             dd[name] = min(dd.get(name, float("inf")), time.perf_counter() - t0)
 
+    # paired settling round, BOTH engines (bench.py rationale: the heavy
+    # driver-side builders leave the next single-task Arrow query 2-3x
+    # slower for exactly one execution; the first back-to-back run absorbs
+    # the interference, the second samples steady state — symmetric
+    # treatment keeps the comparison fair)
+    for name in headline:
+        spark.catalog.clearCache()
+        plans[name].count()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        plans[name].count()
+        sp[name] = min(sp.get(name, float("inf")), time.perf_counter() - t0)
+    for name, spec in headline.items():
+        if not spec.oracle:
+            continue
+        con.execute(spec.oracle).fetchall()
+        t0 = time.perf_counter()
+        con.execute(spec.oracle).fetchall()
+        dd[name] = min(dd.get(name, float("inf")), time.perf_counter() - t0)
+
     per = {
         n: {
             "spark": round(sp[n], 4),
