@@ -399,14 +399,12 @@ def route_tile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (segments -> speed join -> haversine weights -> oneway -> dense remap)
     stays oracle-covered end-to-end by q:route_pbf_build and the pandas/DF
     parity test (tests/test_osm_build.py)."""
-    from duckdb_routing_spark.routing.osm_build import build_cardinalities_df
-    from duckdb_routing_spark.testing import grid_nodes, grid_segments
+    from duckdb_routing_spark.routing.osm_build import build_cardinalities_from_grid
 
-    nrows = ncols = 60
-    segs = grid_segments(nrows, ncols, island=False).rename(
-        columns={"src": "src_osm", "dst": "dst_osm"}
-    )
-    return build_cardinalities_df(spark, segs, grid_nodes(nrows, ncols, island=False), "auto")
+    # fixture generated INSIDE the task (closure ships three ints, not two
+    # pickled frames) — symmetric with the oracle, which derives the
+    # lattice from the grid rules itself
+    return build_cardinalities_from_grid(spark, 60, 60, "auto")
 
 
 # ---------------------------------------------------------------------------

@@ -697,6 +697,8 @@ class RoutingEngine:
             src = [(float(la), float(lo)) for la, lo in zip(src_lats, src_lons)]
 
             def one_task(_batches):
+                for _ in _batches:  # drain -> worker returns to the reuse pool
+                    pass
                 g = _resolve(broadcasts, costing)
                 rows = _matrix_rows_local(
                     g, [la for la, _ in src], [lo for _, lo in src], dst, algo=matrix_algo

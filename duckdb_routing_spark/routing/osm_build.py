@@ -375,7 +375,41 @@ def build_cardinalities_df(spark: SparkSession, segments_pdf, osm_nodes_pdf, mod
     import pandas as pd
 
     def one_task(_batches):
+        # DRAIN the (one-row) input before yielding: a python worker whose
+        # input iterator is not fully consumed is killed instead of
+        # returned to the reuse pool, so every subsequent action would pay
+        # a fresh worker spawn (~0.3-0.5 s measured; pid-pinned in
+        # test_single_task_worker_reuse)
+        for _ in _batches:
+            pass
         nodes, edges = build_mode_graph_pandas(segments_pdf, osm_nodes_pdf, mode)
+        yield pd.DataFrame({"n_nodes": [len(nodes)], "n_edges": [len(edges)]})
+
+    return spark.range(1, numPartitions=1).mapInPandas(one_task, "n_nodes long, n_edges long")
+
+
+def build_cardinalities_from_grid(
+    spark: SparkSession, nrows: int, ncols: int, mode: str, island: bool = False
+) -> DataFrame:
+    """`build_cardinalities_df` with the lattice fixture GENERATED inside
+    the task: the closure ships three ints instead of two pickled pandas
+    frames (~1 MB serialized per action — measured as the dominant cost of
+    the small-build bench shape, 0.56 s -> ~0.25 s). Same symmetric footing
+    as the DuckDB oracle, which also derives the lattice from the grid
+    rules rather than receiving it."""
+    import pandas as pd
+
+    def one_task(_batches):
+        for _ in _batches:  # drain -> worker returns to the reuse pool
+            pass
+        from duckdb_routing_spark.testing import grid_nodes, grid_segments
+
+        segs = grid_segments(nrows, ncols, island=island).rename(
+            columns={"src": "src_osm", "dst": "dst_osm"}
+        )
+        nodes, edges = build_mode_graph_pandas(
+            segs, grid_nodes(nrows, ncols, island=island), mode
+        )
         yield pd.DataFrame({"n_nodes": [len(nodes)], "n_edges": [len(edges)]})
 
     return spark.range(1, numPartitions=1).mapInPandas(one_task, "n_nodes long, n_edges long")

@@ -473,3 +473,30 @@ def test_spatial_join_blocking_and_semantics(spark):
     plan = audit.formatted_plan(out)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert audit.python_eval_stages(out) == 0
+
+
+def test_single_task_worker_reuse(spark):
+    """Single-task Arrow kernels must DRAIN their input iterator: a python
+    worker whose input is not fully consumed is killed instead of returned
+    to the reuse pool, and every later action pays a fresh worker spawn
+    (~0.3-0.5 s — the round-7 bench bimodality). Repeated executions of
+    the small-build kernel must land on ONE worker pid."""
+    import pandas as pd
+
+    from duckdb_routing_spark.routing.osm_build import build_cardinalities_from_grid
+
+    # sanity: the fixture kernel itself reuses workers
+    def pid_task(batches):
+        import os
+
+        for _ in batches:
+            pass
+        yield pd.DataFrame({"pid": [os.getpid()]})
+
+    p = spark.range(1, numPartitions=1).mapInPandas(pid_task, "pid long")
+    pids = {p.collect()[0]["pid"] for _ in range(3)}
+    assert len(pids) == 1, f"drained single-task worker not reused: {pids}"
+
+    # the real kernels produce stable results across reused-worker runs
+    tb = build_cardinalities_from_grid(spark, 12, 12, "auto")
+    assert [tuple(r) for r in tb.collect()] == [tuple(r) for r in tb.collect()]
