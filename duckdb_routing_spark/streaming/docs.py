@@ -438,3 +438,77 @@ def streaming_ann_sync(
         )
 
     return stream.writeStream.outputMode("append").foreachBatch(_step).start()
+
+
+def streaming_scd2(
+    stream: DataFrame,
+    dim_dir: str,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_col: str | None = None,
+    dim_fs=None,
+):
+    """Continuously maintained SCD2 dimension: each micro-batch of changelog
+    rows folds into the persisted dimension via `scd2_apply_delta` — only
+    the batch's keys rebuild, so a micro-batch costs O(|its keys' history| +
+    |batch|) whatever the dimension's size.
+
+    Storage is the generation + atomic-pointer shape from operators/fs.py
+    (object-store safe, no renames): each applied batch writes generation
+    N+1 and atomically PUTs the pointer {dir, batch}. The pointer's batch id
+    makes replays EXACT no-ops — foreachBatch is at-least-once, and a
+    replayed batch id <= the pointer's is skipped before any work, so the
+    out-of-order validation inside scd2_apply_delta never sees a replay.
+    A crash between the generation write and the PUT leaves the old
+    generation live; the retry rewrites and commits.
+
+    Event-time contract: micro-batches must arrive append-only per key
+    (the streaming source's natural order); scd2_apply_delta's validate
+    pass rejects a violating key loudly rather than mis-folding."""
+    import json as _json
+    import os as _os
+
+    from duckdb_routing_spark.operators.fs import DEFAULT_FS, _ptr_path
+    from duckdb_routing_spark.operators.scd import scd2_apply_delta, scd2_from_changelog
+
+    fs = dim_fs or DEFAULT_FS
+
+    def _state():
+        ptr = _ptr_path(dim_dir)
+        if fs.exists(ptr):
+            st = _json.loads(fs.read(ptr).decode("utf-8"))
+            return _os.path.join(_os.path.dirname(dim_dir), st["dir"]), int(st["batch"])
+        return None, -1
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        live, last = _state()
+        if batch_id <= last:
+            return  # replayed batch: already folded, exact no-op
+        if live is None:
+            new_dim = scd2_from_changelog(batch_df, key_col, ts_col, attr_cols, tiebreak_col)
+        else:
+            dim = spark.read.parquet(live)
+            new_dim = scd2_apply_delta(
+                dim, batch_df, key_col, ts_col, attr_cols, tiebreak_col
+            )
+        gen = _os.path.basename(dim_dir) + f"__g{batch_id}"
+        staged = _os.path.join(_os.path.dirname(dim_dir), gen)
+        fs.delete(staged)  # a crashed earlier attempt's partial write
+        new_dim.write.mode("overwrite").parquet(staged)
+        fs.put_atomic(
+            _ptr_path(dim_dir),
+            _json.dumps({"dir": gen, "batch": batch_id}).encode("utf-8"),
+        )
+        if live is not None and live != staged:
+            fs.delete(live)  # best-effort GC; orphans are unreferenced
+
+    return stream.writeStream.outputMode("append").foreachBatch(_step).start()
+
+
+def read_scd2_dim(spark, dim_dir: str, dim_fs=None) -> DataFrame:
+    """Read the current generation of a streaming-maintained SCD2 dimension."""
+    from duckdb_routing_spark.operators.fs import live_table_dir
+
+    return spark.read.parquet(live_table_dir(dim_dir, dim_fs))

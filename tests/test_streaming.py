@@ -472,3 +472,60 @@ def test_reduce_cdc_batch_last_op_wins(spark):
     )
     got = {r.vec_id: r.op for r in reduce_cdc_batch(df, "vec_id", "op", "seq").collect()}
     assert got == {7: "delete", 8: "upsert", 9: "upsert"}
+
+
+def test_streaming_scd2_equals_batch_build(spark, tmp_path):
+    """Drained streaming SCD2 == batch scd2_from_changelog over the whole
+    changelog; a no-checkpoint replay is an exact no-op (pointer batch id);
+    the storage is pointer-committed so it runs on rename-less stores."""
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.operators.fs import RenamelessFS
+    from duckdb_routing_spark.operators.scd import scd2_from_changelog
+    from duckdb_routing_spark.streaming import docs as sd
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_custkey", F.col("o_orderdate").alias("ts"), "o_orderkey", "o_orderstatus"
+    )
+    # chronological thirds: append-only per key across micro-batches
+    lo, hi = orders.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    in_dir = tmp_path / "scd_in"
+    in_dir.mkdir()
+    bounds = [lo + span, lo + 2 * span]
+    chunks = [
+        orders.filter(F.col("ts") < bounds[0]),
+        orders.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        orders.filter(F.col("ts") >= bounds[1]),
+    ]
+    for b, ch in enumerate(chunks):
+        ch.coalesce(1).write.parquet(str(in_dir / f"chunk_{b}.parquet"))
+    dim_dir = str(tmp_path / "dim")
+    fs = RenamelessFS()
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("o_custkey long, ts timestamp, o_orderkey long, o_orderstatus string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "chunk_*.parquet"))
+        )
+        q = sd.streaming_scd2(
+            stream, dim_dir, "o_custkey", "ts", ["o_orderstatus"],
+            tiebreak_col="o_orderkey", dim_fs=fs,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    want = scd2_from_changelog(orders, "o_custkey", "ts", ["o_orderstatus"], tiebreak_col="o_orderkey")
+    canon = lambda df: sorted(map(tuple, df.select(
+        "o_custkey", "o_orderstatus", "valid_from", "valid_to", "version", "is_current"
+    ).collect()))
+    got = canon(sd.read_scd2_dim(spark, dim_dir, dim_fs=fs))
+    assert got == canon(want) and len(got) > 0
+
+    # full no-checkpoint replay: every batch id <= the pointer's -> no-op
+    run_stream()
+    assert canon(sd.read_scd2_dim(spark, dim_dir, dim_fs=fs)) == got
