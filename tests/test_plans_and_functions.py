@@ -485,17 +485,28 @@ def test_single_task_worker_reuse(spark):
 
     from duckdb_routing_spark.routing.osm_build import build_cardinalities_from_grid
 
-    # sanity: the fixture kernel itself reuses workers
-    def pid_task(batches):
+    # contrast: a drained kernel's pids repeat (the pool may hold several
+    # idle workers, so round-robin is fine — what matters is NO fresh spawn
+    # per action), while an undrained kernel's worker is killed after every
+    # task, so each action runs in a brand-new pid
+    def drained_task(batches):
         import os
 
         for _ in batches:
             pass
         yield pd.DataFrame({"pid": [os.getpid()]})
 
-    p = spark.range(1, numPartitions=1).mapInPandas(pid_task, "pid long")
-    pids = {p.collect()[0]["pid"] for _ in range(3)}
-    assert len(pids) == 1, f"drained single-task worker not reused: {pids}"
+    def undrained_task(batches):
+        import os
+
+        yield pd.DataFrame({"pid": [os.getpid()]})
+
+    d = spark.range(1, numPartitions=1).mapInPandas(drained_task, "pid long")
+    drained = [d.collect()[0]["pid"] for _ in range(8)]
+    assert len(set(drained)) < 8, f"no worker reuse observed: {drained}"
+    u = spark.range(1, numPartitions=1).mapInPandas(undrained_task, "pid long")
+    undrained = [u.collect()[0]["pid"] for _ in range(3)]
+    assert len(set(undrained)) == 3, f"undrained worker unexpectedly reused: {undrained}"
 
     # the real kernels produce stable results across reused-worker runs
     tb = build_cardinalities_from_grid(spark, 12, 12, "auto")
