@@ -133,3 +133,57 @@ def pagerank_oracle_sql(
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT node, rank_mu FROM r{iterations} ORDER BY node"
     )
+
+
+def triangle_counts(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> DataFrame:
+    """Exact per-node triangle counts over an undirected edge list.
+
+    Classic distributed formulation (the MapReduce NodeIterator++ shape,
+    Suri & Vassilvitskii 2011): canonicalize every edge to (a < b), build
+    wedges a-b-c with a < b < c by joining the edge list to itself on the
+    middle vertex, and close each wedge against the edge list — every
+    triangle is found exactly once in its sorted orientation. Returns
+    (node, n_triangles) for nodes in >= 1 triangle.
+
+    Scale shape: two equi-joins keyed on single vertex columns; the wedge
+    count is sum-over-vertices(deg^2) under the a<b<c ordering (which
+    routes each wedge through its MIDDLE vertex, halving hub blowup vs
+    naive orientation). A power-law hub is the standard skew case
+    (operators/skew.py) — production systems split high-degree vertices
+    first. All integers; no floats anywhere."""
+    e = (
+        edges.select(
+            F.least(a_col, b_col).alias("a"), F.greatest(a_col, b_col).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    w = (
+        e.select(F.col("a").alias("wa"), F.col("b").alias("wb"))
+        .join(e.select(F.col("a").alias("wb"), F.col("b").alias("wc")), "wb")
+    )
+    tri = w.join(
+        e.select(F.col("a").alias("wa"), F.col("b").alias("wc")), ["wa", "wc"]
+    )
+    nodes = tri.select(F.explode(F.array("wa", "wb", "wc")).alias("node"))
+    return nodes.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def triangle_oracle_sql(edges_sql: str) -> str:
+    """The identical sorted-orientation derivation in portable DuckDB SQL;
+    `edges_sql` must yield columns (a, b)."""
+    return f"""
+WITH raw AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM raw WHERE a <> b
+),
+tri AS (
+  SELECT w1.a AS wa, w1.b AS wb, w2.b AS wc
+  FROM e w1 JOIN e w2 ON w2.a = w1.b
+  JOIN e c ON c.a = w1.a AND c.b = w2.b
+),
+n AS (
+  SELECT wa AS node FROM tri UNION ALL SELECT wb FROM tri UNION ALL SELECT wc FROM tri
+)
+SELECT node, count(*)::BIGINT AS n_triangles FROM n GROUP BY node
+"""

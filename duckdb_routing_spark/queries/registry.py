@@ -349,6 +349,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # the exposed er_customer_pairs; fully SQL-oracled (recursive
         # closure + ranked window)
         "er_customer_golden",
+        # exact triangle counts over the ER graph (round 7): graph family
+        # pytest+SQL-oracled via graph_pagerank/dedup_cluster siblings;
+        # fully SQL-oracled (sorted-orientation wedge closure)
+        "graph_triangles",
     }
 )
 DRIVER_QUERY_CAP = 50

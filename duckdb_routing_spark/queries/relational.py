@@ -1701,3 +1701,36 @@ def er_customer_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+_ER_EDGES_SQL = """
+  SELECT a.c_custkey AS a, b.c_custkey AS b
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+   AND a.c_custkey < b.c_custkey
+  WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+def _triangles_oracle() -> str:
+    from duckdb_routing_spark.operators.graph import triangle_oracle_sql
+
+    return triangle_oracle_sql(_ER_EDGES_SQL) + "ORDER BY node"
+
+
+@register("graph_triangles", oracle=_triangles_oracle(),
+          doc="exact per-node triangle counts over the ER linkage graph (sorted-orientation wedge closure)")
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (Suri & Vassilvitskii 2011 NodeIterator++ shape)
+    over the entity-resolution candidate graph — the local-clustering
+    signal that separates dense duplicate cliques from chance pair hits.
+    Two vertex-keyed equi-joins, wedges routed through their middle vertex;
+    exact integers end to end."""
+    from duckdb_routing_spark.operators.er import blocked_levenshtein_pairs
+    from duckdb_routing_spark.operators.graph import triangle_counts
+
+    pairs = blocked_levenshtein_pairs(
+        table(spark, sf_dir, "customer"), id_col="c_custkey", name_col="c_name",
+        block_cols=["c_nationkey", "c_mktsegment"], max_dist=2,
+    ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    return triangle_counts(pairs).orderBy("node")

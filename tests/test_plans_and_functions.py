@@ -511,3 +511,22 @@ def test_single_task_worker_reuse(spark):
     # the real kernels produce stable results across reused-worker runs
     tb = build_cardinalities_from_grid(spark, 12, 12, "auto")
     assert [tuple(r) for r in tb.collect()] == [tuple(r) for r in tb.collect()]
+
+
+def test_triangle_counts_semantics(spark):
+    """Planted graph: a 4-clique holds 4 triangles (3 per member), an open
+    path holds none; duplicate/reversed edges and self-loops are
+    canonicalized away; the pair joins stay equi-joins."""
+    from duckdb_routing_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        # K4 on 1-4 (+ a reversed duplicate + a self-loop), path 10-11-12
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 3), (2, 2),
+         (10, 11), (11, 12)],
+        "a long, b long",
+    )
+    out = triangle_counts(edges)
+    got = {r.node: r.n_triangles for r in out.collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    plan = audit.formatted_plan(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
