@@ -437,19 +437,23 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: the corpus is partitioned into `n_cells`
     Voronoi cells around seed vectors (deterministically, the first
     n_cells corpus vectors by id — a fixed codebook, the way production IVF
-    uses a trained-once quantizer), and each query probes its `n_probe`
+    uses a trained-once quantizer; pass `seeds` (cell, svec) to pin an
+    external quantizer, e.g. to compare against a persisted store over a
+    filtered corpus slice), and each query probes its `n_probe`
     nearest cells only. At scale the corpus is written cell-partitioned
     once; a probe reads n_probe/n_cells of the data. Complements
     ann_lsh_topk: IVF adapts to the data's density; LSH needs no training."""
-    seeds = (
-        corpus.orderBy(id_col)
-        .limit(n_cells)
-        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("svec"))
-    )
+    if seeds is None:
+        seeds = (
+            corpus.orderBy(id_col)
+            .limit(n_cells)
+            .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("svec"))
+        )
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
                       norm_col(F.col(vec_col)).alias("cnorm"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
@@ -483,6 +487,7 @@ def build_ann_index(
     vec_col: str = "embedding",
     seeds: DataFrame | None = None,
     index_fs=None,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Persist the IVF index the way a 100 TB vector store actually lays
     out: vectors written CELL-PARTITIONED (<index_dir>/cells/cell=K/) so a
@@ -505,7 +510,11 @@ def build_ann_index(
         live_table_dir(_os.path.join(index_dir, "seeds"), index_fs)
     )
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
-                      norm_col(F.col(vec_col)).alias("cnorm"))
+                      norm_col(F.col(vec_col)).alias("cnorm"),
+                      *[F.col(m) for m in (meta_cols or [])])
+    # metadata columns ride INSIDE the cell partitions so a filtered probe
+    # (ann_query_index(filter_expr=...)) pushes its predicate into the
+    # pruned scan — partition pruning and rowgroup filtering compose
     # two-level layout (ingest_batch, cell): the base build is batch -1 and
     # every extension owns a batch id, so an at-least-once replay of an
     # increment overwrites ITS OWN partitions (dynamic partition overwrite)
@@ -527,6 +536,7 @@ def extend_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_fs=None,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Grow a persisted IVF index in place: assign the new vectors against
     the index's OWN seed table (the quantizer is immutable once built —
@@ -545,7 +555,8 @@ def extend_ann_index(
     spark = new_vectors.sparkSession
     seeds = spark.read.parquet(live_table_dir(_os.path.join(index_dir, "seeds"), index_fs))
     c = new_vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
-                           norm_col(F.col(vec_col)).alias("cnorm"))
+                           norm_col(F.col(vec_col)).alias("cnorm"),
+                           *[F.col(m) for m in (meta_cols or [])])
     _cell_assignments(c, seeds, "vec_id", "cvec", 1).withColumn(
         "ingest_batch", F.lit(increment)
     ).write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(
@@ -675,9 +686,10 @@ def compact_ann_index(spark, index_dir: str, index_fs=None) -> None:
     live = live_table_dir(cells_dir, index_fs)
 
     def _rewrite(staged: str) -> None:
+        df = spark.read.parquet(live)
+        others = [c for c in df.columns if c not in ("ingest_batch", "cell")]
         (
-            spark.read.parquet(live)
-            .select("vec_id", "cvec", "cnorm", F.lit(-1).alias("ingest_batch"), "cell")
+            df.select(*others, F.lit(-1).alias("ingest_batch"), "cell")
             .write.mode("overwrite")
             .partitionBy("ingest_batch", "cell")
             .parquet(staged)
@@ -695,6 +707,7 @@ def ann_query_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_fs=None,
+    filter_expr: str | None = None,
 ) -> DataFrame:
     """Probe a persisted IVF index: assign each query its n_probe nearest
     cells (against the broadcast seed table), then scan ONLY those cell
@@ -718,6 +731,12 @@ def ann_query_index(
     cells = spark.read.parquet(live_table_dir(_os.path.join(index_dir, "cells"), index_fs)).filter(
         F.col("cell").isin(probe)
     )
+    if filter_expr:
+        # filtered ANN: the metadata predicate evaluates inside the pruned
+        # cell scan (parquet row-group stats + codegen filter), BEFORE any
+        # join — a probe reads n_probe/n_cells of the index AND only the
+        # rows matching the filter; top-k is exact over the filtered slice
+        cells = cells.where(F.expr(filter_expr))
     scored = (
         cells.join(F.broadcast(q_cells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))

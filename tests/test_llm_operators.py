@@ -1250,6 +1250,38 @@ def test_extend_ann_index_equals_rebuild(spark, emb, tmp_path):
     assert a == b and len(a) == 30
 
 
+def test_filtered_ann_probe_equals_filtered_brute(spark, emb, tmp_path):
+    """Filtered ANN: a metadata predicate inside the pruned probe returns
+    exactly the ivf_topk of the predicate-filtered corpus (same seeds) —
+    filtering commutes with cell assignment because cells depend only on
+    the vector. Metadata survives extension and compaction."""
+    seeds = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    idx = str(tmp_path / "fidx")
+    similarity.build_ann_index(
+        emb.filter("vec_id % 2 = 0"), idx, seeds=seeds, meta_cols=["label"]
+    )
+    similarity.extend_ann_index(
+        emb.filter("vec_id % 2 = 1"), idx, increment=1, meta_cols=["label"]
+    )
+    similarity.compact_ann_index(spark, idx)
+    q = emb.filter("vec_id < 3")
+    got = [tuple(r) for r in similarity.ann_query_index(
+        spark, idx, q, k=10, n_probe=2, filter_expr="label = 1"
+    ).collect()]
+    want = [
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_topk(
+            emb.filter("label = 1"), q, k=10, n_probe=2, seeds=seeds
+        ).collect()
+    ]
+    assert got == want and len(got) == 30
+    labels = dict(emb.select("vec_id", "label").collect())
+    assert all(labels[v] == 1 for (_, v, _, _) in got)
+
+
 def test_delete_from_ann_index_equals_rebuild(spark, emb, tmp_path):
     """Copy-on-write delete: the probe over the shrunk index is
     byte-identical to a from-scratch build over the surviving corpus (same
