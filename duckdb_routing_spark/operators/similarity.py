@@ -614,10 +614,20 @@ def delete_from_ann_index(
     ]
     if not affected:
         return 0
-    part_pred = None
-    for b, c in affected:
-        p = (F.col("ingest_batch") == b) & (F.col("cell") == c)
-        part_pred = p if part_pred is None else (part_pred | p)
+    if len(affected) <= 64:
+        part_pred = None
+        for b, c in affected:
+            p = (F.col("ingest_batch") == b) & (F.col("cell") == c)
+            part_pred = p if part_pred is None else (part_pred | p)
+    else:
+        # a per-pair OR-chain grows the expression tree with the partition
+        # count (a 10k-partition delete would choke the analyzer); the
+        # separable isin pair prunes to the CROSS-PRODUCT superset of the
+        # affected batches x cells — extra partitions read and rewritten
+        # identically (correct, bounded waste), listing-level pruning kept
+        part_pred = F.col("ingest_batch").isin([b for b, _ in affected]) & F.col(
+            "cell"
+        ).isin([c for _, c in affected])
     touched = cells.filter(part_pred)
     n_before = touched.count()
     # localCheckpoint: Spark refuses to overwrite a path that feeds the

@@ -1321,6 +1321,38 @@ def test_delete_drops_emptied_partitions(spark, emb, tmp_path):
     assert spark.read.parquet(f"{idx}/cells").filter("cell = 5").count() == 0
 
 
+def test_delete_many_partitions_superset_path(spark, tmp_path):
+    """>64 affected partitions flips the rewrite to the separable-isin
+    superset predicate; results must still equal a rebuild without the ids."""
+    import random
+
+    rng = random.Random(9)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(400)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeds = (
+        vecs.orderBy("vec_id").limit(40)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    idx, ref = str(tmp_path / "many"), str(tmp_path / "manyref")
+    similarity.build_ann_index(vecs.filter("vec_id % 2 = 0"), idx, seeds=seeds)
+    similarity.extend_ann_index(vecs.filter("vec_id % 2 = 1"), idx, increment=1)
+    doomed = vecs.filter("vec_id % 3 != 1").select("vec_id")
+    # sanity: the delete really spans more than 64 (batch, cell) partitions
+    n_parts = (
+        spark.read.parquet(f"{idx}/cells")
+        .join(F.broadcast(doomed), "vec_id")
+        .select("ingest_batch", "cell").distinct().count()
+    )
+    assert n_parts > 64, n_parts
+    n = similarity.delete_from_ann_index(spark, idx, doomed)
+    assert n == doomed.count()
+    similarity.build_ann_index(vecs.filter("vec_id % 3 = 1"), ref, seeds=seeds)
+    q = vecs.filter("vec_id IN (1, 2)")
+    a = [tuple(r) for r in similarity.ann_query_index(spark, idx, q, k=5, n_probe=3).collect()]
+    b = [tuple(r) for r in similarity.ann_query_index(spark, ref, q, k=5, n_probe=3).collect()]
+    assert a == b and len(a) == 10
+
+
 def test_upsert_ann_index_equals_rebuild(spark, emb, tmp_path):
     """Replacing vectors in place: probes over the upserted index equal a
     from-scratch build whose corpus carries the updated vectors."""
