@@ -849,3 +849,31 @@ def phrase_lexicon_hits(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_hits"))
+
+
+def pseudonymize(
+    df: DataFrame, cols: list[str], salt: str, id_col: str | None = None
+) -> DataFrame:
+    """Deterministic keyed pseudonymization of identifier columns: each
+    value is replaced by sha256(salt || ':' || value) — the GDPR-grade
+    tokenization beside scrub_pii (scrubbing destroys the value;
+    pseudonymization preserves JOINABILITY: the same value under the same
+    salt maps to the same token everywhere, so keyed joins and group-bys
+    still work across pseudonymized tables, while reversal requires the
+    salt). NULLs stay NULL (a NULL identifier is already non-identifying).
+
+    Row-local, zero shuffle, JVM-side sha2 — the shape that survives any
+    corpus size. Rotating the salt re-keys the whole release in one pass.
+    """
+    out = df
+    for c in cols:
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col(c).isNotNull(),
+                F.sha2(F.concat(F.lit(salt), F.lit(":"), F.col(c).cast("string")), 256),
+            ),
+        )
+    if id_col:
+        out = out.orderBy(id_col)
+    return out

@@ -2197,3 +2197,33 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(
         docs, ["lang", "source", "size_bucket"], k=5, id_col="doc_id"
     ).orderBy("lang", "source", "size_bucket")
+
+
+PSEUDO_ORACLE = """
+SELECT doc_id,
+       sha256('r7salt:' || source) AS source_token,
+       sha256('r7salt:' || lang) AS lang_token,
+       n_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+@register("doc_pseudonymize", oracle=PSEUDO_ORACLE,
+          doc="deterministic keyed pseudonymization: sha256(salt || value) tokens preserve joinability, rotation re-keys the release")
+def doc_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize identifying columns (text.pseudonymize): the privacy tier
+    between plaintext and scrubbing — tokens stay equal where values were
+    equal (joins/groupBys survive), reversal needs the salt, and a salt
+    rotation re-keys everything in one row-local pass. Complements
+    doc_pii_scrub (free text) and privacy_k_anonymity (quasi-identifier
+    audit)."""
+    from duckdb_routing_spark.operators import text as _text
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
+    out = _text.pseudonymize(docs, ["source", "lang"], salt="r7salt")
+    return out.select(
+        "doc_id",
+        F.col("source").alias("source_token"),
+        F.col("lang").alias("lang_token"),
+        "n_chars",
+    ).orderBy("doc_id")

@@ -353,6 +353,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # pytest+SQL-oracled via graph_pagerank/dedup_cluster siblings;
         # fully SQL-oracled (sorted-orientation wedge closure)
         "graph_triangles",
+        # keyed pseudonymization (round 7): sha256(salt||value) tokens;
+        # privacy family driver-exercised via doc_pii_scrub; fully
+        # SQL-oracled
+        "doc_pseudonymize",
     }
 )
 DRIVER_QUERY_CAP = 50
