@@ -557,6 +557,19 @@ def extend_ann_index(
     c = new_vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
                            norm_col(F.col(vec_col)).alias("cnorm"),
                            *[F.col(m) for m in (meta_cols or [])])
+    # schema-drift guard: an extension must carry the SAME column set the
+    # store already holds — appended files with missing/extra metadata would
+    # silently shadow columns at read time (plain parquet picks one footer)
+    cells_live = live_table_dir(_os.path.join(index_dir, "cells"), index_fs)
+    try:
+        existing = set(spark.read.parquet(cells_live).columns) - {"ingest_batch", "cell"}
+    except Exception:  # noqa: BLE001 — seed-only bootstrap store: nothing to compare
+        existing = None
+    if existing is not None and existing != set(c.columns):
+        raise ValueError(
+            f"extension columns {sorted(c.columns)} do not match the store's "
+            f"{sorted(existing)} — pass the same meta_cols as the build"
+        )
     _cell_assignments(c, seeds, "vec_id", "cvec", 1).withColumn(
         "ingest_batch", F.lit(increment)
     ).write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(

@@ -1667,3 +1667,15 @@ def test_swap_compacted_dir_recovers_from_crashes(tmp_path):
     mk(staged, "v4")
     finish()
     assert os.path.exists(os.path.join(live, "v4"))
+
+
+def test_extend_rejects_meta_schema_drift(spark, emb, tmp_path):
+    import pytest as _pytest
+
+    idx = str(tmp_path / "drift")
+    similarity.build_ann_index(emb.filter("vec_id % 2 = 0"), idx, meta_cols=["label"])
+    with _pytest.raises(ValueError, match="meta_cols"):
+        similarity.extend_ann_index(emb.filter("vec_id % 2 = 1"), idx, increment=1)
+    # matching columns extend fine
+    similarity.extend_ann_index(emb.filter("vec_id % 2 = 1"), idx, increment=1, meta_cols=["label"])
+    assert "label" in spark.read.parquet(f"{idx}/cells").columns
