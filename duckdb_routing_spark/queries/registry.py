@@ -339,11 +339,13 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # the union, oracle computes days directly; sketch family
         # pytest-oracled via sketch_hll_registers sibling; fully SQL-oracled
         "events_daily_hll_rollup",
-        # blocked point-in-polygon spatial join (round 7): the oracle
-        # cross-joins the same exact fixtures, so MATCH proves blocking
-        # lossless; geo family driver-exercised via route_isochrone_contours
-        # + ST_ kit; fully SQL-oracled
-        "geo_points_in_polygons",
+        # train/val/test hash split: a 3-row split-count check, the weakest
+        # row in the sampling family (doc_quota_sample stays exposed with a
+        # 400-row value-hash); hidden late round 7 to hand its driver row
+        # to geo_points_in_polygons, the new spatial-join family — swap
+        # driver-emulation-verified before exposure; still fully SQL-oracled
+        # in test_oracle_parity
+        "doc_hash_split",
         # ER end-to-end golden record (round 7): pairs -> star components
         # -> argmax-acctbal survivor; linkage family driver-exercised via
         # the exposed er_customer_pairs; fully SQL-oracled (recursive
