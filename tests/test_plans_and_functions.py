@@ -530,3 +530,21 @@ def test_triangle_counts_semantics(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
     plan = audit.formatted_plan(out)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_join_degenerate_polygons(spark):
+    """Zero-area rings (r=0 diamonds, collinear strips) contain nothing
+    under the strict even-odd predicate — no crash, no spurious pairs."""
+    from duckdb_routing_spark.operators.geo_join import points_in_polygons
+
+    polys = spark.createDataFrame(
+        [
+            (1, [{"x": 5.0, "y": 5.0}] * 5),                       # point ring
+            (2, [{"x": 0.0, "y": 0.0}, {"x": 9.0, "y": 0.0}, {"x": 0.0, "y": 0.0}]),  # collinear
+        ],
+        "poly_id long, vertices array<struct<x double, y double>>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 4.0, 0.0)], "point_id long, x double, y double"
+    )
+    assert points_in_polygons(pts, polys, cell_size=4.0).count() == 0

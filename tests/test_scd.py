@@ -92,3 +92,15 @@ def test_apply_delta_rejects_out_of_order_keys(spark):
     stale = spark.createDataFrame([(1, _ts(3), 9, "C")], "k bigint, ts timestamp, tb bigint, status string")
     with _pytest.raises(ValueError, match="older than"):
         scd2_apply_delta(dim, stale, "k", "ts", ["status"], tiebreak_col="tb")
+
+
+def test_apply_delta_empty_delta_is_identity(spark):
+    from duckdb_routing_spark.operators.scd import scd2_apply_delta, scd2_from_changelog
+
+    hist_df = spark.createDataFrame(
+        [(1, _ts(1), 1, "A"), (1, _ts(2), 2, "B")], "k bigint, ts timestamp, tb bigint, status string"
+    )
+    dim = scd2_from_changelog(hist_df, "k", "ts", ["status"], tiebreak_col="tb")
+    empty = spark.createDataFrame([], "k bigint, ts timestamp, tb bigint, status string")
+    merged = scd2_apply_delta(dim, empty, "k", "ts", ["status"], tiebreak_col="tb")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, dim.collect()))
