@@ -1,6 +1,6 @@
 PY ?= python
 
-.PHONY: test test-fast parity parity-sf01 bench bench-bucketed smoke driver-check baseline scale-study ratio
+.PHONY: test test-fast parity parity-sf01 bench bench-bucketed smoke driver-check baseline scale-study ratio plans
 
 driver-check:
 	$(PY) tools/driver_emulation.py
@@ -38,3 +38,6 @@ ratio:
 
 bench-bucketed:
 	SPARK_GRAFT_BUCKETED=1 $(PY) bench.py
+
+plans:
+	$(PY) tools/plan_report.py
