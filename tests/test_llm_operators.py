@@ -1679,3 +1679,25 @@ def test_extend_rejects_meta_schema_drift(spark, emb, tmp_path):
     # matching columns extend fine
     similarity.extend_ann_index(emb.filter("vec_id % 2 = 1"), idx, increment=1, meta_cols=["label"])
     assert "label" in spark.read.parquet(f"{idx}/cells").columns
+
+
+def test_upsert_retry_after_partial_failure(spark, emb, tmp_path):
+    """An upsert that crashed between its delete and its extension replays
+    to the same final state: retrying the whole upsert is idempotent."""
+    seeds = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    idx, ref = str(tmp_path / "retry"), str(tmp_path / "retryref")
+    similarity.build_ann_index(emb, idx, seeds=seeds)
+    moved = emb.filter("vec_id IN (30, 31)").select("vec_id", F.reverse("embedding").alias("embedding"))
+    # simulate the crash: the delete half ran, the extend never did
+    similarity.delete_from_ann_index(spark, idx, moved.select("vec_id"))
+    # the retry replays the WHOLE upsert
+    similarity.upsert_ann_index(moved, idx, increment=1)
+    updated = emb.filter("vec_id NOT IN (30, 31)").select("vec_id", "embedding").unionByName(moved)
+    similarity.build_ann_index(updated, ref, seeds=seeds)
+    q = emb.filter("vec_id < 3")
+    a = [tuple(r) for r in similarity.ann_query_index(spark, idx, q, k=10, n_probe=2).collect()]
+    b = [tuple(r) for r in similarity.ann_query_index(spark, ref, q, k=10, n_probe=2).collect()]
+    assert a == b and len(a) == 30

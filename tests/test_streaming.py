@@ -529,3 +529,41 @@ def test_streaming_scd2_equals_batch_build(spark, tmp_path):
     # full no-checkpoint replay: every batch id <= the pointer's -> no-op
     run_stream()
     assert canon(sd.read_scd2_dim(spark, dim_dir, dim_fs=fs)) == got
+
+
+def test_streaming_scd2_recovers_from_torn_generation(spark, tmp_path):
+    """A crash after writing generation files but before the pointer PUT
+    leaves a torn staged dir; the replayed batch must clear it and commit a
+    complete generation — results equal the clean run."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.operators.scd import scd2_from_changelog
+    from duckdb_routing_spark.streaming import docs as sd
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_custkey", F.col("o_orderdate").alias("ts"), "o_orderkey", "o_orderstatus"
+    )
+    in_dir = tmp_path / "torn_in"
+    in_dir.mkdir()
+    orders.coalesce(1).write.parquet(str(in_dir / "chunk_0.parquet"))
+    dim_dir = str(tmp_path / "dim")
+    # simulate the crashed earlier attempt: partial generation, NO pointer
+    torn = tmp_path / "dim__g0"
+    torn.mkdir()
+    (torn / "part-junk.parquet").write_bytes(b"not parquet")
+    stream = (
+        spark.readStream.schema("o_custkey long, ts timestamp, o_orderkey long, o_orderstatus string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "chunk_*.parquet"))
+    )
+    q = sd.streaming_scd2(stream, dim_dir, "o_custkey", "ts", ["o_orderstatus"], tiebreak_col="o_orderkey")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    want = scd2_from_changelog(orders, "o_custkey", "ts", ["o_orderstatus"], tiebreak_col="o_orderkey")
+    got = sd.read_scd2_dim(spark, dim_dir)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert not os.path.exists(str(torn / "part-junk.parquet"))
