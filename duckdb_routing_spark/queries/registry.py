@@ -359,6 +359,9 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # privacy family driver-exercised via doc_pii_scrub; fully
         # SQL-oracled
         "doc_pseudonymize",
+        # UNPIVOT/melt (round 7): the reshaping inverse of the exposed
+        # pivot_order_status (same family); fully SQL-oracled
+        "unpivot_order_status",
     }
 )
 DRIVER_QUERY_CAP = 50

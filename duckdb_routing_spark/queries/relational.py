@@ -1734,3 +1734,37 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["c_nationkey", "c_mktsegment"], max_dist=2,
     ).select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     return triangle_counts(pairs).orderBy("node")
+
+
+UNPIVOT_ORACLE = """
+WITH piv AS (
+  SELECT o_orderpriority,
+         count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS status_O,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS status_F,
+         count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS status_P
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, status, n::BIGINT AS n
+FROM piv UNPIVOT (n FOR status IN (status_O, status_F, status_P))
+ORDER BY o_orderpriority, status
+"""
+
+
+@register("unpivot_order_status", oracle=UNPIVOT_ORACLE,
+          doc="UNPIVOT (melt): the wide status columns back to long form — the reshaping inverse of pivot_order_status")
+def unpivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide -> long via Spark's native unpivot (DataFrame.unpivot / SQL
+    UNPIVOT, Spark 3.4+), completing the reshaping pair: building the wide
+    table is the exposed pivot query, melting it back is row-local
+    (Expand, zero shuffle past the pivot's own aggregation)."""
+    wide = pivot_status(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ["o_orderpriority"],
+            ["status_O", "status_F", "status_P"],
+            "status",
+            "n",
+        )
+        .select("o_orderpriority", "status", F.col("n").cast("long").alias("n"))
+        .orderBy("o_orderpriority", "status")
+    )
