@@ -362,6 +362,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # UNPIVOT/melt (round 7): the reshaping inverse of the exposed
         # pivot_order_status (same family); fully SQL-oracled
         "unpivot_order_status",
+        # Spark 4 VARIANT extraction (round 7): parse_json + typed
+        # variant_get; JSON family driver-exercised via
+        # events_json_extract; fully SQL-oracled
+        "events_variant_extract",
     }
 )
 DRIVER_QUERY_CAP = 50

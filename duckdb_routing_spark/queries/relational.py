@@ -1768,3 +1768,38 @@ def unpivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "status", F.col("n").cast("long").alias("n"))
         .orderBy("o_orderpriority", "status")
     )
+
+
+EVENTS_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_total,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+@register("events_variant_extract", oracle=EVENTS_VARIANT_ORACLE,
+          doc="Spark 4 VARIANT path: parse_json + typed variant_get aggregation over semi-structured props")
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The open-format semi-structured tier (Spark 4 VariantType): props
+    parse ONCE into the binary variant encoding, then typed variant_get
+    extraction feeds a plain keyed aggregate — the engine-native analog of
+    shredding JSON at the scan instead of re-parsing strings per access
+    (events_json_extract keeps the string-path form for comparison). All
+    integer outputs; the oracle extracts through DuckDB's JSON type."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_total"),
+            F.max("k").cast("long").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
