@@ -1701,3 +1701,18 @@ def test_upsert_retry_after_partial_failure(spark, emb, tmp_path):
     a = [tuple(r) for r in similarity.ann_query_index(spark, idx, q, k=10, n_probe=2).collect()]
     b = [tuple(r) for r in similarity.ann_query_index(spark, ref, q, k=10, n_probe=2).collect()]
     assert a == b and len(a) == 30
+
+
+def test_pseudonymize_semantics(spark):
+    """Equal values keep equal tokens (joinability), NULLs stay NULL, and a
+    salt rotation changes every token."""
+    from duckdb_routing_spark.operators import text as t
+
+    df = spark.createDataFrame(
+        [(1, "acme"), (2, "acme"), (3, "other"), (4, None)], "id long, src string"
+    )
+    a = {r.id: r.src for r in t.pseudonymize(df, ["src"], salt="s1").collect()}
+    assert a[1] == a[2] and a[1] != a[3] and a[4] is None
+    assert len(a[1]) == 64  # sha256 hex
+    b = {r.id: r.src for r in t.pseudonymize(df, ["src"], salt="s2").collect()}
+    assert b[1] != a[1] and b[1] == b[2]
