@@ -249,7 +249,7 @@ def hybrid_rrf_oracle_sql(
 ) -> str:
     """The fused ranking in portable DuckDB SQL (exact integers throughout)."""
     terms = sorted({t for t in query.lower().split() if t})
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    in_list = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
     q_lit = query.lower().replace("'", "''")
     return f"""
 WITH toks AS (

@@ -671,19 +671,23 @@ def upsert_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_fs=None,
+    meta_cols: list[str] | None = None,
 ) -> None:
     """Replace-or-insert vectors: copy-on-write delete of any existing
     copies of the incoming ids, then a normal extension under
     (ingest_batch=increment). The quantizer is immutable, so a probe after
     an upsert is byte-identical to one over a from-scratch rebuild whose
     corpus carries the updated vectors (pytest-pinned). Single-writer, like
-    every other maintenance call on the store."""
+    every other maintenance call on the store. On a store built with
+    `meta_cols`, pass the SAME meta_cols here — the extension's
+    schema-drift guard rejects a column-set mismatch."""
     spark = new_vectors.sparkSession
     delete_from_ann_index(
         spark, index_dir, new_vectors.select(id_col), id_col=id_col, index_fs=index_fs
     )
     extend_ann_index(
-        new_vectors, index_dir, increment, id_col=id_col, vec_col=vec_col, index_fs=index_fs
+        new_vectors, index_dir, increment, id_col=id_col, vec_col=vec_col,
+        index_fs=index_fs, meta_cols=meta_cols,
     )
 
 

@@ -408,6 +408,7 @@ def streaming_ann_sync(
     vec_col: str = "embedding",
     op_col: str = "op",
     seq_col: str | None = None,
+    meta_cols: list[str] | None = None,
 ):
     """CDC-driven vector-store maintenance: each micro-batch carries
     'upsert' and 'delete' operations; deletes retire every existing copy
@@ -422,7 +423,9 @@ def streaming_ann_sync(
     extension dynamic-overwrites its own (ingest_batch, cell) partitions —
     a crashed batch replays to the same final state. Single-writer like
     every maintenance call on the store; the index (and its immutable
-    quantizer) must exist before the stream starts."""
+    quantizer) must exist before the stream starts. On a store built with
+    `meta_cols`, pass the SAME meta_cols here (the upsert stream must carry
+    those columns) — the schema-drift guard rejects a mismatch."""
     from duckdb_routing_spark.operators import similarity as _sim
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
@@ -431,10 +434,13 @@ def streaming_ann_sync(
         if seq_col:
             df = reduce_cdc_batch(df, id_col, op_col, seq_col)
         dels = df.where(F.col(op_col) == "delete").select(id_col)
-        ups = df.where(F.col(op_col) == "upsert").select(id_col, vec_col)
+        ups = df.where(F.col(op_col) == "upsert").select(
+            id_col, vec_col, *(meta_cols or [])
+        )
         _sim.delete_from_ann_index(spark, index_dir, dels, id_col=id_col)
         _sim.upsert_ann_index(
-            ups, index_dir, increment=batch_id, id_col=id_col, vec_col=vec_col
+            ups, index_dir, increment=batch_id, id_col=id_col, vec_col=vec_col,
+            meta_cols=meta_cols,
         )
 
     return stream.writeStream.outputMode("append").foreachBatch(_step).start()
@@ -487,7 +493,13 @@ def streaming_scd2(
         if batch_id <= last:
             return  # replayed batch: already folded, exact no-op
         if live is None:
-            new_dim = scd2_from_changelog(batch_df, key_col, ts_col, attr_cols, tiebreak_col)
+            # emit_last_seen: the persisted dim carries each run's last
+            # observation, so every later fold's append-only validation is
+            # STRICT (vs last observation, not just last change point)
+            new_dim = scd2_from_changelog(
+                batch_df, key_col, ts_col, attr_cols, tiebreak_col,
+                emit_last_seen=True,
+            )
         else:
             dim = spark.read.parquet(live)
             new_dim = scd2_apply_delta(

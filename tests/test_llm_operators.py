@@ -1716,3 +1716,53 @@ def test_pseudonymize_semantics(spark):
     assert len(a[1]) == 64  # sha256 hex
     b = {r.id: r.src for r in t.pseudonymize(df, ["src"], salt="s2").collect()}
     assert b[1] != a[1] and b[1] == b[2]
+
+
+def test_upsert_on_meta_index_forwards_meta_cols(spark, emb, tmp_path):
+    """upsert_ann_index on a metadata-carrying store: meta_cols forwards to
+    the extension (the schema-drift guard used to make upserts unusable on
+    such stores), and a filtered probe after the upsert equals a rebuild
+    over the updated corpus."""
+    seeds = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    idx, ref = str(tmp_path / "metaup"), str(tmp_path / "metaupref")
+    similarity.build_ann_index(emb, idx, seeds=seeds, meta_cols=["label"])
+    moved = emb.filter("vec_id IN (30, 31)").select(
+        "vec_id", F.reverse("embedding").alias("embedding"), "label"
+    )
+    similarity.upsert_ann_index(moved, idx, increment=1, meta_cols=["label"])
+    updated = emb.filter("vec_id NOT IN (30, 31)").select(
+        "vec_id", "embedding", "label"
+    ).unionByName(moved)
+    similarity.build_ann_index(updated, ref, seeds=seeds, meta_cols=["label"])
+    q = emb.filter("vec_id < 3")
+    a = [tuple(r) for r in similarity.ann_query_index(
+        spark, idx, q, k=10, n_probe=2, filter_expr="label = 1"
+    ).collect()]
+    b = [tuple(r) for r in similarity.ann_query_index(
+        spark, ref, q, k=10, n_probe=2, filter_expr="label = 1"
+    ).collect()]
+    assert a == b and len(a) == 30
+
+
+def test_hybrid_rrf_oracle_escapes_quoted_terms(spark, docs):
+    """A query term containing a single quote must produce valid (and
+    non-injectable) oracle SQL -- both the literal and every IN-list term
+    escape. Parity with the Spark side still holds."""
+    import duckdb
+
+    from duckdb_routing_spark.operators import search
+
+    q = "o'brien hash join"
+    sql = search.hybrid_rrf_oracle_sql(q, table="documents")
+    pdf = docs.select("doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(sql).fetchall()
+    con.close()
+    got = [tuple(r) for r in search.hybrid_rrf_search(
+        docs.select("doc_id", "text"), q
+    ).collect()]
+    assert got == [tuple(map(int, r)) for r in want] and len(got) > 0

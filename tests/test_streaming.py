@@ -563,7 +563,10 @@ def test_streaming_scd2_recovers_from_torn_generation(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
-    want = scd2_from_changelog(orders, "o_custkey", "ts", ["o_orderstatus"], tiebreak_col="o_orderkey")
-    got = sd.read_scd2_dim(spark, dim_dir)
+    want = scd2_from_changelog(
+        orders, "o_custkey", "ts", ["o_orderstatus"], tiebreak_col="o_orderkey",
+        emit_last_seen=True,
+    )
+    got = sd.read_scd2_dim(spark, dim_dir).select(*want.columns)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert not os.path.exists(str(torn / "part-junk.parquet"))
