@@ -19,7 +19,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from duckdb_routing_spark.queries import REGISTRY  # noqa: E402
-from duckdb_routing_spark.session import get_spark  # noqa: E402
+from duckdb_routing_spark.session import (  # noqa: E402
+    bench_session_conf,
+    get_spark,
+    warm_bench_session,
+)
 
 
 def _register_bucketed_facts(spark, sf_dir: str) -> None:
@@ -60,36 +64,15 @@ def main() -> None:
     # 4 shuffle partitions beat cores-many by ~8x wall-clock; scale this with
     # data volume on a real cluster, not with core count
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4"))
-    # AQE off for the bench (measured: near_dup_pairs 3.9s -> 2.2s at sf0.1):
-    # each adaptive shuffle stage waits for runtime stats and re-plans, and at
-    # benchmark scale that re-planning latency outweighs any plan improvement.
-    # Production sessions (get_spark default) keep AQE on — coalescing and
-    # skew-join handling are exactly what you want at cluster data volumes.
+    # the shared benchmark config (AQE off, stock broadcast threshold,
+    # scan floor, shuffle compression off — each knob measured; rationale
+    # in session.bench_session_conf, the single source of truth this and
+    # tools/ratio.py both import so they cannot drift)
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
         shuffle_partitions=shuffle,
-        extra_conf={
-            "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
-            "spark.locality.wait": "0",
-            # stock 10 MB: re-measured after the remap/plan-fusion work —
-            # force-broadcasting the 150k-row orders side (64 MB threshold)
-            # now LOSES ~0.5 s across the TPC-H shapes (hash-relation build
-            # cost exceeds the avoided tiny shuffle); every genuinely small
-            # dimension still broadcasts under 10 MB
-            "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
-            # local-mode leaf scans default to core-count (32) splits, which
-            # turns every small-file read into 32 near-empty tasks; match the
-            # scan floor to the shuffle width (measured ~-1 s across the set).
-            # On a real cluster input splits come from file sizes and this
-            # floor is irrelevant.
-            "spark.sql.files.minPartitionNum": str(shuffle),
-            # lz4 setup cost per tiny shuffle block outweighs the bytes saved
-            # at sf0.1 (measured ~-1s on near_dups); a real cluster keeps
-            # compression on for network-bound shuffles
-            "spark.shuffle.compress": "false",
-            "spark.shuffle.spill.compress": "false",
-        },
+        extra_conf=bench_session_conf(shuffle),
     )
 
     bucketed = os.environ.get("SPARK_GRAFT_BUCKETED", "") == "1"
@@ -98,28 +81,9 @@ def main() -> None:
 
     headline = {n: s for n, s in sorted(REGISTRY.items()) if s.headline}
 
-    # warmup: JVM + codegen + parquet footer caches + the Python worker fleet
-    # (first Arrow-UDF stage pays worker spawn + numpy/pandas import per core)
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    from pyspark.sql import functions as F
-
-    @F.pandas_udf("double")
-    def _noop(s):
-        import duckdb_routing_spark.routing.kernels  # noqa: F401  (worker import warmup)
-
-        return s * 1.0
-
-    spark.range(cpus * 4, numPartitions=cpus).select(_noop(F.col("id").cast("double"))).count()
-
-    # warm the routing engine: graph broadcast + UDF registration + one
-    # routed row. The reference's baseline numbers are warm-tile queries
-    # (<100 ms AFTER tile load); matching that steady state here keeps the
-    # comparison apples-to-apples instead of billing one arbitrary routing
-    # query for the one-time engine bring-up.
-    from duckdb_routing_spark.queries.routing_queries import _engine
-
-    _engine(spark)
-    spark.sql("SELECT travel_time(52.0, 13.0, 52.005, 13.005, 'auto') AS s").count()
+    # shared warmup (session.warm_bench_session): JVM/codegen/footers, the
+    # Python worker fleet, and the routing engine's broadcast + first row
+    warm_bench_session(spark, sf_dir, cpus)
 
     # best-of-2 per query: measure steady-state throughput (second run reuses
     # compiled codegen / warmed workers), not JIT compile time or transient

@@ -93,3 +93,56 @@ def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def bench_session_conf(shuffle: int) -> dict:
+    """THE benchmark session config — single source of truth imported by
+    both bench.py and tools/ratio.py (they previously duplicated it by
+    convention and could drift). Every knob is a measured sf0.1 bench
+    tuning, documented where first derived (bench.py):
+
+      - AQE off: per-stage re-planning latency outweighs plan gains at
+        benchmark scale (near_dup_pairs 3.9 -> 2.2 s). Production sessions
+        (get_spark default) keep AQE on.
+      - stock 10 MB broadcast threshold (64 MB loses ~0.5 s across the
+        TPC-H shapes after the fact-probe rewrites).
+      - scan-split floor matched to the shuffle width (local-mode leaf
+        scans otherwise default to core-count near-empty tasks).
+      - shuffle compression off: lz4 setup per tiny block outweighs bytes
+        saved at sf0.1; a real cluster keeps it on for network shuffles.
+    """
+    return {
+        "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "false"),
+        "spark.locality.wait": "0",
+        "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
+        "spark.sql.files.minPartitionNum": str(shuffle),
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+    }
+
+
+def warm_bench_session(spark: SparkSession, sf_dir: str, cpus: int) -> None:
+    """The benchmark warmup sequence, shared by bench.py and tools/ratio.py:
+    JVM + codegen + parquet footers (lineitem count), the Python worker
+    fleet (first Arrow stage pays worker spawn + numpy/pandas import per
+    core), and the routing engine's graph broadcast + UDF registration +
+    one routed row — the reference's baseline numbers are warm-tile
+    queries, so steady state is the apples-to-apples starting line."""
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    @F.pandas_udf("double")
+    def _noop(s):
+        import duckdb_routing_spark.routing.kernels  # noqa: F401  (worker import warmup)
+
+        return s * 1.0
+
+    spark.range(cpus * 4, numPartitions=cpus).select(
+        _noop(F.col("id").cast("double"))
+    ).count()
+
+    from duckdb_routing_spark.queries.routing_queries import _engine
+
+    _engine(spark)
+    spark.sql("SELECT travel_time(52.0, 13.0, 52.005, 13.005, 'auto') AS s").count()

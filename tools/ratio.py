@@ -26,7 +26,11 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from duckdb_routing_spark.queries import REGISTRY  # noqa: E402
-from duckdb_routing_spark.session import get_spark  # noqa: E402
+from duckdb_routing_spark.session import (  # noqa: E402
+    bench_session_conf,
+    get_spark,
+    warm_bench_session,
+)
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -39,35 +43,16 @@ def main() -> None:
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4"))
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 
-    # Spark side: the exact bench.py session config
+    # Spark side: the exact bench.py session config + warmup, imported from
+    # the single source of truth (session.bench_session_conf) so the two
+    # harnesses cannot drift
     spark = get_spark(
         app_name="ratio",
         master=f"local[{cpus}]",
         shuffle_partitions=shuffle,
-        extra_conf={
-            "spark.sql.adaptive.enabled": "false",
-            "spark.locality.wait": "0",
-            "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
-            "spark.sql.files.minPartitionNum": str(shuffle),
-            "spark.shuffle.compress": "false",
-            "spark.shuffle.spill.compress": "false",
-        },
+        extra_conf=bench_session_conf(shuffle),
     )
-    from pyspark.sql import functions as F
-
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-
-    @F.pandas_udf("double")
-    def _noop(s):
-        import duckdb_routing_spark.routing.kernels  # noqa: F401
-
-        return s * 1.0
-
-    spark.range(cpus * 4, numPartitions=cpus).select(_noop(F.col("id").cast("double"))).count()
-    from duckdb_routing_spark.queries.routing_queries import _engine
-
-    _engine(spark)
-    spark.sql("SELECT travel_time(52.0, 13.0, 52.005, 13.005, 'auto') AS s").count()
+    warm_bench_session(spark, sf_dir, cpus)
 
     # DuckDB side: the exact baseline_duckdb.py setup
     con = duckdb.connect()
