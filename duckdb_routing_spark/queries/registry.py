@@ -58,6 +58,8 @@ REGISTRY: dict[str, QuerySpec] = {}
 #                            among the exposed 50 (q22 anti/semi, q5 joins)
 #   rollup_revenue           ⊂ grouping_sets_revenue (ROLLUP is sugar)
 #   route_batch_throughput   rows-only throughput probe; bench.py measures it
+#                            (durations value-oracled by its hidden twin
+#                            route_batch_durations on the oracle grid)
 #   route_isochrone          ⊂ route_isochrones_batch (same kernel)
 #   route_node_count         trivial; cardinalities oracled in
 #                            route_monaco_real_osm + route_tile_build
@@ -167,6 +169,11 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         "events_outlier_bounds",
         "events_funnel",
         "route_batch_throughput",
+        # value-hash-oracled twin of route_batch_throughput: identical
+        # pair-gen/repartition/kernel/aggregation shape on the oracle grid
+        # (a 40k-node recursive CTE is intractable for DuckDB); closes the
+        # one rows-only driver row with a real durations oracle
+        "route_batch_durations",
         "route_isochrone",
         "route_node_count",
         # train->score composition of the exposed doc_quality_classifier:

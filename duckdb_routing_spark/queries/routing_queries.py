@@ -311,6 +311,67 @@ def route_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# value-hash-oracled twin of route_batch_throughput: same pair-generation +
+# repartition-on-source + travel_time + exact-decimal aggregation shape, on
+# the ORACLE grid (a 40k-node recursive CTE is intractable for DuckDB; the
+# kernel under test is identical). Six sources route to EVERY node incl.
+# the island (-> NULLs), so n_routed < n_pairs is part of the hash.
+_BATCH_SRC = [0, 15, 33, 55, 77, 99]
+BATCH_DURATIONS_ORACLE = f"""
+WITH RECURSIVE {_reach_cte(', '.join(f'({s}, {s})' for s in _BATCH_SRC))},
+nodes(node_id, lon, lat) AS (VALUES {_NODES_SQL}),
+best AS (SELECT tag, node, min(cost) AS cost FROM reach GROUP BY tag, node)
+SELECT s.tag AS s_node, count(*) AS n_pairs, count(b.cost) AS n_routed,
+       CAST(sum(b.cost) / 1000.0 AS DOUBLE) AS total_duration_s
+FROM srcs s
+CROSS JOIN nodes n
+LEFT JOIN best b ON b.tag = s.tag AND b.node = n.node_id
+GROUP BY s.tag
+ORDER BY s_node
+"""
+
+
+@register("route_batch_durations", oracle=BATCH_DURATIONS_ORACLE,
+          doc="batch-routing durations: per-source exact duration sums vs the recursive-CTE reach set (oracled twin of route_batch_throughput)")
+def route_batch_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    _engine(spark)
+    g = _GRID
+    n = g.num_nodes
+    nodes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "node_id": np.arange(n, dtype=np.int64),
+                "lat": g.node_lat.astype(np.float64),
+                "lon": g.node_lon.astype(np.float64),
+            }
+        )
+    )
+    src_arr = ", ".join(str(s) for s in _BATCH_SRC)
+    pairs = (
+        spark.range(len(_BATCH_SRC) * n)
+        .selectExpr(
+            f"element_at(array({src_arr}), cast(id div {n} AS int) + 1) AS s_node",
+            f"id % {n} AS d_node",
+        )
+        .join(F.broadcast(nodes.selectExpr("node_id AS s_node", "lat AS lat1", "lon AS lon1")), "s_node")
+        .join(F.broadcast(nodes.selectExpr("node_id AS d_node", "lat AS lat2", "lon AS lon2")), "d_node")
+    )
+    routed = pairs.repartition(8, "s_node").selectExpr(
+        "s_node", "travel_time(lat1, lon1, lat2, lon2, 'auto') AS s"
+    )
+    return (
+        routed.groupBy("s_node")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count("s").alias("n_routed"),
+            F.sum(F.col("s").cast("decimal(18,3)")).cast("double").alias("total_duration_s"),
+        )
+        .orderBy("s_node")
+    )
+
+
 _CONTOUR_LEVELS = [0.5, 1.0, 2.0]
 
 # The hull vertex count is algorithm-specific (covered by containment
