@@ -1,6 +1,6 @@
 PY ?= python
 
-.PHONY: test test-fast parity parity-sf01 bench bench-bucketed smoke driver-check baseline scale-study ratio plans
+.PHONY: test test-fast parity parity-sf01 bench bench-bucketed smoke driver-check baseline scale-study ratio plans pil-check country-scale
 
 driver-check:
 	$(PY) tools/driver_emulation.py
@@ -41,3 +41,14 @@ bench-bucketed:
 
 plans:
 	$(PY) tools/plan_report.py
+
+# Optional, needs network: install pillow and drive the REAL 'pil' decode
+# branch of the multimodal tier end to end (the gate test flips to the
+# real-codec path automatically once PIL imports). The dependency-free
+# 'stdlib' decode path runs in the plain `make test` regardless.
+pil-check:
+	$(PY) -m pip install --quiet pillow
+	$(PY) -m pytest tests/test_llm_operators.py -q -k "pil or stdlib or multimodal" tests/test_imagecodec.py -q
+
+country-scale:
+	$(PY) tools/country_scale.py --dim 1200 --pairs 50

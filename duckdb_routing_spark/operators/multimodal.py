@@ -1,15 +1,24 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by Arrow-batched mapInPandas kernels.
 
-The decode step is gated at RUNTIME on the codec library: decoder='pil'
-decodes real images when PIL is importable in the executor environment and
-raises a clearly-marked NotImplementedError when it isn't (this image ships
-no codecs); decoder='fake' is the deterministic stub either way. Everything
-around the gate is real and tested: the schema contract, the binary payload
-handling, the Arrow batch iteration shape, and the partitioning story
-(media tables partition by content hash so one huge video never skews a
-task). tests/test_llm_operators.py drives the 'pil' path for real whenever
-the environment has PIL and asserts the gate otherwise.
+Three decoders:
+  - decoder='fake': deterministic stub (md5-derived), always available.
+  - decoder='stdlib': REAL decode of PNG/24-bit-BMP payloads built on the
+    standard library alone (operators/imagecodec.py — zlib inflate, all
+    five PNG filters, integer BT.601 grayscale, deterministic resize), so
+    the real-decode branch runs end to end even in this codec-library-free
+    container (tests/test_llm_operators.py round-trips compressed PNG bytes
+    through it unconditionally).
+  - decoder='pil': real decode via pillow, gated at RUNTIME — raises a
+    clearly-marked NotImplementedError when PIL is absent from the executor
+    environment. `make pil-check` (optional, needs network) installs
+    pillow and drives this branch for real; in environments that ship it,
+    the same tests exercise it automatically.
+
+Everything around the decode is identical across decoders and tested: the
+schema contract, the binary payload handling, the Arrow batch iteration
+shape, and the partitioning story (media tables partition by content hash
+so one huge video never skews a task).
 """
 
 from __future__ import annotations
@@ -69,6 +78,42 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
+def synthesize_png_media(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Media table whose payloads are REAL compressed PNG bytes (stdlib
+    encoder), derived deterministically from each document: a 12x10 RGB
+    image seeded by the text's md5, rows filtered round-robin so every PNG
+    filter type appears in the corpus. Runs executor-side (mapInPandas) —
+    payloads are born distributed, never on the driver. Feeds the
+    decoder='stdlib'/'pil' REAL-decode paths in tests and demos."""
+    from duckdb_routing_spark.operators import imagecodec
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, types, payloads, metas = [], [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                seed = np.frombuffer(
+                    hashlib.md5(str(text).encode("utf-8")).digest(), dtype=np.uint8
+                )
+                base = np.add.outer(
+                    np.arange(10, dtype=np.int32) * 7, np.arange(12, dtype=np.int32) * 11
+                )
+                img = np.stack(
+                    [(base + int(seed[c])) % 256 for c in range(3)], axis=2
+                ).astype(np.uint8)
+                png = imagecodec.encode_png(img, filter_type=int(mid) % 5)
+                ids.append(mid)
+                types.append("image/png")
+                payloads.append(png)
+                metas.append({"n_bytes": len(png), "width": 12, "height": 10})
+            yield pd.DataFrame(
+                {"media_id": ids, "media_type": types, "payload": payloads, "meta": metas}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, MEDIA_SCHEMA)
+
+
 def _fake_decode_features(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real image-embedding model: 16 floats
     from the md5 digest, scaled to [0, 1)."""
@@ -100,17 +145,33 @@ def _pil_decode_features(payload: bytes) -> np.ndarray:
     return _pil_gray(payload, (4, 4)).astype(np.float32).flatten() / 255.0
 
 
+def _stdlib_decode_features(payload: bytes) -> np.ndarray:
+    """Real decode without PIL: stdlib PNG/BMP -> 4x4 grayscale -> 16
+    floats (operators/imagecodec.py; deterministic integer pipeline)."""
+    from duckdb_routing_spark.operators import imagecodec
+
+    return imagecodec.decode_gray_patch(payload, (4, 4)).astype(np.float32).flatten() / 255.0
+
+
+_FEATURE_DECODERS = {
+    "fake": _fake_decode_features,
+    "pil": _pil_decode_features,
+    "stdlib": _stdlib_decode_features,
+}
+
+
 def extract_features(media: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode + feature-extract over Arrow batches (mapInPandas).
 
-    decoder='fake' uses the deterministic stub; decoder='pil' is the real
-    path and raises until an image library is available. The batch shape is
-    the real contract: one pandas batch in, one out, payloads never
+    decoder='fake' uses the deterministic stub; 'stdlib' really decodes
+    PNG/BMP payloads with the dependency-free codec; 'pil' is the
+    pillow path and raises until the library is available. The batch shape
+    is the real contract: one pandas batch in, one out, payloads never
     round-trip through the driver."""
-    if decoder not in ("fake", "pil"):
+    if decoder not in _FEATURE_DECODERS:
         raise ValueError(f"unknown decoder: {decoder}")
 
-    decode = _pil_decode_features if decoder == "pil" else _fake_decode_features
+    decode = _FEATURE_DECODERS[decoder]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -172,7 +233,7 @@ def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
     two UNSIGNED 32-bit halves in BIGINT — simhash64's exact layout — so
     the banded join and its bit_count hamming reuse
     `dedup.simhash64_hamming_pairs` unchanged."""
-    if decoder not in ("fake", "pil"):
+    if decoder not in ("fake", "pil", "stdlib"):
         raise ValueError(f"unknown decoder: {decoder}")
 
     def _fake_patch(b: bytes) -> np.ndarray:
@@ -193,7 +254,12 @@ def perceptual_hash(media: DataFrame, decoder: str = "fake") -> DataFrame:
         # real decode: 9-wide x 8-tall grayscale thumbnail (classic dHash)
         return _pil_gray(b, (9, 8)).astype(np.int32)
 
-    to_patch = _pil_patch if decoder == "pil" else _fake_patch
+    def _stdlib_patch(b: bytes) -> np.ndarray:
+        from duckdb_routing_spark.operators import imagecodec
+
+        return imagecodec.decode_gray_patch(b, (9, 8)).astype(np.int32)
+
+    to_patch = {"pil": _pil_patch, "stdlib": _stdlib_patch, "fake": _fake_patch}[decoder]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
