@@ -16,14 +16,23 @@ as a `ch_<mode>.npz` sidecar (the analog of the prepared fast_paths index
 inside the reference's `.routing` file) and `to_payload` ships it with the
 graph broadcast, so executors never re-run the ordering.
 
-Measured on the synthetic grids (pure Python build; queries warm):
-  50x50 (2.5k nodes):  build ~2 s,   query 1.4 ms vs Dijkstra 5.8 ms
-  100x100 (10k):       build ~16 s,  query 4.5 ms vs Dijkstra 26 ms
-  200x200 (40k):       build ~149 s, query 16 ms  vs Dijkstra 116 ms
-Uniform grids are CH's known worst topology (shortcut growth wants a
-nested-dissection order); ALT A* stays the engine default there (9 ms on
-the 40k grid). On real road networks the hierarchy is far shallower and
-CH's warm-query advantage is what the reference banks on.
+Measured (round-8 batched independent-set build + cheap 2-hop priority;
+queries warm):
+  UNIFORM grids — CH's known worst topology (shortcut growth wants a
+  nested-dissection order; ALT A* stays the engine default there):
+    100x100 (10k):   build ~11 s (was ~140 s), query ~19 ms
+    200x200 (40k):   build ~72 s (was ~149 s), query ~27 ms
+  ROAD-LIKE networks (testing.build_roadlike_csr — local/arterial/highway
+  tiers, degree-2 geometry midpoints, dead-end drops — the topology class
+  CH and the reference's Italy deployment are built for): the build is
+  LINEAR at ~100-130 us/node and queries stay ~1 ms:
+    95k nodes:   build ~10 s,  query 0.4-1.0 ms
+    383k nodes:  build ~48 s,  query ~2 ms
+    3.45M nodes: build ~7 min, query p50 ~1 ms / p95 ~2 ms
+  (tools/country_scale.py reproduces the country-scale row and checks
+  exactness against frontier SSSP; COUNTRY_SCALE.json holds the committed
+  measurement — against the reference's <100 ms Italy bar,
+  ITALY.md:374-376.)
 
 Correctness: CH queries return EXACTLY the Dijkstra shortest-path weight.
 The witness search is settle-limited, which can only ADD redundant
@@ -126,8 +135,9 @@ class CHIndex:
 
 def _witness_search(fwd, src, avoid, targets, cap, limit=WITNESS_SETTLE_LIMIT):
     """Settle-limited Dijkstra from ``src`` in the remaining graph, skipping
-    ``avoid`` (the node being contracted). Returns {target: dist} for every
-    target settled within ``cap``."""
+    every node in ``avoid`` (the whole contraction batch — a found witness
+    must survive the round). Returns {target: dist} for every target
+    settled within ``cap``."""
     dist = {src: 0}
     heap = [(0, src)]
     out = {}
@@ -144,7 +154,7 @@ def _witness_search(fwd, src, avoid, targets, cap, limit=WITNESS_SETTLE_LIMIT):
             out[u] = d
             remaining.discard(u)
         for v, w in fwd[u].items():
-            if v == avoid:
+            if v in avoid:
                 continue
             nd = d + w
             if nd <= cap and nd < dist.get(v, _INF):
@@ -153,30 +163,60 @@ def _witness_search(fwd, src, avoid, targets, cap, limit=WITNESS_SETTLE_LIMIT):
     return out
 
 
-def _edge_difference(fwd, bwd, v):
-    """Shortcuts-that-would-be-added minus edges-removed for contracting v,
-    with the same settle-limited witness search the contraction itself uses
-    (so the priority tracks the real cost)."""
-    ins = list(bwd[v].items())
-    outs = list(fwd[v].items())
+# Degree product above which the 2-hop priority estimate skips witness
+# probing and pessimistically counts every pair as a shortcut: hub nodes
+# (degree grows as contraction proceeds) then sort to the END of the order
+# without paying deg^3 dict probes — exactly where a hub belongs in a CH.
+_PRIO_PROBE_CAP = 64
+
+
+def _priority(fwd, bwd, v):
+    """CHEAP edge-difference estimate for the contraction ORDER: shortcut
+    count probed with direct-edge and 2-hop witnesses only (no Dijkstra).
+    The order is a pure heuristic — ANY order yields an exact CH (the
+    contraction itself uses the full settle-limited witness search) — so
+    the estimate trades precision for O(deg^2..deg^3) dict probes. Replacing
+    the full witness search HERE is what took the 10k-grid build from
+    ~140 s to seconds: 85% of the old build was Dijkstra witness work
+    inside the priority, not inside the contraction (round-8 profile)."""
+    ins = bwd[v]
+    outs = fwd[v]
     if not ins or not outs:
         return -(len(ins) + len(outs))
     shortcuts = 0
-    for u, wu in ins:
-        cap = max(wu + wt for t, wt in outs if t != u) if any(t != u for t, _ in outs) else 0
-        wit = _witness_search(fwd, u, v, [t for t, _ in outs if t != u], cap)
-        for t, wt in outs:
+    probe = len(ins) * len(outs) <= _PRIO_PROBE_CAP
+    for u, wu in ins.items():
+        fu = fwd[u]
+        for t, wt in outs.items():
             if t == u:
                 continue
-            if wit.get(t, _INF) > wu + wt:
-                shortcuts += 1
+            via = wu + wt
+            if probe:
+                if fu.get(t, _INF) <= via:
+                    continue  # direct witness
+                # 2-hop witness u -> x -> t (x != v)
+                if any(
+                    x != v and wux + fwd[x].get(t, _INF) <= via
+                    for x, wux in fu.items()
+                ):
+                    continue
+            shortcuts += 1
     return shortcuts - (len(ins) + len(outs))
 
 
 def build_ch(g: RoutingGraph) -> CHIndex:
-    """Contract every node in priority order (lazy-updated edge difference +
-    deleted-neighbor count — the standard heuristic pair) and emit the
-    upward/downward search graphs."""
+    """Contract the graph in batched INDEPENDENT-SET rounds (the standard
+    parallel-CH shape): each round scores every live node with the cheap
+    2-hop edge-difference estimate (+ deleted-neighbor count), selects the
+    nodes that are strict local minima among their remaining neighbors
+    (ties by node id — the global minimum always qualifies, so every round
+    progresses), and contracts the whole set with the full settle-limited
+    witness search. Witness searches avoid EVERY node of the current set,
+    so a found witness survives the round — same-round contractions cannot
+    invalidate each other's shortcuts; at worst a witness is missed and a
+    redundant shortcut is added (exactness preserved, see module
+    docstring). Priorities recompute only for nodes whose neighborhood
+    changed (dirty set), never the whole graph."""
     n = g.num_nodes
     fwd: list[dict] = [dict() for _ in range(n)]
     bwd: list[dict] = [dict() for _ in range(n)]
@@ -198,48 +238,76 @@ def build_ch(g: RoutingGraph) -> CHIndex:
         (u, v, int(w), -1) for u in range(n) for v, w in fwd[u].items()
     ]
 
-    deleted_neighbors = np.zeros(n, dtype=np.int32)
+    deleted_neighbors = [0] * n
     rank = np.full(n, -1, dtype=np.int64)
-    heap = [(_edge_difference(fwd, bwd, v) , v) for v in range(n)]
-    heapq.heapify(heap)
+    prio = [0] * n
+    live = set(range(n))
+    dirty = live.copy()
     order = 0
-    while heap:
-        prio, v = heapq.heappop(heap)
-        if rank[v] >= 0:
-            continue
-        # lazy re-evaluation: requeue if stale and no longer on top
-        cur = _edge_difference(fwd, bwd, v) + int(deleted_neighbors[v])
-        if heap and cur > heap[0][0]:
-            heapq.heappush(heap, (cur, v))
-            continue
-        rank[v] = order
-        order += 1
-        ins = list(bwd[v].items())
-        outs = list(fwd[v].items())
-        for u, wu in ins:
-            need = [t for t, _ in outs if t != u]
-            if not need:
-                continue
-            cap = max(wu + wt for t, wt in outs if t != u)
-            wit = _witness_search(fwd, u, v, need, cap)
-            for t, wt in outs:
-                if t == u:
+    while live:
+        for v in dirty:
+            if rank[v] < 0:
+                prio[v] = _priority(fwd, bwd, v) + deleted_neighbors[v]
+        dirty = set()
+        # independent set: strict local minima of (priority, id) among
+        # remaining-graph neighbors
+        batch = []
+        for v in live:
+            pv = (prio[v], v)
+            ok = True
+            for u in fwd[v]:
+                if (prio[u], u) < pv:
+                    ok = False
+                    break
+            if ok:
+                for u in bwd[v]:
+                    if (prio[u], u) < pv:
+                        ok = False
+                        break
+            if ok:
+                batch.append(v)
+        in_batch = set(batch)
+        # contract the batch against the PRE-ROUND graph: reads (ins/outs,
+        # witness searches) see the round-start adjacency because batch
+        # members are pairwise non-adjacent and witness paths skip the
+        # whole batch; writes only touch surviving neighbors.
+        batch_ins = {v: list(bwd[v].items()) for v in batch}
+        batch_outs = {v: list(fwd[v].items()) for v in batch}
+        for v in batch:
+            rank[v] = order
+            order += 1
+            ins = batch_ins[v]
+            outs = batch_outs[v]
+            for u, wu in ins:
+                need = [t for t, _ in outs if t != u]
+                if not need:
                     continue
-                via = wu + wt
-                if wit.get(t, _INF) > via:
-                    if via < fwd[u].get(t, _INF):
-                        fwd[u][t] = via
-                        bwd[t][u] = via
-                        edges.append((u, t, via, v))
-        # disconnect v from the remaining graph
-        for u, _ in ins:
-            fwd[u].pop(v, None)
-            deleted_neighbors[u] += 1
-        for t, _ in outs:
-            bwd[t].pop(v, None)
-            deleted_neighbors[t] += 1
-        fwd[v].clear()
-        bwd[v].clear()
+                cap = max(wu + wt for t, wt in outs if t != u)
+                wit = _witness_search(fwd, u, in_batch, need, cap)
+                for t, wt in outs:
+                    if t == u:
+                        continue
+                    via = wu + wt
+                    if wit.get(t, _INF) > via:
+                        if via < fwd[u].get(t, _INF):
+                            fwd[u][t] = via
+                            bwd[t][u] = via
+                            edges.append((u, t, via, v))
+                            dirty.add(u)
+                            dirty.add(t)
+            # disconnect v from the remaining graph
+            for u, _ in ins:
+                fwd[u].pop(v, None)
+                deleted_neighbors[u] += 1
+                dirty.add(u)
+            for t, _ in outs:
+                bwd[t].pop(v, None)
+                deleted_neighbors[t] += 1
+                dirty.add(t)
+            fwd[v].clear()
+            bwd[v].clear()
+        live -= in_batch
+        dirty &= live
 
     # partition the edge multiset by rank direction. Keep only the LAST
     # (lowest) weight per (u, v, mid) pair implicitly: parallel entries are

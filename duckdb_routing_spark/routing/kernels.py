@@ -254,23 +254,32 @@ def _alt_data(g: RoutingGraph, k: int = 8):
     return g._alt
 
 
+# Landmarks evaluated per query in the full h pass. The pass is
+# memory-bandwidth-bound (one subtract + one maximum over n int64 per term),
+# so cost is linear in the ACTIVE count while pruning quality comes from the
+# best few bounds for the pair (measured at 2.07M nodes, round 8: all 8
+# landmarks ~130 ms/query, top-4 ~40 ms, corridor unchanged).
+ALT_ACTIVE_LANDMARKS = 4
+
+
 def _alt_scratch(g: RoutingGraph, shape):
     """Preallocated buffers for the per-query ALT h computation, cached on
-    the graph object (lives with the executor's broadcast copy). fill()
-    touches every page at allocation so queries never pay first-fault."""
+    the graph object (lives with the executor's broadcast copy): one n-row
+    temp + the h output (O(n), not O(k*n) — the per-landmark fold reuses
+    the row), plus per-landmark has-unreachable flags for dist_to so the
+    backward mask pass is skipped on fully-connected rows. fill() touches
+    every page at allocation so queries never pay first-fault."""
     cached = getattr(g, "_alt_scratch_buf", None)
-    if cached is not None and cached[0].shape == shape:
+    if cached is not None and cached[1].shape[0] == shape[1]:
         return cached
     k, n = shape
-    t1 = np.empty(shape, dtype=np.int64)
-    t2 = np.empty(shape, dtype=np.int64)
-    m1 = np.empty(shape, dtype=bool)
+    row = np.empty(n, dtype=np.int64)
     hmax = np.empty(n, dtype=np.int64)
-    t1.fill(0)
-    t2.fill(0)
-    m1.fill(False)
+    row.fill(0)
     hmax.fill(0)
-    g._alt_scratch_buf = (t1, t2, m1, hmax)
+    _, dist_to = g._alt
+    to_unreach = np.asarray([(dist_to[i] == _INF).any() for i in range(k)], dtype=bool)
+    g._alt_scratch_buf = (row, hmax, to_unreach)
     return g._alt_scratch_buf
 
 
@@ -290,51 +299,60 @@ def astar_p2p_path(g: RoutingGraph, src: int, dst: int):
     if src == dst:
         return 0.0, [int(src)]
     dist_from, dist_to = _alt_data(g)
-    # O(k) route-length estimate from the source's own landmark bound: for
-    # SHORT routes the plain early-exit Dijkstra ball (~2*hops^2 nodes) is
-    # cheaper than the O(k*n) h precompute, so dispatch there. Threshold
-    # hops < sqrt(n)/4 equates the two costs within a small constant
-    # (measured crossover ~100 hops on the 250k grid). Both branches are
-    # exact; the dispatch only picks the cheaper proof.
-    h0 = 0
+    # Per-landmark s-t bounds: drive BOTH the short-route dispatch (h0 =
+    # best bound) and ACTIVE-LANDMARK selection (Goldberg & Harrelson §6 —
+    # the landmarks that bound THIS pair tightly are the ones that prune
+    # its search; the rest only add O(n) h-pass bandwidth). The h pass is
+    # memory-bound: at 2.07M nodes all-8 landmarks cost ~130 ms/query,
+    # the top-4 subset ~40 ms for the same corridor (measured round 8).
+    per_lm = np.zeros(dist_from.shape[0], dtype=np.int64)
     for i in range(dist_from.shape[0]):
+        b = 0
         if dist_from[i, dst] != _INF and dist_from[i, src] != _INF:
-            h0 = max(h0, int(dist_from[i, dst]) - int(dist_from[i, src]))
+            b = max(b, int(dist_from[i, dst]) - int(dist_from[i, src]))
         if dist_to[i, src] != _INF and dist_to[i, dst] != _INF:
-            h0 = max(h0, int(dist_to[i, src]) - int(dist_to[i, dst]))
+            b = max(b, int(dist_to[i, src]) - int(dist_to[i, dst]))
+        per_lm[i] = b
+    h0 = int(per_lm.max()) if per_lm.size else 0
     mean_w = getattr(g, "_mean_w_ms", None)
     if mean_w is None:
         mean_w = float(g.weights_ms.mean()) if len(g.weights_ms) else 1.0
         g._mean_w_ms = mean_w
     if h0 / max(mean_w, 1e-9) < np.sqrt(g.num_nodes) / 4.0:
         return dijkstra_p2p_path(g, src, dst)
-    df_t = dist_from[:, dst][:, None]
-    dt_t = dist_to[:, dst][:, None]
-    # One vectorized pass builds h for EVERY node (O(k*n), ~5 ms at 250k
-    # nodes) — measured ~4x cheaper than lazy per-node Python evaluation
-    # once a search settles more than a few thousand nodes; at 10M-node
-    # country scale switch to chunked evaluation if the per-query O(n)
-    # pass ever dominates. Landmarks that cannot reach dst (or that dst
-    # cannot reach) contribute no bound — masked to 0, never +inf: the
-    # search itself proves unreachability.
+    # One vectorized pass builds h for EVERY node over the ACTIVE landmark
+    # subset (O(k_active*n)) — measured ~4x cheaper than lazy per-node
+    # Python evaluation once a search settles more than a few thousand
+    # nodes. Landmarks that cannot reach dst (or that dst cannot reach)
+    # contribute no forward (resp. backward) term — masked to 0, never
+    # +inf: the search itself proves unreachability.
     #
     # All work happens in PREALLOCATED per-graph scratch (out= ops): the
     # naive expression allocated ~5x k*n of temporaries per query, whose
     # first-touch page faults cost more than the search itself on a fresh
     # process (measured 0.9 s cold vs 0.05 s warm at 250k nodes) — and at
     # 10M-node country scale would be GBs of allocation per query.
-    t1, t2, m1, hmax = _alt_scratch(g, dist_from.shape)
-    np.subtract(df_t, dist_from, out=t1)
-    np.equal(dist_from, _INF, out=m1)
-    t1[m1] = 0
-    t1[(df_t == _INF).ravel(), :] = 0  # k-length row mask, no k*n temp
-    np.subtract(dist_to, dt_t, out=t2)
-    np.equal(dist_to, _INF, out=m1)
-    t2[m1] = 0
-    t2[(dt_t == _INF).ravel(), :] = 0
-    t1.max(axis=0, out=hmax)
-    np.maximum(hmax, t2.max(axis=0), out=hmax)
-    np.clip(hmax, 0, None, out=hmax)
+    active = np.argsort(per_lm, kind="stable")[-ALT_ACTIVE_LANDMARKS:]
+    row, hmax, to_unreach = _alt_scratch(g, dist_from.shape)
+    hmax.fill(0)
+    for i in (int(x) for x in active):
+        dft = dist_from[i, dst]
+        if dft != _INF:
+            # forward term d(L,t) - d(L,u); u unreachable from L gives a
+            # hugely negative value — maximum() drops it without a mask
+            np.subtract(dft, dist_from[i], out=row)
+            np.maximum(hmax, row, out=hmax)
+        dtt = dist_to[i, dst]
+        if dtt != _INF:
+            # backward term d(u,L) - d(t,L); u-cannot-reach-L yields
+            # sentinel-minus-finite (a hugely POSITIVE value — a valid
+            # infinite bound mathematically, but it would overflow the
+            # heap's nd + h arithmetic), so those entries mask to 0;
+            # the row flag skips the mask pass on fully-connected rows
+            np.subtract(dist_to[i], dtt, out=row)
+            if to_unreach[i]:
+                row[dist_to[i] == _INF] = 0
+            np.maximum(hmax, row, out=hmax)
     # exact integer ms in a float view is unnecessary — heap arithmetic
     # stays in int64 (values < 2^53, comparisons identical)
     h = hmax

@@ -144,3 +144,85 @@ def build_big_grid_csr(nrows: int, ncols: int) -> RoutingGraph:
         length_m=w.astype(np.float64),
         main_nodes=np.arange(n, dtype=np.int64),
     )
+
+
+def build_roadlike_csr(nrows: int, ncols: int, drop_pct: int = 20) -> RoutingGraph:
+    """Country-scale ROAD-LIKE synthetic network (fully vectorized build):
+    a lattice of intersections carrying the reference's 3-level hierarchy
+    (local / arterial every 8th line / highway every 64th line —
+    ITALY.md's tile levels), with every LOCAL edge subdivided by a
+    geometry midpoint node and a deterministic `drop_pct`% of local edges
+    removed (dead ends / irregular blocks). The result matches real OSM
+    road-graph shape where a uniform lattice does not: the majority of
+    nodes are degree-2 way geometry, average intersection degree < 4, and
+    fast tiers give witness searches (and real routes) a hierarchy to use
+    — the topology class both CH and the reference's deployment
+    (9.7M-node Italy) are designed for. ~nrows*ncols intersections plus
+    one midpoint per surviving local edge: 1200x1200 -> ~3.9M nodes."""
+    n_int = nrows * ncols
+    ids = np.arange(n_int, dtype=np.int64).reshape(nrows, ncols)
+    # candidate lattice edges between intersections (undirected, as pairs)
+    right_s, right_d = ids[:, :-1].ravel(), ids[:, 1:].ravel()
+    down_s, down_d = ids[:-1, :].ravel(), ids[1:, :].ravel()
+    s = np.concatenate([right_s, down_s])
+    d = np.concatenate([right_d, down_d])
+    rr_s, cc_s = np.divmod(s, ncols)
+    rr_d, cc_d = np.divmod(d, ncols)
+    # tier of an edge = the best tier shared by both endpoints ALONG the
+    # edge's line: a horizontal edge on highway row r%64==0 is highway, etc.
+    horiz = rr_s == rr_d
+    hwy = np.where(horiz, rr_s % 64 == 0, cc_s % 64 == 0)
+    art = np.where(horiz, rr_s % 8 == 0, cc_s % 8 == 0) & ~hwy
+    local = ~hwy & ~art
+    # deterministic drop of drop_pct% of LOCAL edges (hash of endpoints)
+    keep = ((s * 2654435761 + d * 40503) % 100 >= drop_pct) | ~local
+    s, d, hwy, art, local = s[keep], d[keep], hwy[keep], art[keep], local[keep]
+    # per-tier speeds over the ~111 m cell, ms = length / speed; keep a
+    # deterministic +-15% local variation so shortest paths are not
+    # degenerate (same device as build_big_grid_csr)
+    base = np.where(hwy, 3200, np.where(art, 6400, 12800)).astype(np.int64)
+    jitter = ((s * 31 + d * 17) % 7 - 3) * np.where(local, 600, 100)
+    w_full = base + jitter
+    # split: local edges get a midpoint geometry node; arterial/highway
+    # edges stay direct (their ways are denser in reality, but the degree-2
+    # mass is what matters and locals dominate the count)
+    loc_idx = np.flatnonzero(local)
+    thr_idx = np.flatnonzero(~local)
+    n_mid = len(loc_idx)
+    mid_ids = n_int + np.arange(n_mid, dtype=np.int64)
+    ls, ld, lw = s[loc_idx], d[loc_idx], w_full[loc_idx]
+    half1 = lw // 2
+    half2 = lw - half1
+    # directed edge list, both directions (all roads bidirectional here)
+    src = np.concatenate([
+        s[thr_idx], d[thr_idx],
+        ls, mid_ids, mid_ids, ld,
+    ])
+    dst = np.concatenate([
+        d[thr_idx], s[thr_idx],
+        mid_ids, ld, ls, mid_ids,
+    ])
+    w = np.concatenate([
+        w_full[thr_idx], w_full[thr_idx],
+        half1, half2, half1, half2,
+    ])
+    rr, cc = np.divmod(np.arange(n_int, dtype=np.int64), ncols)
+    rr_ls, cc_ls = np.divmod(ls, ncols)
+    rr_ld, cc_ld = np.divmod(ld, ncols)
+    node_lon = np.concatenate([
+        BASE_LON + cc * SPACING_DEG,
+        BASE_LON + (cc_ls + cc_ld) * (SPACING_DEG / 2),
+    ])
+    node_lat = np.concatenate([
+        BASE_LAT + rr * SPACING_DEG,
+        BASE_LAT + (rr_ls + rr_ld) * (SPACING_DEG / 2),
+    ])
+    return RoutingGraph.from_arrays(
+        node_lon=node_lon,
+        node_lat=node_lat,
+        src=src,
+        dst=dst,
+        weight_ms=w,
+        length_m=w.astype(np.float64),
+        main_nodes=np.arange(n_int, dtype=np.int64),
+    )

@@ -151,3 +151,34 @@ def test_engine_matrix_conf_switch(spark):
     assert [(r.from_idx, r.to_idx, r.duration_s) for r in dist_rows] == [
         (r.from_idx, r.to_idx, r.duration_s) for r in base
     ]
+
+
+def test_roadlike_ch_exact_and_linear_shape():
+    """The road-like generator (tiers + degree-2 geometry midpoints +
+    dead-end drops) is the country-scale topology: CH must stay EXACT vs
+    Dijkstra there, contract with bounded shortcut growth, and answer
+    sub-10ms warm (tools/country_scale.py scales this same check to
+    multi-million nodes)."""
+    import time
+
+    import numpy as np
+
+    from duckdb_routing_spark.routing import ch as chm
+    from duckdb_routing_spark.routing import kernels
+    from duckdb_routing_spark.testing import build_roadlike_csr
+
+    g = build_roadlike_csr(60, 60)
+    # topology sanity: majority degree-2 geometry nodes, like real OSM
+    deg = np.diff(g.indptr)
+    assert (deg == 2).sum() > g.num_nodes * 0.4
+    idx = chm.build_ch(g)
+    assert idx.n_shortcuts < 4 * g.num_nodes
+    pairs = [(0, 59 * 60 + 59), (8 * 60, 16 * 60 + 48), (0, 24), (5, 5)]
+    for s, t in pairs:
+        w_ch, *_ = chm.ch_p2p(idx, s, t)
+        wd = kernels.sssp_frontier_ms(g, s)[t]
+        want = -1.0 if wd == np.iinfo(np.int64).max else float(wd)
+        assert w_ch == want, (s, t, w_ch, want)
+    t0 = time.perf_counter()
+    chm.ch_p2p(idx, 0, 59 * 60 + 59)
+    assert time.perf_counter() - t0 < 0.05
