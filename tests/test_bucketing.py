@@ -72,3 +72,41 @@ def test_bench_bucketed_override_value_parity(warehouse, spark):
         _TABLE_CACHE.get(spark, {}).pop((sf_dir, "orders"), None)
         spark.sql("DROP TABLE IF EXISTS lineitem_bench_b")
         spark.sql("DROP TABLE IF EXISTS orders_bench_b")
+
+
+def test_bucketed_tpch_join_family_zero_fact_shuffles(warehouse, spark):
+    """The documented join posture for the TPC-H family at scale: with
+    lineitem+orders bucketed by orderkey, q3/q5/q10 plan ZERO fact-side
+    shuffle exchanges -- no `Exchange hashpartitioning` keyed on
+    l_orderkey/o_orderkey anywhere in the executed plan (the remaining
+    exchanges are tiny post-aggregation group/sort moves and broadcasts).
+    Values stay identical to the plain-parquet layout (layout is physical).
+    tools/scale_study.py --bucketed measures the same plans at derived sf1."""
+    import os
+    import re
+
+    from bench import _register_bucketed_facts
+    from duckdb_routing_spark.queries import REGISTRY
+    from duckdb_routing_spark.queries.registry import _TABLE_CACHE
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata") + "/sf0.001"
+    names = ["q3_shipping_priority", "q5_local_supplier", "q10_returned_items"]
+    plain = {n: [tuple(r) for r in REGISTRY[n].fn(spark, sf_dir).collect()] for n in names}
+
+    _register_bucketed_facts(spark, sf_dir)
+    try:
+        for n in names:
+            df = REGISTRY[n].fn(spark, sf_dir)
+            assert [tuple(r) for r in df.collect()] == plain[n]
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan
+            for ln in plan.splitlines():
+                if "Exchange hashpartitioning" in ln:
+                    assert not re.search(r"\b[lo]_orderkey\b", ln), (
+                        f"{n}: fact-side shuffle survived bucketing:\n{ln.strip()}"
+                    )
+    finally:
+        _TABLE_CACHE.get(spark, {}).pop((sf_dir, "lineitem"), None)
+        _TABLE_CACHE.get(spark, {}).pop((sf_dir, "orders"), None)
+        spark.sql("DROP TABLE IF EXISTS lineitem_bench_b")
+        spark.sql("DROP TABLE IF EXISTS orders_bench_b")
