@@ -570,3 +570,72 @@ def test_streaming_scd2_recovers_from_torn_generation(spark, tmp_path):
     got = sd.read_scd2_dim(spark, dim_dir).select(*want.columns)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert not os.path.exists(str(torn / "part-junk.parquet"))
+
+
+def test_streaming_ann_sync_with_meta_cols(spark, tmp_path):
+    """CDC sync on a METADATA-carrying store (the ADVICE round-7 gap):
+    meta_cols forwards through upsert, so the drained store still serves
+    filtered probes identical to a net-corpus rebuild."""
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.operators import similarity
+    from duckdb_routing_spark.streaming import docs as sd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    )
+    seeds = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    synced, net_dir = str(tmp_path / "msynced"), str(tmp_path / "mnet")
+    base = emb.filter("vec_id % 2 = 0")
+    similarity.build_ann_index(base, synced, seeds=seeds, meta_cols=["label"])
+
+    chunks = [
+        emb.filter("vec_id % 2 = 1").select(
+            "vec_id", "embedding", "label", F.lit("upsert").alias("op")
+        ),
+        spark.createDataFrame([(4,), (6,)], "vec_id long").select(
+            "vec_id",
+            F.lit(None).cast("array<float>").alias("embedding"),
+            # the store carries label as INT (the fixture's type); a LONG
+            # here would write INT64 partitions into an INT32 store
+            F.lit(None).cast("int").alias("label"),
+            F.lit("delete").alias("op"),
+        ),
+    ]
+    in_dir = tmp_path / "mcdc_in"
+    in_dir.mkdir()
+    for b, ch in enumerate(chunks):
+        ch.coalesce(1).write.parquet(str(in_dir / f"chunk_{b}.parquet"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int, op string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "chunk_*.parquet"))
+    )
+    q = sd.streaming_ann_sync(stream, synced, meta_cols=["label"])
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    net = base.filter("vec_id NOT IN (4, 6)").unionByName(emb.filter("vec_id % 2 = 1"))
+    similarity.build_ann_index(net, net_dir, seeds=seeds, meta_cols=["label"])
+    queries = emb.filter("vec_id IN (10, 11, 12)")
+    a = [tuple(r) for r in similarity.ann_query_index(
+        spark, synced, queries, k=10, n_probe=2, filter_expr="label = 1"
+    ).collect()]
+    b = [tuple(r) for r in similarity.ann_query_index(
+        spark, net_dir, queries, k=10, n_probe=2, filter_expr="label = 1"
+    ).collect()]
+    # and both equal the in-memory filtered-corpus IVF (filtering commutes
+    # with cell assignment); the label filter can leave a query with fewer
+    # than k in-cell matches, so the count is whatever the kernel says
+    want = [
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in similarity.ivf_topk(
+            net.filter("label = 1"), queries, k=10, n_probe=2, seeds=seeds
+        ).collect()
+    ]
+    assert a == b == want and len(a) >= 20
