@@ -26,13 +26,14 @@ queries warm):
   tiers, degree-2 geometry midpoints, dead-end drops — the topology class
   CH and the reference's Italy deployment are built for): the build is
   LINEAR at ~100-130 us/node and queries stay ~1 ms:
-    95k nodes:   build ~10 s,  query 0.4-1.0 ms
-    383k nodes:  build ~48 s,  query ~2 ms
-    3.45M nodes: build ~7 min, query p50 ~1 ms / p95 ~2 ms
-  (tools/country_scale.py reproduces the country-scale row and checks
-  exactness against frontier SSSP; COUNTRY_SCALE.json holds the committed
-  measurement — against the reference's <100 ms Italy bar,
-  ITALY.md:374-376.)
+    95k nodes:   build ~10 s,    query 0.4-1.0 ms
+    383k nodes:  build ~48 s,    query ~2 ms
+    3.45M nodes: build 8.5 min,  query p50 4.4 ms / p95 6.5 ms
+    9.6M nodes:  build 25.9 min, query p50 9.6 ms / p95 15.6 ms
+  (9.6M = the reference's Italy scale, 9.7M nodes. tools/country_scale.py
+  reproduces both country-scale rows and checks exactness against frontier
+  SSSP; COUNTRY_SCALE.json holds the committed measurements — against the
+  reference's <100 ms Italy bar, ITALY.md:374-376.)
 
 Correctness: CH queries return EXACTLY the Dijkstra shortest-path weight.
 The witness search is settle-limited, which can only ADD redundant
