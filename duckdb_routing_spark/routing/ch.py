@@ -29,7 +29,7 @@ queries warm):
     95k nodes:   build ~10 s,    query 0.4-1.0 ms
     383k nodes:  build ~48 s,    query ~2 ms
     3.45M nodes: build 8.5 min,  query p50 4.4 ms / p95 6.5 ms
-    9.6M nodes:  build 25.9 min, query p50 9.6 ms / p95 15.6 ms
+    9.6M nodes:  build 22.7 min, query p50 ~9 ms / p95 ~15 ms
   (9.6M = the reference's Italy scale, 9.7M nodes. tools/country_scale.py
   reproduces both country-scale rows and checks exactness against frontier
   SSSP; COUNTRY_SCALE.json holds the committed measurements — against the
