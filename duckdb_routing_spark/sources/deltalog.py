@@ -1,0 +1,245 @@
+"""Minimal Delta Lake transaction log: a from-scratch implementation of the
+PUBLIC Delta protocol (delta-io PROTOCOL.md), enough to make the lakehouse
+sink a TESTED real branch in a JAR-free image.
+
+`sinks.write_table_format` remains the production path (the real Delta/
+Iceberg runtime on the classpath); this module is its dependency-free
+counterpart, the way operators/imagecodec.py backs the multimodal decode
+gate. What it implements, by protocol section:
+
+  - the _delta_log layout: one JSON commit per version, file named
+    `%020d.json`, newline-delimited single-action objects;
+  - actions: `protocol` (minReaderVersion 1 / minWriterVersion 2),
+    `metaData` (table id, format parquet, schemaString = Spark StructType
+    JSON — the exact string Delta stores, `df.schema.json()` —
+    partitionColumns, configuration), `add` (path, partitionValues, size,
+    modificationTime, dataChange), `remove` (path, deletionTimestamp,
+    dataChange), `commitInfo` (informational);
+  - optimistic concurrency: a commit is a PUT-IF-ABSENT of version N
+    (`open(..., 'x')` on POSIX — the protocol's atomic rename/put
+    requirement). An append that loses the race re-reads the log and
+    retries at N+1 (blind appends never conflict); an overwrite that loses
+    raises rather than clobbering a state it did not read;
+  - snapshot reads + TIME TRAVEL: replay add/remove up to a version, read
+    the live files (`basePath` recovers hive-partition columns);
+  - appends must match the table schema exactly (no evolution here).
+
+NOT implemented (documented scope, raises where relevant): checkpoints
+(readers must replay JSON commits — valid per protocol, checkpoints are an
+optimization), deletion vectors, column mapping, generated columns, CDC
+files, and non-POSIX stores (an object-store deployment swaps the
+put-if-absent primitive, e.g. S3 conditional puts — same shape as
+operators/fs.py's pointer commits).
+
+Data files are written by Spark itself (df.write.parquet to a staging dir,
+then hard-moved under the table root keeping Spark's unique part names),
+so executors do all data IO; only the tiny JSON commit is driver-side —
+the same split the real Delta writer has.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_delta_log"
+
+
+class DeltaConcurrentWriteError(RuntimeError):
+    """An overwrite lost the optimistic-concurrency race: another commit
+    landed after the snapshot this overwrite was based on."""
+
+
+def _log_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}.json")
+
+
+def _latest_version(table: str) -> int:
+    """Highest committed version, or -1 for a nonexistent/empty log."""
+    log = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log):
+        return -1
+    versions = [
+        int(f[:-5]) for f in os.listdir(log) if f.endswith(".json") and f[:-5].isdigit()
+    ]
+    return max(versions, default=-1)
+
+
+def _read_actions(table: str, version: int) -> list[dict]:
+    with open(_log_path(table, version)) as f:
+        return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def _replay(table: str, version: int | None = None) -> tuple[dict | None, dict]:
+    """Replay the log up to `version` (inclusive; None = latest).
+    Returns (metaData, {path: add_action}) for live files."""
+    latest = _latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(f"not a delta table (no {_LOG_DIR}): {table}")
+    upto = latest if version is None else version
+    if upto > latest or upto < 0:
+        raise ValueError(f"version {version} out of range [0, {latest}]")
+    meta = None
+    live: dict[str, dict] = {}
+    for v in range(upto + 1):
+        for action in _read_actions(table, v):
+            if "metaData" in action:
+                meta = action["metaData"]
+            elif "add" in action:
+                live[action["add"]["path"]] = action["add"]
+            elif "remove" in action:
+                live.pop(action["remove"]["path"], None)
+    return meta, live
+
+
+def _stage_data_files(
+    df: DataFrame, table: str, partition_by: list[str] | None
+) -> list[dict]:
+    """Write df as parquet via Spark into a staging dir, move the part
+    files under the table root (keeping Spark's unique part names and any
+    hive partition dirs), and return their `add` actions."""
+    staging = os.path.join(table, f"_staged_{uuid.uuid4().hex}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    adds = []
+    for root, _dirs, files in os.walk(staging):
+        rel_dir = os.path.relpath(root, staging)
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue  # _SUCCESS, .crc markers
+            rel = fname if rel_dir == "." else os.path.join(rel_dir, fname)
+            dst = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(root, fname), dst)
+            part_values = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, val = seg.partition("=")
+                    part_values[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+            st = os.stat(dst)
+            adds.append(
+                {
+                    "add": {
+                        # the protocol stores /-separated paths relative to
+                        # the table root, percent-encoding left out (our
+                        # partition values are plain scalars)
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": part_values,
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds
+
+
+def _try_commit(table: str, version: int, actions: list[dict]) -> bool:
+    """PUT-IF-ABSENT of version N: True on success, False if N exists."""
+    os.makedirs(os.path.join(table, _LOG_DIR), exist_ok=True)
+    try:
+        with open(_log_path(table, version), "x") as f:
+            f.write("\n".join(json.dumps(a) for a in actions) + "\n")
+        return True
+    except FileExistsError:
+        return False
+
+
+def write_delta(
+    df: DataFrame,
+    table: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit `df` to the Delta table at `table`; returns the new version.
+
+    mode='append' adds files (schema must equal the table's; blind appends
+    retry through concurrency races). mode='overwrite' removes every live
+    file and adds the new ones atomically in one commit (raises
+    DeltaConcurrentWriteError if another commit lands first)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode: {mode}")
+    latest = _latest_version(table)
+    first = latest < 0
+    if not first:
+        meta, live = _replay(table)
+        if meta["schemaString"] != df.schema.json():
+            raise ValueError(
+                "schema mismatch with the table (this minimal writer does "
+                f"not evolve schemas): table={meta['schemaString']} "
+                f"df={df.schema.json()}"
+            )
+        if sorted(meta.get("partitionColumns", [])) != sorted(partition_by or []):
+            raise ValueError("partition_by must match the table's partitionColumns")
+    adds = _stage_data_files(df, table, partition_by)
+    now = int(time.time() * 1000)
+    base: list[dict] = [
+        {"commitInfo": {"timestamp": now, "operation": mode.upper(),
+                        "engineInfo": "duckdb_routing_spark minimal delta writer"}}
+    ]
+    if first:
+        base.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        base.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": df.schema.json(),
+                    "partitionColumns": partition_by or [],
+                    "configuration": {},
+                    "createdTime": now,
+                }
+            }
+        )
+    version = latest + 1
+    while True:
+        actions = list(base)
+        if mode == "overwrite" and not first:
+            _, live = _replay(table)
+            actions += [
+                {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+                for p in sorted(live)
+            ]
+        actions += adds
+        if _try_commit(table, version, actions):
+            return version
+        if mode == "overwrite":
+            raise DeltaConcurrentWriteError(
+                f"version {version} was committed concurrently; overwrite "
+                "must re-read the table before retrying"
+            )
+        version = _latest_version(table) + 1  # blind append: retry after the winner
+
+
+def read_delta(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
+    """Snapshot read (optionally time-traveled to `version`): replay the
+    log, read exactly the LIVE files. basePath recovers hive-partition
+    columns; an empty snapshot returns an empty frame with the table
+    schema."""
+    from pyspark.sql.types import StructType
+
+    meta, live = _replay(table, version)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    if not live:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table, p) for p in sorted(live)]
+    return spark.read.option("basePath", table).parquet(*paths)
+
+
+def delta_history(table: str) -> list[dict]:
+    """commitInfo per version, oldest first — the DESCRIBE HISTORY shape."""
+    out = []
+    for v in range(_latest_version(table) + 1):
+        info = next(
+            (a["commitInfo"] for a in _read_actions(table, v) if "commitInfo" in a), {}
+        )
+        out.append({"version": v, **info})
+    return out

@@ -86,6 +86,9 @@ def write_table_format(df: DataFrame, path: str, fmt: str = "delta", mode: str =
             raise NotImplementedError(
                 f"{fmt} writer requires the {fmt} runtime on the Spark classpath "
                 f"(e.g. spark-submit --packages io.delta:delta-spark_2.13:<ver> or "
-                f"org.apache.iceberg:iceberg-spark-runtime); not present in this image"
+                f"org.apache.iceberg:iceberg-spark-runtime); not present in this "
+                f"image. For Delta, sources.deltalog.write_delta is the in-repo "
+                f"dependency-free protocol writer (append/overwrite/time-travel, "
+                f"tested end-to-end here)"
             ) from e
         raise

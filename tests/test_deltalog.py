@@ -1,0 +1,147 @@
+"""Minimal Delta-protocol writer/reader (sources/deltalog.py): append /
+overwrite / time-travel / partition semantics, the put-if-absent commit
+race, and the log's structural conformance to the public protocol — the
+dependency-free branch behind the JAR-gated lakehouse sink."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_routing_spark.sources import deltalog as dl
+
+
+def _orders(spark, lo, hi):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(f"o_orderkey >= {lo} AND o_orderkey < {hi}")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def _canon(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_append_roundtrip_and_history(spark, tmp_path):
+    t = str(tmp_path / "t")
+    a, b = _orders(spark, 0, 300), _orders(spark, 300, 700)
+    assert dl.write_delta(a, t) == 0
+    assert dl.write_delta(b, t) == 1
+    got = dl.read_delta(spark, t)
+    assert _canon(got) == _canon(a.unionByName(b))
+    assert got.schema == a.schema
+    hist = dl.delta_history(t)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert [h["operation"] for h in hist] == ["APPEND", "APPEND"]
+
+
+def test_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    a, b = _orders(spark, 0, 300), _orders(spark, 300, 700)
+    dl.write_delta(a, t)
+    dl.write_delta(b, t, mode="overwrite")
+    # live snapshot = overwrite only, even though v0's files are on disk
+    assert _canon(dl.read_delta(spark, t)) == _canon(b)
+    # time travel back to v0
+    assert _canon(dl.read_delta(spark, t, version=0)) == _canon(a)
+    with pytest.raises(ValueError, match="out of range"):
+        dl.read_delta(spark, t, version=5)
+
+
+def test_partitioned_writes_recover_partition_columns(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _orders(spark, 0, 500)
+    dl.write_delta(df, t, partition_by=["o_orderstatus"])
+    dl.write_delta(_orders(spark, 500, 900), t, partition_by=["o_orderstatus"])
+    got = dl.read_delta(spark, t)
+    want = df.unionByName(_orders(spark, 500, 900))
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _canon(got.select(*want.columns)) == _canon(want)
+    # add actions carry hive partitionValues per the protocol
+    acts = [json.loads(ln) for ln in open(os.path.join(t, "_delta_log", f"{0:020d}.json"))]
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds and all(set(a["partitionValues"]) == {"o_orderstatus"} for a in adds)
+    statuses = {a["partitionValues"]["o_orderstatus"] for a in adds}
+    assert statuses == {r.o_orderstatus for r in df.select("o_orderstatus").distinct().collect()}
+
+
+def test_log_structure_matches_protocol(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dl.write_delta(_orders(spark, 0, 100), t)
+    log = os.path.join(t, "_delta_log")
+    files = sorted(os.listdir(log))
+    assert files == ["0" * 20 + ".json"]  # %020d naming
+    acts = [json.loads(ln) for ln in open(os.path.join(log, files[0]))]
+    kinds = [next(iter(a)) for a in acts]
+    assert kinds[0] == "commitInfo" and "protocol" in kinds and "metaData" in kinds
+    proto = next(a["protocol"] for a in acts if "protocol" in a)
+    assert proto == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = next(a["metaData"] for a in acts if "metaData" in a)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    # schemaString is the exact Spark StructType JSON the real writer stores
+    from pyspark.sql.types import StructType
+
+    assert StructType.fromJson(json.loads(meta["schemaString"])) == _orders(spark, 0, 100).schema
+    adds = [a["add"] for a in acts if "add" in a]
+    assert adds
+    for a in adds:
+        assert a["dataChange"] is True and a["size"] > 0
+        assert os.path.exists(os.path.join(t, a["path"]))
+
+
+def test_append_race_retries_overwrite_race_raises(spark, tmp_path, monkeypatch):
+    """Inject a competing commit BETWEEN the snapshot read and the
+    put-if-absent (the real race window): the blind append retries at the
+    next version; the overwrite refuses to clobber a state it did not
+    read."""
+    t = str(tmp_path / "t")
+    dl.write_delta(_orders(spark, 0, 200), t)
+
+    real_try = dl._try_commit
+
+    def racing_try(table, version, actions, _fired=[]):
+        if not _fired:
+            _fired.append(True)
+            with open(os.path.join(table, "_delta_log", f"{version:020d}.json"), "w") as f:
+                f.write(json.dumps({"commitInfo": {"timestamp": 0, "operation": "APPEND"}}) + "\n")
+        return real_try(table, version, actions)
+
+    monkeypatch.setattr(dl, "_try_commit", racing_try)
+    # blind append loses version 1 to the injected winner, retries, lands at 2
+    assert dl.write_delta(_orders(spark, 200, 400), t) == 2
+
+    # fresh race (new _fired cell) for the overwrite
+    def racing_try2(table, version, actions, _fired=[]):
+        if not _fired:
+            _fired.append(True)
+            with open(os.path.join(table, "_delta_log", f"{version:020d}.json"), "w") as f:
+                f.write(json.dumps({"commitInfo": {"timestamp": 0, "operation": "APPEND"}}) + "\n")
+        return real_try(table, version, actions)
+
+    monkeypatch.setattr(dl, "_try_commit", racing_try2)
+    with pytest.raises(dl.DeltaConcurrentWriteError):
+        dl.write_delta(_orders(spark, 0, 100), t, mode="overwrite")
+    # the append's data survived both races intact
+    monkeypatch.setattr(dl, "_try_commit", real_try)
+    assert dl.read_delta(spark, t).count() == _orders(spark, 0, 400).count()
+
+
+def test_schema_and_partition_guards(spark, tmp_path):
+    t = str(tmp_path / "t")
+    dl.write_delta(_orders(spark, 0, 200), t)
+    drifted = _orders(spark, 200, 300).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        dl.write_delta(drifted, t)
+    with pytest.raises(ValueError, match="partitionColumns"):
+        dl.write_delta(_orders(spark, 200, 300), t, partition_by=["o_orderstatus"])
+
+
+def test_empty_snapshot_after_overwrite_with_empty_frame(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = _orders(spark, 0, 200)
+    dl.write_delta(df, t)
+    dl.write_delta(df.filter("o_orderkey < 0"), t, mode="overwrite")
+    got = dl.read_delta(spark, t)
+    assert got.count() == 0 and got.schema == df.schema
