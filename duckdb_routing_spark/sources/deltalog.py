@@ -14,7 +14,8 @@ gate. What it implements, by protocol section:
     JSON — the exact string Delta stores, `df.schema.json()` —
     partitionColumns, configuration), `add` (path, partitionValues, size,
     modificationTime, dataChange), `remove` (path, deletionTimestamp,
-    dataChange), `commitInfo` (informational);
+    dataChange), `txn` (appId/version — exactly-once streaming
+    bookkeeping), `commitInfo` (informational);
   - optimistic concurrency: a commit is a PUT-IF-ABSENT of version N
     (`open(..., 'x')` on POSIX — the protocol's atomic rename/put
     requirement). An append that loses the race re-reads the log and
@@ -75,9 +76,12 @@ def _read_actions(table: str, version: int) -> list[dict]:
         return [json.loads(ln) for ln in f if ln.strip()]
 
 
-def _replay(table: str, version: int | None = None) -> tuple[dict | None, dict]:
+def _replay(
+    table: str, version: int | None = None
+) -> tuple[dict | None, dict, dict]:
     """Replay the log up to `version` (inclusive; None = latest).
-    Returns (metaData, {path: add_action}) for live files."""
+    Returns (metaData, {path: add_action} for live files,
+    {appId: latest txn version} — the exactly-once streaming bookkeeping)."""
     latest = _latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a delta table (no {_LOG_DIR}): {table}")
@@ -86,6 +90,7 @@ def _replay(table: str, version: int | None = None) -> tuple[dict | None, dict]:
         raise ValueError(f"version {version} out of range [0, {latest}]")
     meta = None
     live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
     for v in range(upto + 1):
         for action in _read_actions(table, v):
             if "metaData" in action:
@@ -94,7 +99,10 @@ def _replay(table: str, version: int | None = None) -> tuple[dict | None, dict]:
                 live[action["add"]["path"]] = action["add"]
             elif "remove" in action:
                 live.pop(action["remove"]["path"], None)
-    return meta, live
+            elif "txn" in action:
+                t = action["txn"]
+                txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
+    return meta, live, txns
 
 
 def _stage_data_files(
@@ -158,19 +166,30 @@ def write_delta(
     table: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
-    """Commit `df` to the Delta table at `table`; returns the new version.
+    """Commit `df` to the Delta table at `table`; returns the version the
+    data lives at.
 
     mode='append' adds files (schema must equal the table's; blind appends
     retry through concurrency races). mode='overwrite' removes every live
     file and adds the new ones atomically in one commit (raises
-    DeltaConcurrentWriteError if another commit lands first)."""
+    DeltaConcurrentWriteError if another commit lands first).
+
+    `txn=(appId, version)` records the protocol's streaming transaction
+    action and makes the commit EXACTLY-ONCE per (appId, version): if the
+    table has already seen this appId at >= version, the call is a no-op
+    returning the current table version — the at-least-once foreachBatch
+    replay contract (the check re-runs after losing a commit race, so two
+    replayers cannot both land)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     latest = _latest_version(table)
     first = latest < 0
     if not first:
-        meta, live = _replay(table)
+        meta, live, txns = _replay(table)
+        if txn is not None and txns.get(txn[0], -1) >= txn[1]:
+            return latest  # replayed micro-batch: exact no-op
         if meta["schemaString"] != df.schema.json():
             raise ValueError(
                 "schema mismatch with the table (this minimal writer does "
@@ -199,11 +218,13 @@ def write_delta(
                 }
             }
         )
+    if txn is not None:
+        base.append({"txn": {"appId": txn[0], "version": txn[1]}})
     version = latest + 1
     while True:
         actions = list(base)
         if mode == "overwrite" and not first:
-            _, live = _replay(table)
+            _, live, _ = _replay(table)
             actions += [
                 {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
                 for p in sorted(live)
@@ -216,7 +237,13 @@ def write_delta(
                 f"version {version} was committed concurrently; overwrite "
                 "must re-read the table before retrying"
             )
-        version = _latest_version(table) + 1  # blind append: retry after the winner
+        # blind append: retry after the winner — but if the winner WAS this
+        # txn (a replayed twin racing us), the no-op contract still holds
+        if txn is not None:
+            _, _, txns = _replay(table)
+            if txns.get(txn[0], -1) >= txn[1]:
+                return _latest_version(table)
+        version = _latest_version(table) + 1
 
 
 def read_delta(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
@@ -226,7 +253,7 @@ def read_delta(spark: SparkSession, table: str, version: int | None = None) -> D
     schema."""
     from pyspark.sql.types import StructType
 
-    meta, live = _replay(table, version)
+    meta, live, _ = _replay(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     if not live:
         return spark.createDataFrame([], schema)

@@ -524,3 +524,28 @@ def read_scd2_dim(spark, dim_dir: str, dim_fs=None) -> DataFrame:
     from duckdb_routing_spark.operators.fs import live_table_dir
 
     return spark.read.parquet(live_table_dir(dim_dir, dim_fs))
+
+
+def streaming_delta_sink(
+    stream: DataFrame,
+    table: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+):
+    """Continuous ingestion into a Delta table through the minimal
+    protocol writer (sources/deltalog.py): each micro-batch commits as one
+    append carrying the protocol's `txn` action (appId = `app_id`,
+    version = micro-batch id), so at-least-once foreachBatch replays are
+    EXACT no-ops — the same exactly-once contract the real Delta streaming
+    sink provides, and the delta-native twin of the generation+pointer
+    sinks above. Readers get snapshot isolation + time travel for free
+    (deltalog.read_delta)."""
+    from duckdb_routing_spark.sources import deltalog as _dl
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        _dl.write_delta(
+            batch_df, table, mode="append", partition_by=partition_by,
+            txn=(app_id, batch_id),
+        )
+
+    return stream.writeStream.outputMode("append").foreachBatch(_step).start()

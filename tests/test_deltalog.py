@@ -145,3 +145,42 @@ def test_empty_snapshot_after_overwrite_with_empty_frame(spark, tmp_path):
     dl.write_delta(df.filter("o_orderkey < 0"), t, mode="overwrite")
     got = dl.read_delta(spark, t)
     assert got.count() == 0 and got.schema == df.schema
+
+
+def test_streaming_delta_sink_exactly_once(spark, tmp_path):
+    """Drained streaming Delta ingestion == the batch table, and a full
+    no-checkpoint replay is an exact no-op — the protocol's txn action
+    (appId, batch version) makes at-least-once foreachBatch exactly-once."""
+    from duckdb_routing_spark.streaming import docs as sd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    in_dir = tmp_path / "din"
+    in_dir.mkdir()
+    for b in range(3):
+        docs.filter(f"doc_id % 3 = {b}").coalesce(1).write.parquet(
+            str(in_dir / f"chunk_{b}.parquet")
+        )
+    t = str(tmp_path / "dtable")
+
+    def run_stream():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "chunk_*.parquet"))
+        )
+        q = sd.streaming_delta_sink(stream, t, app_id="docs-ingest", partition_by=["lang"])
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    got = dl.read_delta(spark, t)
+    assert _canon(got.select("doc_id", "text", "lang")) == _canon(docs)
+    v_before = dl.delta_history(t)[-1]["version"]
+    # no-checkpoint restart: every micro-batch replays; txn makes each a no-op
+    run_stream()
+    assert dl.delta_history(t)[-1]["version"] == v_before
+    assert _canon(dl.read_delta(spark, t).select("doc_id", "text", "lang")) == _canon(docs)
