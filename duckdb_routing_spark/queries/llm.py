@@ -2227,3 +2227,44 @@ def doc_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang_token"),
         "n_chars",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# lakehouse sink roundtrip (round 8): the minimal Delta-protocol writer/
+# reader (sources/deltalog.py) under the VALUE-HASH gate — the whole
+# write-commit-read path must reproduce the source exactly, or the
+# aggregate diverges from the oracle computed straight over the table.
+# ---------------------------------------------------------------------------
+
+DELTA_ROUNDTRIP_ORACLE = """
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@register("lake_delta_roundtrip", oracle=DELTA_ROUNDTRIP_ORACLE,
+          doc="Delta-protocol sink roundtrip: two partitioned append commits, snapshot read, per-lang aggregate vs the source table")
+def lake_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write the documents table into a Delta table through the minimal
+    protocol writer (two append commits, hive-partitioned by lang), read
+    the snapshot back, and aggregate per lang — the oracle computes the
+    same aggregate directly over the source, so a hash MATCH proves the
+    log replay, data-file moves, and partition-column recovery are
+    lossless end to end."""
+    import tempfile
+
+    from duckdb_routing_spark.sources import deltalog as _dl
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    t = tempfile.mkdtemp(prefix="spark_graft_delta_rt_")
+    _dl.write_delta(docs.filter("doc_id % 2 = 0"), t, partition_by=["lang"])
+    _dl.write_delta(docs.filter("doc_id % 2 = 1"), t, partition_by=["lang"])
+    got = _dl.read_delta(spark, t)
+    return (
+        got.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -174,6 +174,11 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # (a 40k-node recursive CTE is intractable for DuckDB); closes the
         # one rows-only driver row with a real durations oracle
         "route_batch_durations",
+        # Delta-protocol sink roundtrip (write commits -> snapshot read ->
+        # aggregate) vs the same aggregate straight over the source table;
+        # sink families driver-exercised via pipeline_curate/
+        # sim_ann_index_probe store lifecycles
+        "lake_delta_roundtrip",
         "route_isochrone",
         "route_node_count",
         # train->score composition of the exposed doc_quality_classifier:
