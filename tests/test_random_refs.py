@@ -128,3 +128,45 @@ def test_ranking_metrics_matches_reference_on_random_lists(spark, seed):
         assert row["hits_at_k"] == sum(1 for r in hits if r <= k)
         assert row["first_hit_rank"] == (hits[0] if hits else 0)
         assert row["rr_ppb"] == (1_000_000_000 // hits[0] if hits else 0)
+
+
+@pytest.mark.parametrize("seed", [3, 11, 42])
+@pytest.mark.parametrize("strict", [True, False])
+def test_scd2_apply_delta_equals_rebuild_on_random_splits(spark, seed, strict):
+    """Randomized fold-vs-rebuild pin for the round-8 last_seen fix: any
+    changelog split at a per-key time boundary (delta strictly after every
+    historical OBSERVATION — the enforceable precondition) must fold to the
+    full rebuild exactly, for BOTH dimension shapes (emit_last_seen dims
+    compare last_seen too). Random run lengths, same-ts ties resolved by
+    tiebreak, multi-run keys, delta-only keys."""
+    from duckdb_routing_spark.operators.scd import scd2_apply_delta, scd2_from_changelog
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            rng.randrange(6),
+            dt.datetime(2024, 1, 1) + dt.timedelta(hours=rng.randrange(60)),
+            i,
+            rng.choice(["A", "B", "C", None]),
+        )
+        for i in range(120)
+    ]
+    # per-key boundary: everything strictly after a random per-key cut goes
+    # to the delta; keys 4 and 5 are delta-only (never in history)
+    cuts = {k: dt.datetime(2024, 1, 1) + dt.timedelta(hours=rng.randrange(10, 50)) for k in range(4)}
+    hist = [r for r in rows if r[0] < 4 and r[1] <= cuts[r[0]]]
+    late = [r for r in rows if r[0] >= 4 or r[1] > cuts[r[0]]]
+    if not hist or not late:
+        pytest.skip("degenerate split for this seed")
+    sch = "k bigint, ts timestamp, tb bigint, status string"
+    hist_df = spark.createDataFrame(hist, sch)
+    late_df = spark.createDataFrame(late, sch)
+    full_df = spark.createDataFrame(hist + late, sch)
+    dim = scd2_from_changelog(hist_df, "k", "ts", ["status"], tiebreak_col="tb",
+                              emit_last_seen=strict)
+    merged = scd2_apply_delta(dim, late_df, "k", "ts", ["status"], tiebreak_col="tb")
+    want = scd2_from_changelog(full_df, "k", "ts", ["status"], tiebreak_col="tb",
+                               emit_last_seen=strict)
+    nonesafe = lambda t: tuple((v is None, str(v)) for v in t)
+    canon = lambda df: sorted(map(tuple, df.select(*want.columns).collect()), key=nonesafe)
+    assert canon(merged) == canon(want)
