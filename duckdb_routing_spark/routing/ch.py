@@ -286,10 +286,14 @@ def _build_ch_inner(g: RoutingGraph) -> CHIndex:
             if ok:
                 batch.append(v)
         in_batch = set(batch)
-        # contract the batch against the PRE-ROUND graph: reads (ins/outs,
-        # witness searches) see the round-start adjacency because batch
-        # members are pairwise non-adjacent and witness paths skip the
-        # whole batch; writes only touch surviving neighbors.
+        # Each member's ins/outs snapshot is the PRE-ROUND adjacency (taken
+        # below, before any contraction). Witness searches during the batch
+        # run over the partially-updated graph: edges to already-contracted
+        # members are gone (irrelevant — `avoid` excluded those paths
+        # anyway) and their shortcuts are present (fine — a shortcut equals
+        # a real path length, so any witness it enables survives the round
+        # verbatim). Either way a found witness remains valid in the final
+        # graph; a missed one only adds a redundant shortcut.
         batch_ins = {v: list(bwd[v].items()) for v in batch}
         batch_outs = {v: list(fwd[v].items()) for v in batch}
         for v in batch:
