@@ -270,3 +270,33 @@ def delta_history(table: str) -> list[dict]:
         )
         out.append({"version": v, **info})
     return out
+
+
+def vacuum_delta(table: str, retain_last: int = 1) -> int:
+    """Garbage-collect data files unreferenced by the last `retain_last`
+    snapshots (default: only the current one). Returns the number of files
+    deleted. The log itself stays intact (cheap JSON, and history/audit
+    value), but TIME TRAVEL to a vacuumed version no longer finds its data
+    files — the protocol's standard retention trade, made explicit by the
+    argument instead of a retention clock (a deployment maps retain_last
+    to its retention window). Crash-safe: deletion happens strictly after
+    the retained-set computation, and a re-run is a no-op."""
+    latest = _latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(f"not a delta table (no {_LOG_DIR}): {table}")
+    retained: set[str] = set()
+    for v in range(max(0, latest - retain_last + 1), latest + 1):
+        _, live, _ = _replay(table, v)
+        retained |= set(live)
+    deleted = 0
+    for root, _dirs, files in os.walk(table):
+        if _LOG_DIR in os.path.relpath(root, table).split(os.sep):
+            continue
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(os.path.join(root, fname), table).replace(os.sep, "/")
+            if rel not in retained:
+                os.remove(os.path.join(root, fname))
+                deleted += 1
+    return deleted

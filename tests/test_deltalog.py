@@ -184,3 +184,25 @@ def test_streaming_delta_sink_exactly_once(spark, tmp_path):
     run_stream()
     assert dl.delta_history(t)[-1]["version"] == v_before
     assert _canon(dl.read_delta(spark, t).select("doc_id", "text", "lang")) == _canon(docs)
+
+
+def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    a, b = _orders(spark, 0, 300), _orders(spark, 300, 700)
+    dl.write_delta(a, t)
+    dl.write_delta(b, t, mode="overwrite")
+    n = dl.vacuum_delta(t, retain_last=1)
+    assert n > 0
+    # current snapshot intact; vacuum re-run is a no-op
+    assert _canon(dl.read_delta(spark, t)) == _canon(b)
+    assert dl.vacuum_delta(t, retain_last=1) == 0
+    # v0's files are gone from disk (log/history remain)
+    _, live0, _ = dl._replay(t, 0)
+    assert live0 and all(not os.path.exists(os.path.join(t, p)) for p in live0)
+    assert [h["version"] for h in dl.delta_history(t)] == [0, 1]
+    # retain_last=2 would have kept both snapshots: rebuild and check
+    t2 = str(tmp_path / "t2")
+    dl.write_delta(a, t2)
+    dl.write_delta(b, t2, mode="overwrite")
+    assert dl.vacuum_delta(t2, retain_last=2) == 0
+    assert _canon(dl.read_delta(spark, t2, version=0)) == _canon(a)
