@@ -133,3 +133,38 @@ def test_pil_agreement_when_available():
     with Image.open(BytesIO(png)) as im:
         assert (np.asarray(im.convert("RGB")) == img).all()
     assert (ic.decode_png(png) == img).all()
+
+
+def test_png_rgba_and_gray_alpha_decode():
+    """Color types 6 (RGBA) and 4 (gray+alpha) decode correctly from
+    hand-built filter-0 PNGs; grayscale conversion ignores alpha."""
+    # 2x2 RGBA
+    px = [
+        [10, 20, 30, 255], [40, 50, 60, 128],
+        [70, 80, 90, 0], [200, 210, 220, 255],
+    ]
+    rows = b""
+    for y in range(2):
+        rows += b"\x00" + bytes(sum((px[y * 2 + x] for x in range(2)), []))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + ic._chunk(b"IHDR", ihdr)
+        + ic._chunk(b"IDAT", zlib.compress(rows)) + ic._chunk(b"IEND", b"")
+    )
+    out = ic.decode_png(png)
+    assert out.shape == (2, 2, 4)
+    assert out[0, 1].tolist() == [40, 50, 60, 128]
+    g = ic.to_gray(out)
+    r, gg, b, _a = px[1]
+    assert int(g[0, 1]) == (299 * r + 587 * gg + 114 * b) // 1000
+
+    # 2x1 gray+alpha (type 4): luma = the gray channel, alpha ignored
+    rows = b"\x00" + bytes([77, 255, 200, 0])
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n" + ic._chunk(b"IHDR", ihdr)
+        + ic._chunk(b"IDAT", zlib.compress(rows)) + ic._chunk(b"IEND", b"")
+    )
+    out = ic.decode_png(png)
+    assert out.shape == (1, 2, 2)
+    assert ic.to_gray(out).tolist() == [[77, 200]]
