@@ -228,6 +228,15 @@ def main() -> None:
         out["layout"] = "bucketed"
     if errors:
         out["errors"] = errors
+    # record the EFFECTIVE session knobs in the published line so a stray
+    # env override (e.g. SPARK_GRAFT_AQE=true, which bench_session_conf
+    # honors) can never silently change what a recorded number measured
+    out["conf"] = {
+        "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+        "shuffle_partitions": shuffle,
+        "cpus": cpus,
+        "runs": runs,
+    }
     print(json.dumps(out))
 
 

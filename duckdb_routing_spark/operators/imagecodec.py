@@ -64,9 +64,19 @@ def decode_png(payload: bytes) -> np.ndarray:
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
         ctype = payload[pos + 4 : pos + 8]
+        # a truncated/corrupt stream must raise the documented ValueError,
+        # not silently shorten data (the zlib/length checks downstream only
+        # see the concatenation, not the cut) or leak a struct.error
+        if pos + 12 + length > len(payload):
+            raise ValueError(
+                f"truncated PNG chunk {ctype!r}: declares {length} data bytes "
+                f"but only {len(payload) - pos - 12} remain"
+            )
         data = payload[pos + 8 : pos + 8 + length]
         pos += 12 + length  # length + type + data + crc (crc unchecked)
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError(f"corrupt PNG IHDR: {len(data)} bytes, want 13")
             width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )

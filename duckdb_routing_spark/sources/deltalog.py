@@ -25,10 +25,19 @@ gate. What it implements, by protocol section:
     the live files (`basePath` recovers hive-partition columns);
   - appends must match the table schema exactly (no evolution here).
 
-NOT implemented (documented scope, raises where relevant): checkpoints
-(readers must replay JSON commits — valid per protocol, checkpoints are an
-optimization), deletion vectors, column mapping, generated columns, CDC
-files, and non-POSIX stores (an object-store deployment swaps the
+Checkpoints ARE implemented (protocol "Checkpoints" section): every
+`checkpoint_interval` commits the writer reconciles the log into
+`%020d.checkpoint.parquet` (one action per row: protocol / metaData /
+add / txn columns — remove tombstones are reconciled away because this
+module's vacuum walks the filesystem instead of consuming tombstones)
+and points `_last_checkpoint` at it, so a snapshot read replays at most
+`checkpoint_interval` JSON commits no matter how long an exactly-once
+stream has been appending. Time travel to a pre-checkpoint version falls
+back to full JSON replay (the JSON log is never deleted).
+
+NOT implemented (documented scope, raises where relevant): deletion
+vectors, column mapping, generated columns, CDC files, multi-part
+checkpoints, and non-POSIX stores (an object-store deployment swaps the
 put-if-absent primitive, e.g. S3 conditional puts — same shape as
 operators/fs.py's pointer commits).
 
@@ -44,11 +53,18 @@ import json
 import os
 import shutil
 import time
+import urllib.parse
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
+DEFAULT_CHECKPOINT_INTERVAL = 10
+
+# Diagnostic: JSON commit files parsed since import (tests pin that a
+# checkpointed snapshot read replays a bounded number of them).
+_JSON_COMMITS_READ = 0
 
 
 class DeltaConcurrentWriteError(RuntimeError):
@@ -72,16 +88,61 @@ def _latest_version(table: str) -> int:
 
 
 def _read_actions(table: str, version: int) -> list[dict]:
+    global _JSON_COMMITS_READ
+    _JSON_COMMITS_READ += 1
     with open(_log_path(table, version)) as f:
         return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(table, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
+
+
+def _last_checkpoint_version(table: str) -> int | None:
+    """Version `_last_checkpoint` points at, or None (absent/unreadable —
+    the protocol says readers fall back to listing + JSON replay)."""
+    p = os.path.join(table, _LOG_DIR, _LAST_CHECKPOINT)
+    try:
+        with open(p) as f:
+            v = json.load(f)["version"]
+        return v if os.path.exists(_checkpoint_path(table, v)) else None
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _read_checkpoint(table: str, version: int) -> tuple[dict | None, dict, dict]:
+    """Load reconciled (metaData, live adds, txns) from a checkpoint
+    parquet. Maps come back from Arrow as (key, value) pair lists."""
+    import pyarrow.parquet as pq
+
+    meta = None
+    live: dict[str, dict] = {}
+    txns: dict[str, int] = {}
+    for row in pq.read_table(_checkpoint_path(table, version)).to_pylist():
+        if row.get("metaData"):
+            m = dict(row["metaData"])
+            m["format"] = {"provider": m["format"]["provider"], "options": {}}
+            m["configuration"] = {}
+            m["partitionColumns"] = list(m.get("partitionColumns") or [])
+            meta = m
+        elif row.get("add"):
+            a = dict(row["add"])
+            a["partitionValues"] = dict(a.get("partitionValues") or [])
+            live[a["path"]] = a
+        elif row.get("txn"):
+            t = row["txn"]
+            txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
+    return meta, live, txns
 
 
 def _replay(
     table: str, version: int | None = None
 ) -> tuple[dict | None, dict, dict]:
-    """Replay the log up to `version` (inclusive; None = latest).
-    Returns (metaData, {path: add_action} for live files,
-    {appId: latest txn version} — the exactly-once streaming bookkeeping)."""
+    """Replay the log up to `version` (inclusive; None = latest), starting
+    from the newest checkpoint at or below it when one exists (bounded JSON
+    reads for long-running streams). Returns (metaData, {path: add_action}
+    for live files, {appId: latest txn version} — the exactly-once
+    streaming bookkeeping)."""
     latest = _latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a delta table (no {_LOG_DIR}): {table}")
@@ -91,7 +152,12 @@ def _replay(
     meta = None
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
-    for v in range(upto + 1):
+    start = 0
+    cp = _last_checkpoint_version(table)
+    if cp is not None and cp <= upto:
+        meta, live, txns = _read_checkpoint(table, cp)
+        start = cp + 1
+    for v in range(start, upto + 1):
         for action in _read_actions(table, v):
             if "metaData" in action:
                 meta = action["metaData"]
@@ -103,6 +169,80 @@ def _replay(
                 t = action["txn"]
                 txns[t["appId"]] = max(txns.get(t["appId"], -1), t["version"])
     return meta, live, txns
+
+
+def write_checkpoint(table: str, version: int | None = None) -> str:
+    """Reconcile the log at `version` (default latest) into the protocol's
+    checkpoint parquet (`%020d.checkpoint.parquet`, one action per row in
+    protocol / metaData / add / txn struct columns) and atomically point
+    `_delta_log/_last_checkpoint` at it. Remove tombstones are reconciled
+    away: this module's vacuum walks the filesystem, it does not consume
+    tombstones. Crash-safe — both files land via write-temp + rename, and
+    `_last_checkpoint` only ever moves forward."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    v = _latest_version(table) if version is None else version
+    meta, live, txns = _replay(table, v)
+    schema = pa.schema(
+        [
+            ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                    ("minWriterVersion", pa.int32())])),
+            ("metaData", pa.struct([
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("createdTime", pa.int64()),
+            ])),
+            ("add", pa.struct([
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+            ])),
+            ("txn", pa.struct([("appId", pa.string()), ("version", pa.int64())])),
+        ]
+    )
+    rows: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    ]
+    if meta is not None:
+        rows.append(
+            {"metaData": {
+                "id": meta["id"],
+                "format": {"provider": meta["format"]["provider"]},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": meta.get("partitionColumns", []),
+                "createdTime": meta.get("createdTime"),
+            }}
+        )
+    for path in sorted(live):
+        a = live[path]
+        rows.append(
+            {"add": {
+                "path": a["path"],
+                "partitionValues": list((a.get("partitionValues") or {}).items()),
+                "size": a["size"],
+                "modificationTime": a["modificationTime"],
+                "dataChange": a.get("dataChange", True),
+            }}
+        )
+    for app_id in sorted(txns):
+        rows.append({"txn": {"appId": app_id, "version": txns[app_id]}})
+    cp_path = _checkpoint_path(table, v)
+    tmp = cp_path + f".tmp{uuid.uuid4().hex}"
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
+    os.replace(tmp, cp_path)
+    prev = _last_checkpoint_version(table)
+    if prev is None or v > prev:
+        lc = os.path.join(table, _LOG_DIR, _LAST_CHECKPOINT)
+        tmp = lc + f".tmp{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "size": len(rows)}, f)
+        os.replace(tmp, lc)
+    return cp_path
 
 
 def _stage_data_files(
@@ -130,7 +270,12 @@ def _stage_data_files(
             if rel_dir != ".":
                 for seg in rel_dir.split(os.sep):
                     k, _, val = seg.partition("=")
-                    part_values[k] = None if val == "__HIVE_DEFAULT_PARTITION__" else val
+                    # Spark percent-encodes special chars in hive dir names;
+                    # the protocol stores the DECODED value in partitionValues
+                    part_values[urllib.parse.unquote(k)] = (
+                        None if val == "__HIVE_DEFAULT_PARTITION__"
+                        else urllib.parse.unquote(val)
+                    )
             st = os.stat(dst)
             adds.append(
                 {
@@ -167,6 +312,7 @@ def write_delta(
     mode: str = "append",
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    checkpoint_interval: int | None = DEFAULT_CHECKPOINT_INTERVAL,
 ) -> int:
     """Commit `df` to the Delta table at `table`; returns the version the
     data lives at.
@@ -181,7 +327,12 @@ def write_delta(
     table has already seen this appId at >= version, the call is a no-op
     returning the current table version — the at-least-once foreachBatch
     replay contract (the check re-runs after losing a commit race, so two
-    replayers cannot both land)."""
+    replayers cannot both land).
+
+    Every `checkpoint_interval` commits the writer also reconciles the log
+    into a protocol checkpoint parquet (see write_checkpoint), keeping
+    snapshot reads O(interval) JSON files for long-running streams. Pass
+    None to disable (maintenance then calls write_checkpoint directly)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode: {mode}")
     latest = _latest_version(table)
@@ -231,6 +382,8 @@ def write_delta(
             ]
         actions += adds
         if _try_commit(table, version, actions):
+            if checkpoint_interval and version > 0 and version % checkpoint_interval == 0:
+                write_checkpoint(table, version)
             return version
         if mode == "overwrite":
             raise DeltaConcurrentWriteError(
@@ -248,9 +401,13 @@ def write_delta(
 
 def read_delta(spark: SparkSession, table: str, version: int | None = None) -> DataFrame:
     """Snapshot read (optionally time-traveled to `version`): replay the
-    log, read exactly the LIVE files. basePath recovers hive-partition
-    columns; an empty snapshot returns an empty frame with the table
-    schema."""
+    log, read exactly the LIVE files, then apply the STORED schemaString —
+    Spark's hive partition inference would otherwise retype numeric-looking
+    partition values (lang='1' coming back int), drifting from the
+    metaData the writer enforces on append. basePath recovers the
+    hive-partition columns; an empty snapshot returns an empty frame with
+    the table schema."""
+    from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     meta, live, _ = _replay(table, version)
@@ -258,7 +415,10 @@ def read_delta(spark: SparkSession, table: str, version: int | None = None) -> D
     if not live:
         return spark.createDataFrame([], schema)
     paths = [os.path.join(table, p) for p in sorted(live)]
-    return spark.read.option("basePath", table).parquet(*paths)
+    raw = spark.read.option("basePath", table).parquet(*paths)
+    return raw.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
 
 
 def delta_history(table: str) -> list[dict]:
@@ -272,7 +432,9 @@ def delta_history(table: str) -> list[dict]:
     return out
 
 
-def vacuum_delta(table: str, retain_last: int = 1) -> int:
+def vacuum_delta(
+    table: str, retain_last: int = 1, grace_seconds: float = 600.0
+) -> int:
     """Garbage-collect data files unreferenced by the last `retain_last`
     snapshots (default: only the current one). Returns the number of files
     deleted. The log itself stays intact (cheap JSON, and history/audit
@@ -280,7 +442,16 @@ def vacuum_delta(table: str, retain_last: int = 1) -> int:
     files — the protocol's standard retention trade, made explicit by the
     argument instead of a retention clock (a deployment maps retain_last
     to its retention window). Crash-safe: deletion happens strictly after
-    the retained-set computation, and a re-run is a no-op."""
+    the retained-set computation, and a re-run is a no-op.
+
+    Concurrent-append safety (real Delta VACUUM's modification-time
+    retention window, scaled down): an in-flight append stages parquet
+    under `_staged_*` and hard-moves files under the table root BEFORE its
+    commit lands, so a vacuum racing it would otherwise see those files as
+    unreferenced. The walk therefore never descends into `_staged_*` dirs,
+    and any file younger than `grace_seconds` (default 10 min — far longer
+    than a stage-to-commit window) is left alone. Pass grace_seconds=0
+    only when no writer can be running (exclusive maintenance)."""
     latest = _latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a delta table (no {_LOG_DIR}): {table}")
@@ -289,14 +460,18 @@ def vacuum_delta(table: str, retain_last: int = 1) -> int:
         _, live, _ = _replay(table, v)
         retained |= set(live)
     deleted = 0
-    for root, _dirs, files in os.walk(table):
-        if _LOG_DIR in os.path.relpath(root, table).split(os.sep):
-            continue
+    now = time.time()
+    for root, dirs, files in os.walk(table):
+        dirs[:] = [d for d in dirs if d != _LOG_DIR and not d.startswith("_staged_")]
         for fname in files:
             if not fname.endswith(".parquet"):
                 continue
-            rel = os.path.relpath(os.path.join(root, fname), table).replace(os.sep, "/")
-            if rel not in retained:
-                os.remove(os.path.join(root, fname))
-                deleted += 1
+            full = os.path.join(root, fname)
+            rel = os.path.relpath(full, table).replace(os.sep, "/")
+            if rel in retained:
+                continue
+            if grace_seconds and now - os.stat(full).st_mtime < grace_seconds:
+                continue
+            os.remove(full)
+            deleted += 1
     return deleted

@@ -191,11 +191,13 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     a, b = _orders(spark, 0, 300), _orders(spark, 300, 700)
     dl.write_delta(a, t)
     dl.write_delta(b, t, mode="overwrite")
-    n = dl.vacuum_delta(t, retain_last=1)
+    # grace_seconds=0: exclusive-maintenance mode (files were written
+    # milliseconds ago; the default 10-min window would protect them all)
+    n = dl.vacuum_delta(t, retain_last=1, grace_seconds=0)
     assert n > 0
     # current snapshot intact; vacuum re-run is a no-op
     assert _canon(dl.read_delta(spark, t)) == _canon(b)
-    assert dl.vacuum_delta(t, retain_last=1) == 0
+    assert dl.vacuum_delta(t, retain_last=1, grace_seconds=0) == 0
     # v0's files are gone from disk (log/history remain)
     _, live0, _ = dl._replay(t, 0)
     assert live0 and all(not os.path.exists(os.path.join(t, p)) for p in live0)
@@ -204,5 +206,109 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     t2 = str(tmp_path / "t2")
     dl.write_delta(a, t2)
     dl.write_delta(b, t2, mode="overwrite")
-    assert dl.vacuum_delta(t2, retain_last=2) == 0
+    assert dl.vacuum_delta(t2, retain_last=2, grace_seconds=0) == 0
     assert _canon(dl.read_delta(spark, t2, version=0)) == _canon(a)
+
+
+def test_vacuum_never_races_an_inflight_append(spark, tmp_path):
+    """An append stages parquet and hard-moves files under the table root
+    BEFORE its commit lands. A concurrent vacuum must not delete them:
+    _staged_* dirs are skipped outright, and just-moved (not yet committed)
+    files are protected by the modification-time grace window."""
+    t = str(tmp_path / "t")
+    dl.write_delta(_orders(spark, 0, 300), t)
+    dl.write_delta(_orders(spark, 300, 700), t, mode="overwrite")
+    # simulate the in-flight append's two windows:
+    staged_dir = os.path.join(t, "_staged_deadbeef")
+    os.makedirs(staged_dir)
+    staged = os.path.join(staged_dir, "part-00000-inflight.parquet")
+    moved = os.path.join(t, "part-00000-moved-not-committed.parquet")
+    for p in (staged, moved):
+        with open(p, "wb") as f:
+            f.write(b"PAR1fake")
+    # default grace window: both survive; only v0's OLD files would be
+    # eligible (and they're also young here, so nothing is deleted at all)
+    assert dl.vacuum_delta(t, retain_last=1) == 0
+    assert os.path.exists(staged) and os.path.exists(moved)
+    # even with grace disabled, the _staged_* dir is never entered
+    deleted = dl.vacuum_delta(t, retain_last=1, grace_seconds=0)
+    assert deleted > 0  # v0's files + the moved-but-uncommitted orphan
+    assert os.path.exists(staged)
+    assert _canon(dl.read_delta(spark, t)) == _canon(_orders(spark, 300, 700))
+
+
+def test_checkpoint_bounds_snapshot_reads(spark, tmp_path):
+    """25 commits at checkpoint_interval=10 → checkpoints at v10 and v20;
+    a snapshot read replays the v20 checkpoint + at most 5 JSON commits,
+    not all 25. Time travel to a pre-checkpoint version still works (full
+    JSON replay), and txn exactly-once state survives checkpointing."""
+    t = str(tmp_path / "t")
+    df = _orders(spark, 0, 100)
+    for v in range(25):
+        got_v = dl.write_delta(
+            df, t, txn=("ckpt-app", v), checkpoint_interval=10
+        )
+        assert got_v == v
+    log = os.path.join(t, "_delta_log")
+    assert os.path.exists(os.path.join(log, f"{10:020d}.checkpoint.parquet"))
+    assert os.path.exists(os.path.join(log, f"{20:020d}.checkpoint.parquet"))
+    assert json.load(open(os.path.join(log, "_last_checkpoint")))["version"] == 20
+    dl._JSON_COMMITS_READ = 0
+    got = dl.read_delta(spark, t)
+    assert dl._JSON_COMMITS_READ <= 5  # v21..v24 only
+    assert got.count() == df.count() * 25
+    # txn bookkeeping carried through the checkpoint: replaying an old
+    # micro-batch is still an exact no-op
+    assert dl.write_delta(df, t, txn=("ckpt-app", 3)) == 24
+    assert dl.delta_history(t)[-1]["version"] == 24
+    # time travel below the checkpoint falls back to full JSON replay
+    assert dl.read_delta(spark, t, version=2).count() == df.count() * 3
+    # schema still enforced post-checkpoint
+    with pytest.raises(ValueError, match="schema mismatch"):
+        dl.write_delta(df.withColumn("x", F.lit(1)), t)
+
+
+def test_checkpoint_makes_thousand_commit_log_readable(spark, tmp_path):
+    """A week-long exactly-once stream is ~1e4 commits; the read path must
+    not replay them all. Synthesize 1,000 commits (each adds+removes a
+    phantom path — no live change), checkpoint, and pin that the snapshot
+    read parses ZERO JSON commit files."""
+    t = str(tmp_path / "t")
+    df = _orders(spark, 0, 100)
+    dl.write_delta(df, t, checkpoint_interval=None)
+    for v in range(1, 1000):
+        phantom = f"phantom-{v}.parquet"
+        ok = dl._try_commit(
+            t,
+            v,
+            [
+                {"commitInfo": {"timestamp": 0, "operation": "APPEND"}},
+                {"add": {"path": phantom, "partitionValues": {}, "size": 1,
+                         "modificationTime": 0, "dataChange": True}},
+                {"remove": {"path": phantom, "deletionTimestamp": 0,
+                            "dataChange": True}},
+            ],
+        )
+        assert ok
+    dl.write_checkpoint(t)
+    dl._JSON_COMMITS_READ = 0
+    got = dl.read_delta(spark, t)
+    assert dl._JSON_COMMITS_READ == 0
+    assert _canon(got) == _canon(df)
+
+
+def test_partition_values_are_percent_decoded_and_schema_applied(spark, tmp_path):
+    """Spark percent-encodes special chars in hive dir names and infers
+    partition types on read; the protocol stores DECODED values and the
+    table's declared schema wins (lang='1' must come back string)."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a b/c"), (2, "1"), (3, "plain")], "id int, lang string"
+    )
+    dl.write_delta(df, t, partition_by=["lang"])
+    acts = [json.loads(ln) for ln in open(os.path.join(t, "_delta_log", f"{0:020d}.json"))]
+    vals = {a["add"]["partitionValues"]["lang"] for a in acts if "add" in a}
+    assert vals == {"a b/c", "1", "plain"}
+    got = dl.read_delta(spark, t)
+    assert got.schema == df.schema  # no int inference for lang='1'
+    assert _canon(got.select("id", "lang")) == _canon(df)

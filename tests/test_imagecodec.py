@@ -107,6 +107,32 @@ def test_sniffer_and_unsupported_errors():
         ic.decode_png(pngi)
 
 
+def test_truncated_and_corrupt_chunks_raise_valueerror_by_name():
+    """The docstring's named-error contract must hold for malformed files
+    too: a cut-off stream or an over-long chunk length raises ValueError
+    ('truncated PNG chunk ...'), never struct.error or a silent short
+    read that surfaces later as a confusing zlib/length error."""
+    png = ic.encode_png(_img_gray(4, 4))
+    # cut mid-IHDR: the 13-byte IHDR payload is truncated
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        ic.decode_png(png[:16])
+    # cut mid-IDAT (removes IEND's 12 bytes + 1 byte of IDAT's CRC, so the
+    # cut lands INSIDE a chunk, not on a chunk boundary)
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        ic.decode_png(png[:-13])
+    # chunk length running past the payload (corrupt length field)
+    bad = bytearray(png)
+    bad[8:12] = struct.pack(">I", 10_000)  # IHDR claims 10k bytes
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        ic.decode_png(bytes(bad))
+    # IHDR present but wrong size
+    short_ihdr = (
+        b"\x89PNG\r\n\x1a\n" + ic._chunk(b"IHDR", b"\x00" * 5) + ic._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        ic.decode_png(short_ihdr)
+
+
 def test_gray_conversion_and_resize_determinism():
     img = _img_rgb(8, 8)
     g = ic.to_gray(img)

@@ -130,6 +130,15 @@ def main() -> None:
                 "queries": per,
                 "skipped": skipped,
                 "sf": sf_dir,
+                # effective session knobs: bench_session_conf honors
+                # SPARK_GRAFT_AQE, so published ratios must carry what the
+                # session actually ran with (ADVICE r8)
+                "conf": {
+                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                    "shuffle_partitions": shuffle,
+                    "cpus": cpus,
+                    "runs": runs,
+                },
             }
         )
     )
