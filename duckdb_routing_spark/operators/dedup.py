@@ -274,6 +274,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 12,
     band_size: int = 3,
     sh: DataFrame | None = None,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (doc_a < doc_b) via banded MinHash.
 
@@ -282,14 +283,17 @@ def lsh_candidate_pairs(
     Pass a (persisted) `sh` shingle table to share the scan with other
     stages; standalone, the NON-distinct shingle stream feeds the signature
     directly (min over a multiset == min over the set), skipping a full
-    dedup shuffle of the shingle table."""
+    dedup shuffle of the shingle table. Buckets beyond `max_bucket` members
+    degrade to star pairing (see :func:`_pairs_in_buckets`)."""
     if sh is None:
         sh = shingles(docs, id_col, text_col, k, distinct=False)
     bands = bands_from_shingles(sh, n_hashes, band_size)
-    return _pairs_in_buckets(bands)
+    return _pairs_in_buckets(bands, max_bucket=max_bucket)
 
 
-def _pairs_in_buckets(bands: DataFrame) -> DataFrame:
+def _pairs_in_buckets(
+    bands: DataFrame, max_bucket: int = 1024, observation=None
+) -> DataFrame:
     """(doc_a < doc_b) candidate pairs per (band, band_sig) bucket, generated
     ROW-LOCALLY from each bucket's sorted member array.
 
@@ -298,17 +302,40 @@ def _pairs_in_buckets(bands: DataFrame) -> DataFrame:
     the probe side's shuffle exchange — the whole shingle->MinHash pipeline
     (the expensive part) executes TWICE. One groupBy collapses it to a
     single pass; the pair space still only materializes inside shared-band
-    buckets, exactly as before. Scale note: collect_set holds one bucket's
-    doc ids in one row — fine under LSH's design assumption (bucket sizes
-    are small; a bucket with millions of members means the band width is
-    wrong for the corpus), and the same quadratic pair space would have
-    blown up the join form too."""
+    buckets, exactly as before.
+
+    Degenerate-bucket bound (the 100 TB hazard): real web corpora carry
+    boilerplate/template clusters of 1e5-1e6 near-identical docs that
+    survive EXACT dedup, and one such cluster is one (band, band_sig)
+    bucket — all-pairs there is O(n^2) = 1e10-1e12 pairs from a single
+    row. Buckets larger than `max_bucket` therefore switch to STAR
+    pairing: every member pairs with the bucket minimum only (n-1 pairs).
+    For the near-dup pipeline's downstream consumers (connected
+    components -> clusters/keep-policy) the star preserves connectivity —
+    every member stays reachable from the hub — so cluster outputs are
+    unchanged for genuinely-near-identical mega-clusters; what's given up
+    is pairwise Jaccard edges BETWEEN non-hub members of a bucket that
+    collides docs of mixed similarity, the standard truncation trade.
+    CaseWhen evaluates only the taken branch, so the quadratic expression
+    never runs on an oversized row. The bucket's member array itself stays
+    O(n) (8 bytes/id: a 1e6-member bucket is an 8 MB row, not a 1e12 pair
+    space). Pass a pyspark.sql.Observation as `observation` to get
+    truncation telemetry (capped_buckets / max_bucket_size / buckets) for
+    free on the next action — the scale-pipeline equivalent of logging
+    the truncation instead of silently claiming full coverage."""
     buckets = (
         bands.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
         .filter(F.size("ds") > 1)
     )
-    pair_structs = F.flatten(
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.count(F.when(F.size("ds") > max_bucket, 1)).alias("capped_buckets"),
+            F.max(F.size("ds")).alias("max_bucket_size"),
+            F.count(F.lit(1)).alias("buckets"),
+        )
+    all_pairs = F.flatten(
         F.transform(
             F.col("ds"),
             lambda x, i: F.transform(
@@ -317,6 +344,12 @@ def _pairs_in_buckets(bands: DataFrame) -> DataFrame:
             ),
         )
     )
+    hub = F.element_at(F.col("ds"), 1)  # array is sorted: hub = bucket min
+    star_pairs = F.transform(
+        F.slice(F.col("ds"), 2, F.size(F.col("ds")) - 1),
+        lambda y: F.struct(hub.alias("doc_a"), y.alias("doc_b")),
+    )
+    pair_structs = F.when(F.size("ds") > max_bucket, star_pairs).otherwise(all_pairs)
     return (
         buckets.select(F.explode(pair_structs).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -349,12 +382,17 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 
 
 def lsh_candidates_from_hashes(
-    base: DataFrame, n_hashes: int = 12, band_size: int = 3
+    base: DataFrame, n_hashes: int = 12, band_size: int = 3,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """(doc_a < doc_b) LSH candidate pairs from a pre-hashed shingle base —
     bucket-local pair generation on (band, band_sig); the pair space only
-    materializes inside shared-band buckets (see :func:`_pairs_in_buckets`)."""
-    return _pairs_in_buckets(bands_from_hashes(base, n_hashes, band_size))
+    materializes inside shared-band buckets, capped at `max_bucket` members
+    per bucket beyond which star pairing applies (see
+    :func:`_pairs_in_buckets`)."""
+    return _pairs_in_buckets(
+        bands_from_hashes(base, n_hashes, band_size), max_bucket=max_bucket
+    )
 
 
 def near_dup_pairs(

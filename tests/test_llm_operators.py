@@ -80,6 +80,54 @@ def test_near_dup_jaccard_bounds(spark, docs):
     assert all(0.8 <= r.jaccard <= 1.0 for r in rows)
 
 
+def test_lsh_mega_bucket_is_star_paired_and_bounded(spark):
+    """The 100 TB degenerate case: a boilerplate cluster of 1e5+ docs
+    landing in ONE (band, band_sig) bucket. All-pairs there is O(n^2) ~
+    7e9 pairs — the run must instead emit the star (n-1 pairs hubbed on
+    the bucket min, preserving connected-component semantics), leave
+    normal buckets on exact all-pairs, and report the truncation through
+    the Observation channel."""
+    from pyspark.sql import Observation
+
+    n = 120_000
+    mega = spark.range(n).select(
+        F.lit(0).alias("band"), F.lit("sig-mega").alias("band_sig"),
+        F.col("id").alias("doc_id"),
+    )
+    normal = spark.createDataFrame(
+        [(1, "sig-a", 200_010), (1, "sig-a", 200_011), (1, "sig-a", 200_012),
+         (2, "sig-b", 200_020), (2, "sig-b", 200_021)],
+        "band int, band_sig string, doc_id long",
+    )
+    obs = Observation("lsh-truncation")
+    pairs = dedup._pairs_in_buckets(
+        mega.unionByName(normal), max_bucket=1000, observation=obs
+    )
+    got = pairs.collect()  # bounded: n-1 + 3 + 1, not ~7e9
+    star = {(a, b) for a, b in map(tuple, got) if a < 200_000}
+    assert star == {(0, d) for d in range(1, n)}  # hub = bucket min
+    small = {(a, b) for a, b in map(tuple, got) if a >= 200_000}
+    assert small == {(200_010, 200_011), (200_010, 200_012),
+                     (200_011, 200_012), (200_020, 200_021)}  # untouched
+    m = obs.get
+    assert m["capped_buckets"] == 1
+    assert m["max_bucket_size"] == n
+    assert m["buckets"] == 3
+    # connectivity invariant the keep-policy/clusters consumers rely on:
+    # every mega-bucket member is reachable from the hub
+    assert {d for _, d in star} | {0} == set(range(n))
+
+
+def test_lsh_pairs_identical_below_cap(spark, docs):
+    """On a normal corpus (every bucket under the cap) the capped path is
+    byte-identical to uncapped all-pairs — the truncation can only ever
+    fire on degenerate buckets."""
+    capped = dedup.lsh_candidate_pairs(docs, max_bucket=1024).collect()
+    uncapped = dedup.lsh_candidate_pairs(docs, max_bucket=10**9).collect()
+    key = lambda r: (r.doc_a, r.doc_b)  # noqa: E731
+    assert sorted(capped, key=key) == sorted(uncapped, key=key) and capped
+
+
 def test_jaccard_shuffle_path_equals_broadcast_path(spark, docs):
     """The non-broadcast fallback (pathological candidate volumes) must
     produce byte-identical jaccard values to the broadcast plan."""
