@@ -1,6 +1,6 @@
 PY ?= python
 
-.PHONY: test test-fast parity parity-sf01 bench bench-bucketed smoke driver-check baseline scale-study ratio plans pil-check country-scale
+.PHONY: test test-fast parity parity-sf01 bench bench-bucketed bench-compare smoke driver-check baseline scale-study ratio plans pil-check country-scale
 
 driver-check:
 	$(PY) tools/driver_emulation.py
@@ -38,6 +38,11 @@ ratio:
 
 bench-bucketed:
 	SPARK_GRAFT_BUCKETED=1 $(PY) bench.py
+
+# round-over-round per-query regression gate: newest two BENCH_r*.json,
+# fail on >15% AND >0.05s per-query drift (tools/bench_compare.py for args)
+bench-compare:
+	$(PY) tools/bench_compare.py
 
 plans:
 	$(PY) tools/plan_report.py

@@ -15,6 +15,7 @@ import json
 import os
 import sys
 import time
+from contextlib import contextmanager
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -126,6 +127,35 @@ def main() -> None:
             print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
     spark.catalog.clearCache()
 
+    # per-query session-conf overrides (QuerySpec.session_conf): resolved
+    # once here, applied around each query's executions and RESTORED after,
+    # so the pinned bench session is what every other query runs under.
+    # Currently the events family sizes its shuffle width from input bytes
+    # (one partition per 64 MB) — the global per-sf width splits its few-MB
+    # shuffle payload into near-empty tasks (ARCHITECTURE.md, measured)
+    overrides: dict[str, dict] = {}
+    for name, spec in headline.items():
+        if name in plans and spec.session_conf:
+            ov = (spec.session_conf(spark, sf_dir) if callable(spec.session_conf)
+                  else dict(spec.session_conf))
+            if ov:
+                overrides[name] = ov
+
+    @contextmanager
+    def query_conf(name):
+        ov = overrides.get(name)
+        if not ov:
+            yield
+            return
+        saved = {k: spark.conf.get(k) for k in ov}
+        for k, v in ov.items():
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
     # round 0 is UNTIMED: every plan executes once end-to-end before any
     # measurement, so cold parquet IO / per-query codegen / first-touch page
     # cache never bill a timed round (the r5 driver bench charged one cold
@@ -140,7 +170,8 @@ def main() -> None:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             try:
-                n = plans[name].count()
+                with query_conf(name):
+                    n = plans[name].count()
             except Exception as exc:  # noqa: BLE001 — fault isolation by design
                 errors[name] = str(exc).splitlines()[0][:200]
                 timings.pop(name, None)
@@ -182,12 +213,13 @@ def main() -> None:
     # the first absorbs the interference, the second samples steady state.
     for name in plans:
         try:
-            spark.catalog.clearCache()
-            plans[name].count()
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            plans[name].count()
-            dt = time.perf_counter() - t0
+            with query_conf(name):
+                spark.catalog.clearCache()
+                plans[name].count()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                plans[name].count()
+                dt = time.perf_counter() - t0
         except Exception:  # noqa: BLE001 — fault isolation as above
             continue
         if dt < timings.get(name, float("inf")):
@@ -208,7 +240,8 @@ def main() -> None:
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 try:
-                    plans[name].count()
+                    with query_conf(name):
+                        plans[name].count()
                 except Exception:  # noqa: BLE001
                     continue
                 dt = time.perf_counter() - t0
@@ -237,6 +270,8 @@ def main() -> None:
         "cpus": cpus,
         "runs": runs,
     }
+    if overrides:
+        out["conf"]["query_overrides"] = overrides
     print(json.dumps(out))
 
 

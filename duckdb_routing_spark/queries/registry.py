@@ -16,6 +16,14 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None -> driver does rows-only check
     headline: bool = False  # include in bench.py
     doc: str = ""
+    # Optional per-query session-conf override for the measurement
+    # harnesses (bench.py / tools/ratio.py apply it around this query's
+    # executions only, restoring the pinned bench session after). Either a
+    # static dict or a callable (spark, sf_dir) -> dict so the override can
+    # scale with the data (e.g. shuffle width from input bytes). Purely a
+    # physical-planning knob — correctness gates (driver, oracle parity)
+    # run every query under ONE session config and must stay value-equal.
+    session_conf: Callable[[SparkSession, str], dict] | dict | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -383,12 +391,39 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
 DRIVER_QUERY_CAP = 50
 
 
-def register(name: str, oracle: str | None = None, headline: bool = False, doc: str = ""):
+def register(name: str, oracle: str | None = None, headline: bool = False, doc: str = "",
+             session_conf=None):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, headline=headline, doc=doc)
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, headline=headline,
+                                   doc=doc, session_conf=session_conf)
         return fn
 
     return deco
+
+
+def bytes_scaled_shuffle(*tables: str, bytes_per_partition: int = 64 << 20):
+    """A session_conf callable sizing this query's shuffle width from its
+    INPUT bytes (one partition per `bytes_per_partition`, min 1) — the
+    static-width equivalent of AQE's bytes-based coalescing without AQE's
+    per-stage replanning latency. Rationale (measured, ARCHITECTURE.md):
+    the events family shuffles a payload of the same order as its scan,
+    and a global per-sf width splits those few MB into near-empty tasks;
+    task scheduling then dominates. One partition per 64 MB keeps local
+    benches on 1 task and scales to thousands of tasks at cluster volumes."""
+
+    def conf(spark: SparkSession, sf_dir: str) -> dict:
+        total = 0
+        for t in tables:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            elif os.path.exists(p):
+                total += os.path.getsize(p)
+        width = max(1, total // bytes_per_partition)
+        return {"spark.sql.shuffle.partitions": str(width)}
+
+    return conf
 
 
 def normalize_timestamps(df: DataFrame) -> DataFrame:

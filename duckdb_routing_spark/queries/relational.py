@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_routing_spark.queries.registry import register, table
+from duckdb_routing_spark.queries.registry import bytes_scaled_shuffle, register, table
 
 
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
@@ -476,7 +476,9 @@ EVENTS_HOURLY_ORACLE = EVENTS_HOURLY_SPARK.replace(
 )
 
 
-@register("events_hourly", oracle=EVENTS_HOURLY_ORACLE, headline=True, doc="tumbling-hour event aggregation")
+@register("events_hourly", oracle=EVENTS_HOURLY_ORACLE, headline=True,
+          doc="tumbling-hour event aggregation",
+          session_conf=bytes_scaled_shuffle("events"))
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "events")
     return spark.sql(EVENTS_HOURLY_SPARK)
@@ -589,7 +591,9 @@ EVENTS_SESSION_SPARK = _sessionize_sql("unix_micros(ts)", "ts")
 EVENTS_SESSION_ORACLE = _sessionize_sql("epoch_us(cast(ts as timestamp))", "cast(ts as timestamp)")
 
 
-@register("events_sessionize", oracle=EVENTS_SESSION_ORACLE, headline=True, doc="30-min-gap sessionization via windows")
+@register("events_sessionize", oracle=EVENTS_SESSION_ORACLE, headline=True,
+          doc="30-min-gap sessionization via windows",
+          session_conf=bytes_scaled_shuffle("events"))
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "events")
     return spark.sql(EVENTS_SESSION_SPARK)

@@ -67,6 +67,35 @@ def main() -> None:
     # chatter is per-program, not per-run), clear caches before every timed
     # run so the full data path re-executes inside the timing
     plans = {name: spec.fn(spark, sf_dir) for name, spec in headline.items()}
+
+    # per-query session-conf overrides (QuerySpec.session_conf) — the same
+    # resolution + apply/restore bench.py does, so the two harnesses measure
+    # the same physical plans
+    from contextlib import contextmanager
+
+    overrides: dict[str, dict] = {}
+    for name, spec in headline.items():
+        if spec.session_conf:
+            ov = (spec.session_conf(spark, sf_dir) if callable(spec.session_conf)
+                  else dict(spec.session_conf))
+            if ov:
+                overrides[name] = ov
+
+    @contextmanager
+    def query_conf(name):
+        ov = overrides.get(name)
+        if not ov:
+            yield
+            return
+        saved = {k: spark.conf.get(k) for k in ov}
+        for k, v in ov.items():
+            spark.conf.set(k, v)
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
     sp: dict[str, float] = {}
     dd: dict[str, float] = {}
     # bench.py's untimed warm round: both engines execute everything once
@@ -74,14 +103,16 @@ def main() -> None:
     # land in a timed best-of
     for name, spec in headline.items():
         spark.catalog.clearCache()
-        plans[name].count()
+        with query_conf(name):
+            plans[name].count()
         if spec.oracle:
             con.execute(spec.oracle).fetchall()
     for r in range(runs):
         for name in headline:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            plans[name].count()
+            with query_conf(name):
+                plans[name].count()
             dt = time.perf_counter() - t0
             sp[name] = min(sp.get(name, float("inf")), dt)
         for name, spec in headline.items():
@@ -97,12 +128,13 @@ def main() -> None:
     # the interference, the second samples steady state — symmetric
     # treatment keeps the comparison fair)
     for name in headline:
-        spark.catalog.clearCache()
-        plans[name].count()
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        plans[name].count()
-        sp[name] = min(sp.get(name, float("inf")), time.perf_counter() - t0)
+        with query_conf(name):
+            spark.catalog.clearCache()
+            plans[name].count()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            plans[name].count()
+            sp[name] = min(sp.get(name, float("inf")), time.perf_counter() - t0)
     for name, spec in headline.items():
         if not spec.oracle:
             continue
@@ -138,6 +170,7 @@ def main() -> None:
                     "shuffle_partitions": shuffle,
                     "cpus": cpus,
                     "runs": runs,
+                    **({"query_overrides": overrides} if overrides else {}),
                 },
             }
         )
