@@ -37,6 +37,29 @@ from duckdb_routing_spark.routing import kernels  # noqa: E402
 from duckdb_routing_spark.testing import build_roadlike_csr  # noqa: E402
 
 
+def _rss_mb() -> float:
+    """Current resident set (VmRSS) in MiB from /proc/self/status."""
+    return _vm_field("VmRSS")
+
+
+def _peak_rss_mb() -> float:
+    """Process-lifetime peak resident set (VmHWM) in MiB — the number that
+    answers 'does the build fit on this driver' (VERDICT r8 #4: the Europe
+    extrapolation needs the measured per-node memory constant)."""
+    return _vm_field("VmHWM")
+
+
+def _vm_field(key: str) -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for ln in f:
+                if ln.startswith(key + ":"):
+                    return int(ln.split()[1]) / 1024.0  # kB -> MiB
+    except OSError:
+        pass
+    return -1.0
+
+
 def _arterial_pairs(dim: int, n_pairs: int) -> list[tuple[int, int]]:
     """Deterministic (src, dst) intersection pairs on the arterial grid
     (every 8th line — guaranteed on the connected backbone), spread from
@@ -63,13 +86,17 @@ def main() -> None:
     t0 = time.perf_counter()
     g = build_roadlike_csr(dim, dim)
     gen_s = time.perf_counter() - t0
-    print(f"# graph: {g.num_nodes} nodes, {len(g.indices)} directed edges ({gen_s:.1f} s)",
-          file=sys.stderr)
+    rss_graph = _rss_mb()
+    print(f"# graph: {g.num_nodes} nodes, {len(g.indices)} directed edges ({gen_s:.1f} s, "
+          f"rss {rss_graph:.0f} MiB)", file=sys.stderr)
 
     t0 = time.perf_counter()
     idx = chm.build_ch(g)
     build_s = time.perf_counter() - t0
-    print(f"# CH build: {build_s:.1f} s, {idx.n_shortcuts} shortcuts", file=sys.stderr)
+    rss_build = _rss_mb()
+    peak_rss = _peak_rss_mb()
+    print(f"# CH build: {build_s:.1f} s, {idx.n_shortcuts} shortcuts, "
+          f"rss {rss_build:.0f} MiB (peak {peak_rss:.0f} MiB)", file=sys.stderr)
 
     pairs = _arterial_pairs(dim, n_pairs)
     # warm the index/caches with one pass, then time
@@ -127,6 +154,12 @@ def main() -> None:
         "dijkstra_ms_crossmap": round(dij_ms, 0),
         "exact_sampled": f"{exact}/{len(sample)}",
         "italy_bar_ms": 100,
+        "rss_after_graph_mb": round(rss_graph, 0),
+        "rss_after_build_mb": round(rss_build, 0),
+        "peak_rss_mb": round(_peak_rss_mb(), 0),
+        # peak bytes per graph node — the Europe-ceiling constant: nodes
+        # that fit in RAM ~= RAM / this
+        "peak_bytes_per_node": round(_peak_rss_mb() * 1024 * 1024 / g.num_nodes, 0),
     }
     line = json.dumps(res)
     print(line)

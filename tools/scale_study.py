@@ -253,6 +253,52 @@ def run_bucketed(runs: int) -> None:
             spark.catalog.clearCache()
             if dt < best.get(name, float("inf")):
                 best[name] = dt
+
+    # Layout follows workload: q5's residual exchanges under orderkey
+    # bucketing are the orders-customer CUSTKEY join — a dimension the
+    # orderkey layout cannot cover. Measure the alternative write-time
+    # layout (orders+customer bucketed by custkey, lineitem kept on
+    # orderkey) on the same query code so SCALE_STUDY carries BOTH
+    # layouts' numbers: each bucketing serves its own join family, which
+    # is the per-workload layout decision a 100 TB deployment makes.
+    for t, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"{t}_bc"
+        if not spark.catalog.tableExists(name):
+            shutil.rmtree(
+                os.path.join(os.path.dirname(OUT), "warehouse", name),
+                ignore_errors=True,
+            )
+            print(f"  bucketing {t} by {key} ...", file=sys.stderr)
+            (
+                spark.read.parquet(os.path.join(OUT, f"{t}.parquet"))
+                .write.mode("overwrite")
+                .bucketBy(32, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        register_table_override(spark, OUT, t, spark.table(name))
+    ck_names = ["q5_local_supplier"]
+    ck_best: dict[str, float] = {}
+    ck_parity: dict[str, bool] = {}
+    ck_exchanges: dict[str, int] = {}
+    for name in ck_names:
+        df = REGISTRY[name].fn(spark, OUT)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        ck_exchanges[name] = sum(
+            1 for ln in plan.splitlines() if "Exchange" in ln and "BroadcastExchange" not in ln
+        )
+        ck_parity[name] = canon_hash(df.toPandas()) == canon_hash(
+            con.execute(REGISTRY[name].oracle).fetchdf()
+        )
+    for _ in range(runs):
+        for name in ck_names:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, OUT).count()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            if dt < ck_best.get(name, float("inf")):
+                ck_best[name] = dt
+
     print(
         json.dumps(
             {
@@ -260,6 +306,11 @@ def run_bucketed(runs: int) -> None:
                 "spark": {k: round(v, 4) for k, v in best.items()},
                 "parity": parity,
                 "shuffle_exchanges": fact_exchanges,
+                "custkey_layout": {
+                    "spark": {k: round(v, 4) for k, v in ck_best.items()},
+                    "parity": ck_parity,
+                    "shuffle_exchanges": ck_exchanges,
+                },
             }
         )
     )
