@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, IntegerType
 
 
 # DoubleType() instance (not the DDL string "double"): the string form is
@@ -479,6 +479,43 @@ def ivf_topk(
     )
 
 
+def _cell_assignments_fast(
+    vecs: DataFrame, seeds: DataFrame, vec_alias: str
+) -> DataFrame:
+    """Vectorized build-time cell assignment: broadcast the seed MATRIX
+    into a mapInPandas batch argmin (one BLAS matmul per Arrow batch), so
+    the Arrow traffic is O(n) instead of the exact path's O(n * n_cells)
+    crossJoin pairs — the difference between 1 GB and 100+ GB of transfer
+    at 1M vectors x 64+ cells (measured by tools/ann_curve.py; at 100 TB
+    the crossJoin form is not buildable). Same argument order and
+    tie-break (lowest cell id wins: argmin returns the first minimum and
+    seeds are scanned in cell order) as `_cell_assignments(rank_limit=1)`;
+    BLAS pairwise summation can differ from sequential accumulation in the
+    last ulp, so this is OPT-IN for stores whose oracles replay the exact
+    sequential math (`build_ann_index(fast_assign=True)`)."""
+    rows = seeds.orderBy("cell").collect()
+    cells = np.array([r.cell for r in rows], dtype=np.int64)
+    S = np.array([list(r.svec) for r in rows], dtype=np.float64)
+    s2 = (S * S).sum(axis=1)
+    from pyspark.sql.types import StructField, StructType
+
+    # fresh StructType — StructType.add mutates in place, which would also
+    # poison the DataFrame's cached schema/columns
+    out_schema = StructType(list(vecs.schema.fields) + [StructField("cell", IntegerType())])
+
+    def assign(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf[vec_alias].to_numpy()).astype(np.float64, copy=False)
+            scores = s2[None, :] - 2.0 * (V @ S.T)
+            pdf = pdf.copy()
+            pdf["cell"] = cells[np.argmin(scores, axis=1)].astype("int32")
+            yield pdf
+
+    return vecs.mapInPandas(assign, out_schema)
+
+
 def build_ann_index(
     corpus: DataFrame,
     index_dir: str,
@@ -488,6 +525,7 @@ def build_ann_index(
     seeds: DataFrame | None = None,
     index_fs=None,
     meta_cols: list[str] | None = None,
+    fast_assign: bool = False,
 ) -> None:
     """Persist the IVF index the way a 100 TB vector store actually lays
     out: vectors written CELL-PARTITIONED (<index_dir>/cells/cell=K/) so a
@@ -522,7 +560,12 @@ def build_ann_index(
     # STATIC overwrite on purpose: a (re)build is a from-scratch truncate —
     # dynamic mode would leave earlier increments' ingest_batch=N partitions
     # (and cells the new corpus no longer touches) alive under the new base
-    _cell_assignments(c, seeds, "vec_id", "cvec", 1).withColumn(
+    assigned = (
+        _cell_assignments_fast(c, seeds, "cvec")
+        if fast_assign
+        else _cell_assignments(c, seeds, "vec_id", "cvec", 1)
+    )
+    assigned.withColumn(
         "ingest_batch", F.lit(-1)
     ).write.option("partitionOverwriteMode", "static").mode("overwrite").partitionBy(
         "ingest_batch", "cell"

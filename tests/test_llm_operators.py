@@ -1148,6 +1148,25 @@ def test_ann_index_probe_prunes_partitions_and_matches_ivf(spark, emb, tmp_path)
     assert m and "IN" in m.group(1).upper(), "probe scan lost its cell partition filter"
 
 
+def test_ann_fast_assign_build_matches_exact_build(spark, emb, tmp_path):
+    """fast_assign=True (batch-argmin over the broadcast seed matrix —
+    O(n) Arrow traffic instead of the exact path's O(n*cells) crossJoin
+    pairs) must place every vector in the same cell and serve identical
+    probes on this fixture; the exact path stays the default because BLAS
+    summation can differ from sequential accumulation in the last ulp on
+    adversarial near-ties."""
+    a, b = str(tmp_path / "exact"), str(tmp_path / "fast")
+    similarity.build_ann_index(emb, a, n_cells=8)
+    similarity.build_ann_index(emb, b, n_cells=8, fast_assign=True)
+    cells_a = spark.read.parquet(a + "/cells").select("vec_id", "cell")
+    cells_b = spark.read.parquet(b + "/cells").select("vec_id", "cell")
+    assert sorted(map(tuple, cells_a.collect())) == sorted(map(tuple, cells_b.collect()))
+    q = emb.filter("vec_id < 3")
+    ga = similarity.ann_query_index(spark, a, q, k=10, n_probe=2)
+    gb = similarity.ann_query_index(spark, b, q, k=10, n_probe=2)
+    assert [tuple(r) for r in ga.collect()] == [tuple(r) for r in gb.collect()]
+
+
 def test_quality_classifier_with_partial_weight_table(spark, docs):
     """A trained/pruned model covers only its nonzero buckets: tokens that
     miss the table must still count in n_tokens (scoring 0), and a doc

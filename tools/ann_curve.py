@@ -1,0 +1,187 @@
+"""ANN recall/latency curve at >=1M vectors (VERDICT r8 #6).
+
+Builds the persisted IVF index (operators/similarity.build_ann_index) over
+a synthetic clustered corpus and measures, per n_probe, recall@k against
+an EXACT numpy ground truth plus wall-clock per query through the real
+probe path (ann_query_index: broadcast seed assignment -> partition-pruned
+cell scan -> Arrow-batched scoring). Prints ONE JSON line; --out appends.
+
+Corpus: a deterministic mixture — 200 latent unit centers (fixed RNG seed)
+plus per-coordinate splitmix64 noise keyed on (vec_id, dim), so the driver
+can regenerate the exact vectors for the brute-force ground truth without
+collecting the corpus. Queries are HELD-OUT ids (n..n+Q) from the same
+generator: clustered like the corpus, never in the index.
+
+The quantizer is kmeans trained on a 2% sample (clustering.kmeans_centroids,
+3 Lloyd iterations) — the standard sample-trained codebook, not the
+generator's own centers (that would measure an oracle quantizer). The index
+build uses build_ann_index(fast_assign=True): the batch-argmin assignment
+whose Arrow traffic is O(n), not the exact path's O(n*cells) pairs.
+
+Usage:
+  python tools/ann_curve.py [--n 1000000] [--dim 64] [--cells 64]
+                            [--queries 32] [--k 10] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+N_LATENT = 200
+NOISE = 0.35
+
+
+def _centers(dim: int) -> np.ndarray:
+    c = np.random.default_rng(7).normal(size=(N_LATENT, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _vecs_for_ids(ids: np.ndarray, centers: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic vector for every id — same bits on driver and executor."""
+    ids = ids.astype(np.uint64)
+    idx = ids[:, None] * np.uint64(dim) + np.arange(dim, dtype=np.uint64)[None, :]
+    z = idx * np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    noise = z.astype(np.float64) / 2.0**64 * 2.0 - 1.0
+    return centers[(ids % np.uint64(N_LATENT)).astype(np.int64)] + noise * NOISE
+
+
+def main() -> None:
+    def arg(flag: str, default):
+        return type(default)(sys.argv[sys.argv.index(flag) + 1]) if flag in sys.argv else default
+
+    n = arg("--n", 1_000_000)
+    dim = arg("--dim", 64)
+    n_cells = arg("--cells", 64)
+    n_queries = arg("--queries", 32)
+    k = arg("--k", 10)
+    out_file = arg("--out", "")
+
+    from duckdb_routing_spark.operators import clustering, similarity
+    from duckdb_routing_spark.session import get_spark
+
+    spark = get_spark(app_name="ann_curve", master=f"local[{os.cpu_count() or 4}]",
+                      shuffle_partitions=32)
+    centers = _centers(dim)
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy()
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": list(_vecs_for_ids(ids, centers, dim))}
+            )
+
+    work = tempfile.mkdtemp(prefix="ann_curve_")
+    index_dir = os.path.join(work, "ivf")
+    try:
+        # materialize the corpus ONCE: every kmeans/build action would
+        # otherwise re-run the generator + its shuffle per action
+        corpus_path = os.path.join(work, "corpus.parquet")
+        (
+            spark.range(n)
+            .repartition(32)
+            .mapInPandas(gen, "vec_id long, embedding array<double>")
+            .write.parquet(corpus_path)
+        )
+        corpus = spark.read.parquet(corpus_path)
+
+        t0 = time.perf_counter()
+        sample = corpus.filter("vec_id % 50 = 0")  # 2% training sample
+        cents = clustering.kmeans_centroids(sample, k=n_cells, iterations=3)
+        seeds = clustering.centroids_df(spark, cents)
+        train_s = time.perf_counter() - t0
+
+        # fast_assign: the batch-argmin build path — the exact crossJoin
+        # assignment moves O(n * n_cells) vector pairs through Arrow,
+        # which is the difference between ~1 GB and 100+ GB here
+        t0 = time.perf_counter()
+        similarity.build_ann_index(
+            corpus, index_dir, n_cells=n_cells, seeds=seeds, fast_assign=True
+        )
+        build_s = time.perf_counter() - t0
+        print(f"# train {train_s:.1f}s build {build_s:.1f}s "
+              f"({n} vecs x {dim} dims, {n_cells} cells)", file=sys.stderr)
+
+        # held-out queries + exact ground truth, all regenerated in numpy
+        q_ids = np.arange(n, n + n_queries)
+        Q = _vecs_for_ids(q_ids, centers, dim)
+        C = _vecs_for_ids(np.arange(n), centers, dim)
+        Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        t0 = time.perf_counter()
+        sims = Qn @ Cn.T  # (Q, n)
+        exact = {
+            int(q_ids[i]): set(np.argpartition(-sims[i], k)[:k][np.argsort(-sims[i][np.argpartition(-sims[i], k)[:k]])].tolist())
+            for i in range(n_queries)
+        }
+        exact_s = time.perf_counter() - t0
+        del C, Cn, sims
+        print(f"# exact numpy ground truth: {exact_s:.1f}s", file=sys.stderr)
+
+        queries = spark.createDataFrame(
+            [(int(q), list(map(float, v))) for q, v in zip(q_ids, Q)],
+            "vec_id long, embedding array<double>",
+        )
+
+        points = []
+        probes = sorted({p for p in (1, 2, 4, 8, 16, n_cells) if p <= n_cells})
+        for n_probe in probes:
+            df = similarity.ann_query_index(
+                spark, index_dir, queries, k=k, n_probe=n_probe
+            )
+            df.count()  # warm (codegen + page cache); timed run below
+            t0 = time.perf_counter()
+            rows = df.collect()
+            dt = time.perf_counter() - t0
+            got: dict[int, set] = {}
+            for r in rows:
+                got.setdefault(r.query_id, set()).add(r.vec_id)
+            recall = float(
+                np.mean([len(got.get(q, set()) & exact[q]) / k for q in exact])
+            )
+            points.append(
+                {
+                    "n_probe": n_probe,
+                    "recall_at_k": round(recall, 4),
+                    "sec_total": round(dt, 3),
+                    "ms_per_query": round(dt / n_queries * 1000, 1),
+                    "frac_index_scanned": round(n_probe / n_cells, 4),
+                }
+            )
+            print(f"# n_probe={n_probe}: recall@{k}={recall:.3f} "
+                  f"{dt:.2f}s total", file=sys.stderr)
+
+        res = {
+            "n_vectors": n,
+            "dim": dim,
+            "n_cells": n_cells,
+            "n_queries": n_queries,
+            "k": k,
+            "quantizer": "kmeans(sample=2%, iters=3)",
+            "train_sec": round(train_s, 1),
+            "build_sec": round(build_s, 1),
+            "curve": points,
+        }
+        line = json.dumps(res)
+        print(line)
+        if out_file:
+            with open(out_file, "a") as f:
+                f.write(line + "\n")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
