@@ -25,6 +25,11 @@ gate. What it implements, by protocol section:
     the live files (`basePath` recovers hive-partition columns);
   - appends must match the table schema exactly (no evolution here).
 
+OPTIMIZE is implemented (`optimize_delta`): per-partition bin-packing
+compaction of small live files — the maintenance a 1-minute-batch
+exactly-once stream needs — committed as add/remove actions with
+dataChange=false so readers and streaming consumers see no new data.
+
 Checkpoints ARE implemented (protocol "Checkpoints" section): every
 `checkpoint_interval` commits the writer reconciles the log into
 `%020d.checkpoint.parquet` (one action per row: protocol / metaData /
@@ -430,6 +435,92 @@ def delta_history(table: str) -> list[dict]:
         )
         out.append({"version": v, **info})
     return out
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> int:
+    """Bin-packing compaction (Delta's OPTIMIZE): rewrite each hive
+    partition's small live files into ~target_file_bytes files and commit
+    the swap as ONE version whose add/remove actions carry
+    dataChange=false — per the protocol, readers see the same rows before
+    and after, and a streaming consumer of the table must NOT re-emit the
+    rewritten data. This is the maintenance half of the exactly-once
+    streaming sink story: a 1-minute-batch stream lands ~1.4k tiny files a
+    day; compaction folds each partition back to a handful, and the
+    checkpointed log keeps the read path O(interval) regardless.
+
+    Partitions whose live-file count is below `min_files` are left alone
+    (nothing to gain; rewriting them would only churn the log). Returns
+    the number of files removed by compaction (0 = no commit was made).
+    Like overwrite, OPTIMIZE is read-modify-write: if another commit lands
+    between the snapshot read and the commit, DeltaConcurrentWriteError is
+    raised and the caller retries on the fresh state (data files written
+    for the lost attempt are unreferenced and left to vacuum)."""
+    snapshot_version = _latest_version(table)
+    meta, live, _ = _replay(table)
+    # group live files by their hive partition (the dir part of the path)
+    by_part: dict[str, list[str]] = {}
+    for p in live:
+        by_part.setdefault(os.path.dirname(p), []).append(p)
+    removes: list[str] = []
+    adds: list[dict] = []
+    now = int(time.time() * 1000)
+    for part_dir, files in sorted(by_part.items()):
+        if len(files) < min_files:
+            continue
+        total = sum(live[p]["size"] for p in files)
+        n_out = max(1, int(total / target_file_bytes) + (1 if total % target_file_bytes else 0))
+        if n_out >= len(files):
+            continue  # already at or below the target layout
+        src = [os.path.join(table, p) for p in sorted(files)]
+        staging = os.path.join(table, f"_staged_{uuid.uuid4().hex}")
+        spark.read.parquet(*src).coalesce(n_out).write.parquet(staging)
+        for fname in os.listdir(staging):
+            if not fname.endswith(".parquet"):
+                continue
+            rel = os.path.join(part_dir, fname) if part_dir else fname
+            dst = os.path.join(table, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(staging, fname), dst)
+            st = os.stat(dst)
+            part_values = dict(live[files[0]].get("partitionValues") or {})
+            adds.append(
+                {"add": {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": part_values,
+                    "size": st.st_size,
+                    "modificationTime": int(st.st_mtime * 1000),
+                    "dataChange": False,
+                }}
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        removes.extend(files)
+    if not removes:
+        return 0
+    actions: list[dict] = [
+        {"commitInfo": {"timestamp": now, "operation": "OPTIMIZE",
+                        "engineInfo": "duckdb_routing_spark minimal delta writer"}}
+    ]
+    actions += [
+        {"remove": {"path": p, "deletionTimestamp": now, "dataChange": False}}
+        for p in sorted(removes)
+    ]
+    actions += adds
+    # commit strictly at snapshot+1: if ANY commit landed after the replay
+    # (even one we could now see via _latest_version), our remove/add sets
+    # are stale — an interleaved overwrite could have dropped our source
+    # files, and committing compacted copies would resurrect deleted data
+    version = snapshot_version + 1
+    if not _try_commit(table, version, actions):
+        raise DeltaConcurrentWriteError(
+            f"version {version} was committed concurrently; OPTIMIZE must "
+            "re-read the table before retrying"
+        )
+    return len(removes)
 
 
 def vacuum_delta(

@@ -297,6 +297,41 @@ def test_checkpoint_makes_thousand_commit_log_readable(spark, tmp_path):
     assert _canon(got) == _canon(df)
 
 
+def test_optimize_compacts_small_files_without_changing_data(spark, tmp_path):
+    """OPTIMIZE folds each partition's small per-commit files into
+    ~target-size files in ONE dataChange=false commit: rows identical
+    before/after, live-file count drops, time travel to the pre-OPTIMIZE
+    version still works (until vacuum), vacuum then reclaims exactly the
+    compacted-away files, and a re-run is a no-op."""
+    t = str(tmp_path / "t")
+    for i in range(4):  # 4 appends -> >=4 small files per partition
+        dl.write_delta(_orders(spark, i * 100, (i + 1) * 100), t,
+                       partition_by=["o_orderstatus"])
+    canon_before = _canon(dl.read_delta(spark, t))
+    _, live_before, _ = dl._replay(t)
+    v_before = dl._latest_version(t)
+    n_removed = dl.optimize_delta(spark, t, target_file_bytes=1 << 30)
+    assert n_removed > 0
+    _, live_after, _ = dl._replay(t)
+    assert len(live_after) < len(live_before)
+    assert _canon(dl.read_delta(spark, t)) == canon_before
+    # one OPTIMIZE commit, every add/remove marked dataChange=false
+    hist = dl.delta_history(t)
+    assert hist[-1]["operation"] == "OPTIMIZE"
+    acts = dl._read_actions(t, dl._latest_version(t))
+    touched = [a for a in acts if "add" in a or "remove" in a]
+    assert touched and all(
+        (a.get("add") or a.get("remove"))["dataChange"] is False for a in touched
+    )
+    # time travel to the pre-OPTIMIZE snapshot still reads the old files
+    assert _canon(dl.read_delta(spark, t, version=v_before)) == canon_before
+    # re-run: nothing left to compact
+    assert dl.optimize_delta(spark, t, target_file_bytes=1 << 30) == 0
+    # vacuum reclaims exactly the compacted-away files
+    assert dl.vacuum_delta(t, retain_last=1, grace_seconds=0) == n_removed
+    assert _canon(dl.read_delta(spark, t)) == canon_before
+
+
 def test_partition_values_are_percent_decoded_and_schema_applied(spark, tmp_path):
     """Spark percent-encodes special chars in hive dir names and infers
     partition types on read; the protocol stores DECODED values and the
