@@ -552,3 +552,31 @@ def test_spatial_join_degenerate_polygons(spark):
         [(1, 5.0, 5.0), (2, 4.0, 0.0)], "point_id long, x double, y double"
     )
     assert points_in_polygons(pts, polys, cell_size=4.0).count() == 0
+
+
+def test_bytes_scaled_shuffle_session_conf(spark):
+    """The events-family per-query override sizes shuffle width from input
+    bytes: tiny fixtures resolve to 1 partition (the measured sf0.1
+    winner), and the width grows once inputs exceed bytes_per_partition —
+    the self-scaling property that makes the override honest at volume."""
+    from duckdb_routing_spark.queries.registry import REGISTRY, bytes_scaled_shuffle
+
+    conf = bytes_scaled_shuffle("events")(spark, "/root/testdata/sf0.001")
+    assert conf == {"spark.sql.shuffle.partitions": "1"}
+    fine = bytes_scaled_shuffle("lineitem", bytes_per_partition=1024)(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert int(fine["spark.sql.shuffle.partitions"]) > 1
+    # the wired queries carry the override; applying it must not change values
+    for name in ("events_hourly", "events_sessionize"):
+        spec = REGISTRY[name]
+        assert callable(spec.session_conf)
+        base = [tuple(r) for r in spec.fn(spark, "/root/testdata/sf0.001").collect()]
+        saved = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            for k, v in spec.session_conf(spark, "/root/testdata/sf0.001").items():
+                spark.conf.set(k, v)
+            got = [tuple(r) for r in spec.fn(spark, "/root/testdata/sf0.001").collect()]
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+        assert got == base
