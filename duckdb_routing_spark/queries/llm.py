@@ -2265,6 +2265,12 @@ def _delta_rt_table(spark: SparkSession, sf_dir: str) -> str:
         docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
         _dl.write_delta(docs.filter("doc_id % 2 = 0"), t, partition_by=["lang"])
         _dl.write_delta(docs.filter("doc_id % 2 = 1"), t, partition_by=["lang"])
+        # the oracled read path crosses the FULL maintenance surface:
+        # OPTIMIZE (dataChange=false bin-packing of the two appends'
+        # per-partition files) and a protocol checkpoint — a value-hash
+        # MATCH then proves compaction + checkpoint replay are lossless too
+        _dl.optimize_delta(spark, t)
+        _dl.write_checkpoint(t)
         _DELTA_RT_TABLES[sf_dir] = t
     return t
 
