@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_routing_spark.operators import common, dedup, similarity, sketch, text
-from duckdb_routing_spark.queries.registry import register, table
+from duckdb_routing_spark.queries.registry import bytes_scaled_shuffle, register, table
 
 # shared oracle CTE: distinct word-3-gram shingles per doc
 SHINGLES_CTE = """
@@ -300,7 +300,8 @@ SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
 """
 
 
-@register("dedup_minhash_lsh", oracle=LSH_ORACLE, headline=True, doc="MinHash(12)+LSH(bands of 3) near-dup candidates")
+@register("dedup_minhash_lsh", oracle=LSH_ORACLE, headline=True, doc="MinHash(12)+LSH(bands of 3) near-dup candidates",
+          session_conf=bytes_scaled_shuffle("documents"))
 def dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.lsh_candidate_pairs(docs).orderBy("doc_a", "doc_b")

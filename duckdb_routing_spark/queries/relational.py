@@ -65,7 +65,8 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@register("q1_pricing_summary", oracle=Q1_ORACLE, headline=True, doc="TPC-H Q1 pricing summary report")
+@register("q1_pricing_summary", oracle=Q1_ORACLE, headline=True, doc="TPC-H Q1 pricing summary report",
+          session_conf=bytes_scaled_shuffle("lineitem"))
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -103,7 +104,8 @@ LIMIT 10
 """
 
 
-@register("q3_shipping_priority", oracle=Q3_ORACLE, headline=True, doc="TPC-H Q3 shipping priority")
+@register("q3_shipping_priority", oracle=Q3_ORACLE, headline=True, doc="TPC-H Q3 shipping priority",
+          session_conf=bytes_scaled_shuffle("lineitem", "orders", "customer"))
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -159,7 +161,8 @@ ORDER BY revenue DESC, n_name
 """
 
 
-@register("q5_local_supplier", oracle=Q5_ORACLE, headline=True, doc="TPC-H Q5 local supplier volume")
+@register("q5_local_supplier", oracle=Q5_ORACLE, headline=True, doc="TPC-H Q5 local supplier volume",
+          session_conf=bytes_scaled_shuffle("lineitem", "orders", "customer", "supplier", "nation", "region"))
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame form with lineitem as the probe: under the literal SQL join
     # order Catalyst's static size estimates picked lineitem (the fact
@@ -195,7 +198,8 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 """
 
 
-@register("q6_revenue_forecast", oracle=Q6_ORACLE, headline=True, doc="TPC-H Q6 forecast revenue change")
+@register("q6_revenue_forecast", oracle=Q6_ORACLE, headline=True, doc="TPC-H Q6 forecast revenue change",
+          session_conf=bytes_scaled_shuffle("lineitem"))
 def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     return li.filter(
@@ -223,7 +227,8 @@ LIMIT 20
 """
 
 
-@register("q10_returned_items", oracle=Q10_ORACLE, headline=True, doc="TPC-H Q10 returned item reporting")
+@register("q10_returned_items", oracle=Q10_ORACLE, headline=True, doc="TPC-H Q10 returned item reporting",
+          session_conf=bytes_scaled_shuffle("lineitem", "orders", "customer", "nation"))
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem-as-probe DataFrame form (see q5): the SQL join order made
     # Catalyst broadcast-build the filtered fact table
@@ -326,7 +331,8 @@ ORDER BY c_custkey, rn
 """
 
 
-@register("window_topk_orders", oracle=TOPK_ORACLE, headline=True, doc="top-3 orders per customer (window)")
+@register("window_topk_orders", oracle=TOPK_ORACLE, headline=True, doc="top-3 orders per customer (window)",
+          session_conf=bytes_scaled_shuffle("orders", "customer"))
 def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(TOPK_ORACLE)
