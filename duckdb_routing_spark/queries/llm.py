@@ -301,7 +301,7 @@ SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
 
 
 @register("dedup_minhash_lsh", oracle=LSH_ORACLE, headline=True, doc="MinHash(12)+LSH(bands of 3) near-dup candidates",
-          session_conf=bytes_scaled_shuffle("documents"))
+          session_conf=bytes_scaled_shuffle("documents", bytes_per_partition=1 << 20))
 def dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return dedup.lsh_candidate_pairs(docs).orderBy("doc_a", "doc_b")

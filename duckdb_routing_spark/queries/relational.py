@@ -105,7 +105,8 @@ LIMIT 10
 
 
 @register("q3_shipping_priority", oracle=Q3_ORACLE, headline=True, doc="TPC-H Q3 shipping priority",
-          session_conf=bytes_scaled_shuffle("lineitem", "orders", "customer"))
+          session_conf=bytes_scaled_shuffle("lineitem", "orders", "customer",
+                                            bytes_per_partition=16 << 20))
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
     cust = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -332,7 +333,8 @@ ORDER BY c_custkey, rn
 
 
 @register("window_topk_orders", oracle=TOPK_ORACLE, headline=True, doc="top-3 orders per customer (window)",
-          session_conf=bytes_scaled_shuffle("orders", "customer"))
+          session_conf=bytes_scaled_shuffle("orders", "customer",
+                                            bytes_per_partition=4 << 20))
 def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "customer", "orders")
     return spark.sql(TOPK_ORACLE)
