@@ -141,12 +141,31 @@ def run_spark(sf_dir: str, runs: int, shuffle: int) -> dict[str, float]:
     spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # per-query session-conf overrides (QuerySpec.session_conf — the
+    # bytes-scaled shuffle widths): the study measures the engine AS
+    # SHIPPED, the same apply/restore bench.py and ratio.py do. The
+    # constants were verified at this very scale (ARCHITECTURE.md §2).
+    overrides = {
+        name: (REGISTRY[name].session_conf(spark, sf_dir)
+               if callable(REGISTRY[name].session_conf)
+               else dict(REGISTRY[name].session_conf))
+        for name in QUERIES
+        if REGISTRY[name].session_conf
+    }
     best: dict[str, float] = {}
     for _ in range(runs):
         for name in QUERIES:
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
+            ov = overrides.get(name, {})
+            saved = {k: spark.conf.get(k) for k in ov}
+            for k, v in ov.items():
+                spark.conf.set(k, v)
+            try:
+                t0 = time.perf_counter()
+                REGISTRY[name].fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+            finally:
+                for k, v in saved.items():
+                    spark.conf.set(k, v)
             spark.catalog.clearCache()
             if dt < best.get(name, float("inf")):
                 best[name] = dt
