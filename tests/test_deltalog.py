@@ -347,3 +347,49 @@ def test_partition_values_are_percent_decoded_and_schema_applied(spark, tmp_path
     got = dl.read_delta(spark, t)
     assert got.schema == df.schema  # no int inference for lang='1'
     assert _canon(got.select("id", "lang")) == _canon(df)
+
+
+def _contend_commits(args):
+    """Worker for the multiprocess put-if-absent test: land `n` blind
+    append-style commits, each retrying at the next version on loss."""
+    table, worker, n = args
+    from duckdb_routing_spark.sources import deltalog as dlw
+
+    landed = []
+    for i in range(n):
+        marker = f"w{worker}-c{i}"
+        while True:
+            v = dlw._latest_version(table) + 1
+            ok = dlw._try_commit(
+                table, v,
+                [{"commitInfo": {"timestamp": 0, "operation": "APPEND", "marker": marker}},
+                 {"add": {"path": f"{marker}.parquet", "partitionValues": {},
+                          "size": 1, "modificationTime": 0, "dataChange": True}}],
+            )
+            if ok:
+                landed.append(v)
+                break
+    return landed
+
+
+def test_put_if_absent_commit_under_real_process_contention(tmp_path):
+    """Four PROCESSES hammer the same log with blind appends (no
+    monkeypatched race — real open(..., 'x') contention on one directory):
+    every commit must land at a unique version, the version sequence must
+    be gapless, and every worker's markers must appear exactly once."""
+    import multiprocessing as mp
+
+    t = str(tmp_path / "t")
+    os.makedirs(os.path.join(t, dl._LOG_DIR))
+    workers, per = 4, 25
+    with mp.get_context("spawn").Pool(workers) as pool:
+        out = pool.map(_contend_commits, [(t, w, per) for w in range(workers)])
+    all_versions = sorted(v for lst in out for v in lst)
+    assert all_versions == list(range(workers * per))  # gapless, no double-land
+    markers = []
+    for v in range(workers * per):
+        acts = dl._read_actions(t, v)
+        markers += [a["commitInfo"]["marker"] for a in acts if "commitInfo" in a]
+    assert sorted(markers) == sorted(
+        f"w{w}-c{i}" for w in range(workers) for i in range(per)
+    )
