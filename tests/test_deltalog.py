@@ -393,3 +393,56 @@ def test_put_if_absent_commit_under_real_process_contention(tmp_path):
     assert sorted(markers) == sorted(
         f"w{w}-c{i}" for w in range(workers) for i in range(per)
     )
+
+
+def test_deltalog_datasource_batch_matches_read_delta(spark, tmp_path):
+    """format('deltalog') batch read == read_delta: same schema (declared
+    types win, partition values from the protocol's partitionValues) and
+    same rows, through executor-side pyarrow file reads."""
+    from duckdb_routing_spark.sources.delta_datasource import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    t = str(tmp_path / "t")
+    dl.write_delta(_orders(spark, 0, 300), t, partition_by=["o_orderstatus"])
+    dl.write_delta(_orders(spark, 300, 700), t, partition_by=["o_orderstatus"])
+    got = spark.read.format("deltalog").load(t)
+    want = dl.read_delta(spark, t)
+    assert got.schema == want.schema
+    assert _canon(got.select(*want.columns)) == _canon(want)
+
+
+def test_deltalog_streaming_source_incremental_and_optimize_invisible(spark, tmp_path):
+    """The streaming source delivers each commit's dataChange=true adds
+    exactly once: batch 1 = the existing table, batch 2 = only the new
+    append, and an OPTIMIZE commit between triggers emits NOTHING (its
+    adds carry dataChange=false — rewritten rows must not re-stream)."""
+    from duckdb_routing_spark.sources.delta_datasource import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    t = str(tmp_path / "t")
+    a, b = _orders(spark, 0, 300), _orders(spark, 300, 700)
+    dl.write_delta(a, t, partition_by=["o_orderstatus"])
+
+    q = (
+        spark.readStream.format("deltalog").load(t)
+        .writeStream.format("memory").queryName("delta_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = _canon(spark.sql("SELECT * FROM delta_stream_t").select(*a.columns))
+        assert got1 == _canon(a)
+        # incremental append -> only the delta arrives
+        dl.write_delta(b, t, partition_by=["o_orderstatus"])
+        q.processAllAvailable()
+        got2 = _canon(spark.sql("SELECT * FROM delta_stream_t").select(*a.columns))
+        assert got2 == _canon(a.unionByName(b))
+        # OPTIMIZE rewrites files with dataChange=false: stream sees nothing
+        removed = dl.optimize_delta(spark, t, target_file_bytes=1 << 30)
+        assert removed > 0
+        q.processAllAvailable()
+        got3 = _canon(spark.sql("SELECT * FROM delta_stream_t").select(*a.columns))
+        assert got3 == got2
+    finally:
+        q.stop()
