@@ -2296,3 +2296,27 @@ def lake_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register("lake_delta_scan", oracle=DELTA_ROUNDTRIP_ORACLE,
+          doc="Delta table consumed through the format('deltalog') Python DataSource — same aggregate, same oracle")
+def lake_delta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME compacted, checkpointed Delta table as
+    lake_delta_roundtrip, but consumed through the Spark-4 Python
+    DataSource (sources/delta_datasource.py): executor-side pyarrow file
+    reads with partition columns reconstructed from the protocol's
+    partitionValues. A value-hash MATCH against the identical oracle
+    proves the DataSource read path (schema typing included) is
+    byte-equal to the native read_delta path."""
+    from duckdb_routing_spark.sources.delta_datasource import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    got = spark.read.format("deltalog").load(_delta_rt_table(spark, sf_dir))
+    return (
+        got.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -187,6 +187,10 @@ DRIVER_HIDDEN: frozenset[str] = frozenset(
         # sink families driver-exercised via pipeline_curate/
         # sim_ann_index_probe store lifecycles
         "lake_delta_roundtrip",
+        # same table consumed through the Spark-4 Python DataSource
+        # (format("deltalog") — executor-side pyarrow file reads +
+        # protocol partitionValues) instead of read_delta; same oracle
+        "lake_delta_scan",
         "route_isochrone",
         "route_node_count",
         # train->score composition of the exposed doc_quality_classifier:
