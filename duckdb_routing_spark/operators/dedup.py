@@ -274,7 +274,7 @@ def lsh_candidate_pairs(
     n_hashes: int = 12,
     band_size: int = 3,
     sh: DataFrame | None = None,
-    max_bucket: int = 1024,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (doc_a < doc_b) via banded MinHash.
 
@@ -284,7 +284,10 @@ def lsh_candidate_pairs(
     stages; standalone, the NON-distinct shingle stream feeds the signature
     directly (min over a multiset == min over the set), skipping a full
     dedup shuffle of the shingle table. Buckets beyond `max_bucket` members
-    degrade to star pairing (see :func:`_pairs_in_buckets`)."""
+    degrade to star pairing (see :func:`_pairs_in_buckets`); pass
+    max_bucket=None for uncapped all-pairs (what an all-pairs SQL oracle
+    computes — the oracled registry queries pass None so parity holds even
+    on corpora with mega-buckets)."""
     if sh is None:
         sh = shingles(docs, id_col, text_col, k, distinct=False)
     bands = bands_from_shingles(sh, n_hashes, band_size)
@@ -292,7 +295,7 @@ def lsh_candidate_pairs(
 
 
 def _pairs_in_buckets(
-    bands: DataFrame, max_bucket: int = 1024, observation=None
+    bands: DataFrame, max_bucket: int | None = 1024, observation=None
 ) -> DataFrame:
     """(doc_a < doc_b) candidate pairs per (band, band_sig) bucket, generated
     ROW-LOCALLY from each bucket's sorted member array.
@@ -322,7 +325,19 @@ def _pairs_in_buckets(
     space). Pass a pyspark.sql.Observation as `observation` to get
     truncation telemetry (capped_buckets / max_bucket_size / buckets) for
     free on the next action — the scale-pipeline equivalent of logging
-    the truncation instead of silently claiming full coverage."""
+    the truncation instead of silently claiming full coverage.
+
+    max_bucket=None disables the cap entirely (all-pairs in every bucket):
+    the formulation an all-pairs SQL oracle matches exactly, used by the
+    oracled registry queries. Note that when a DOWNSTREAM similarity
+    filter (near_dup_pairs' Jaccard threshold) runs over capped output,
+    star edges whose hub-member similarity falls below the threshold are
+    dropped — so post-threshold connectivity through the hub is NOT
+    guaranteed for buckets colliding docs of mixed similarity; the
+    connectivity-preservation claim holds for the candidate graph itself
+    and for genuinely-near-identical mega-clusters."""
+    if max_bucket is None:
+        max_bucket = (1 << 31) - 1  # uncapped: F.size() is int32-bounded
     buckets = (
         bands.groupBy("band", "band_sig")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
@@ -383,7 +398,7 @@ def jaccard_for_pairs(sh: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def lsh_candidates_from_hashes(
     base: DataFrame, n_hashes: int = 12, band_size: int = 3,
-    max_bucket: int = 1024,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """(doc_a < doc_b) LSH candidate pairs from a pre-hashed shingle base —
     bucket-local pair generation on (band, band_sig); the pair space only
@@ -403,10 +418,18 @@ def near_dup_pairs(
     k: int = 3,
     n_hashes: int = 12,
     band_size: int = 3,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """The full near-dup pipeline: LSH candidates -> exact Jaccard -> filter.
     This is the 100 TB-shaped composition: the quadratic step only touches
     LSH survivors.
+
+    `max_bucket` caps per-bucket candidate generation via star pairing
+    (see :func:`_pairs_in_buckets`); because the Jaccard threshold then
+    FILTERS star edges by hub-member similarity, post-threshold
+    connectivity through the hub is not guaranteed for buckets that
+    collide docs of mixed similarity — pass None for exact all-pairs
+    semantics (the oracled registry queries do).
 
     The hashed shingle base is NON-distinct (a pure map over the corpus —
     zero shuffles to build): MinHash mins are multiset-safe, and the exact
@@ -418,7 +441,9 @@ def near_dup_pairs(
     (~6x wall-clock at sf0.1; at cluster scale these would be written to a
     staging table between stages)."""
     base = shingle_hash_base(docs, id_col, text_col, k, distinct=False).persist()
-    cands = lsh_candidates_from_hashes(base, n_hashes, band_size).persist()
+    cands = lsh_candidates_from_hashes(
+        base, n_hashes, band_size, max_bucket=max_bucket
+    ).persist()
     # broadcast-vs-shuffle for the Jaccard stage is auto-decided inside
     # jaccard_from_hashes by measuring the candidate slice itself
     return jaccard_from_hashes(base, cands).filter(F.col("jaccard") >= threshold)
@@ -1074,6 +1099,7 @@ def fuzzy_dedup_keep(
     n_hashes: int = 12,
     band_size: int = 3,
     prefer: str | None = None,
+    max_bucket: int | None = 1024,
 ) -> DataFrame:
     """The COMPLETE fuzzy-dedup pipeline as one operator, corpus in →
     keep-decision out: MinHash bands → LSH candidate pairs → exact
@@ -1099,7 +1125,7 @@ def fuzzy_dedup_keep(
 
     pairs = near_dup_pairs(
         docs, threshold=threshold, id_col=id_col, text_col=text_col,
-        n_hashes=n_hashes, band_size=band_size,
+        n_hashes=n_hashes, band_size=band_size, max_bucket=max_bucket,
     ).select("doc_a", "doc_b")
     clusters = dedup_clusters(pairs)
     cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))

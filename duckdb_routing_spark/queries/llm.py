@@ -304,7 +304,9 @@ SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
           session_conf=bytes_scaled_shuffle("documents", bytes_per_partition=1 << 20))
 def dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return dedup.lsh_candidate_pairs(docs).orderBy("doc_a", "doc_b")
+    # max_bucket=None: the DuckDB oracle computes uncapped all-pairs, so the
+    # oracled query must too (the capped default is the production scale knob)
+    return dedup.lsh_candidate_pairs(docs, max_bucket=None).orderBy("doc_a", "doc_b")
 
 
 NEAR_DUP_ORACLE = f"""
@@ -329,7 +331,7 @@ ORDER BY doc_a, doc_b
 @register("dedup_near_dups", oracle=NEAR_DUP_ORACLE, headline=True, doc="LSH candidates -> exact n-gram Jaccard >= 0.8")
 def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return dedup.near_dup_pairs(docs, threshold=0.8).orderBy("doc_a", "doc_b")
+    return dedup.near_dup_pairs(docs, threshold=0.8, max_bucket=None).orderBy("doc_a", "doc_b")
 
 
 CONTAINMENT_ORACLE = f"""
@@ -361,7 +363,7 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact."""
     docs = table(spark, sf_dir, "documents")
     base = dedup.shingle_hash_base(docs, distinct=False).persist()
-    cands = dedup.lsh_candidates_from_hashes(base)
+    cands = dedup.lsh_candidates_from_hashes(base, max_bucket=None)
     sizes = dedup.pair_intersection_sizes(base, cands)
     return (
         sizes.filter(10 * F.col("n_inter") >= 8 * F.least(F.col("n_a"), F.col("n_b")))
@@ -399,7 +401,7 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     both lookups broadcast at dim-table size — and roll up to an unordered
     source pair."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs)
+    pairs = dedup.lsh_candidate_pairs(docs, max_bucket=None)
     src = docs.select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
@@ -1465,7 +1467,7 @@ ORDER BY d.doc_id
           doc="end-to-end fuzzy dedup: LSH -> Jaccard -> components -> canonical keep decision per doc")
 def dedup_fuzzy_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    return dedup.fuzzy_dedup_keep(docs, threshold=0.8).orderBy("doc_id")
+    return dedup.fuzzy_dedup_keep(docs, threshold=0.8, max_bucket=None).orderBy("doc_id")
 
 
 FUZZY_KEEP_BEST_ORACLE = f"""
@@ -1491,7 +1493,7 @@ def dedup_fuzzy_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster (quality score in production), doc id breaking ties;
     cluster_id stays the min-id label so provenance is policy-independent."""
     docs = table(spark, sf_dir, "documents")
-    return dedup.fuzzy_dedup_keep(docs, threshold=0.8, prefer="n_chars").orderBy("doc_id")
+    return dedup.fuzzy_dedup_keep(docs, threshold=0.8, prefer="n_chars", max_bucket=None).orderBy("doc_id")
 
 
 @register("dedup_cluster_assign", oracle=CLUSTER_ORACLE,
@@ -1503,7 +1505,7 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the transitive-closure recursive CTE — the hash match proves
     the distributed propagation reaches the same fixpoint."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.near_dup_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.8, max_bucket=None).select("doc_a", "doc_b")
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
@@ -1518,7 +1520,7 @@ def dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure recursive CTE, so the hash match proves both
     algorithms and the oracle agree on the exact assignment."""
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.near_dup_pairs(docs, threshold=0.8).select("doc_a", "doc_b")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.8, max_bucket=None).select("doc_a", "doc_b")
     return dedup.dedup_clusters_star(pairs).orderBy("doc_id")
 
 

@@ -37,8 +37,14 @@ add / txn columns — remove tombstones are reconciled away because this
 module's vacuum walks the filesystem instead of consuming tombstones)
 and points `_last_checkpoint` at it, so a snapshot read replays at most
 `checkpoint_interval` JSON commits no matter how long an exactly-once
-stream has been appending. Time travel to a pre-checkpoint version falls
-back to full JSON replay (the JSON log is never deleted).
+stream has been appending. Time travel to a pre-checkpoint version
+replays from the newest on-disk checkpoint at or below the target (full
+JSON replay when none exists). The log itself is bounded by
+`cleanup_delta_log` (the protocol's metadata-cleanup analog): it
+materializes a base checkpoint at the retention cutoff, deletes older
+JSON commits + checkpoints, and records the horizon so time travel past
+it raises DeltaTimeTravelError naming the cleanup — the same
+attributable-failure contract vacuum_delta records for data files.
 
 NOT implemented (documented scope, raises where relevant): deletion
 vectors, column mapping, generated columns, CDC files, multi-part
@@ -77,6 +83,62 @@ class DeltaConcurrentWriteError(RuntimeError):
     landed after the snapshot this overwrite was based on."""
 
 
+class DeltaTimeTravelError(RuntimeError):
+    """Time travel requested a version whose data files were vacuumed or
+    whose log commits were cleaned up — the error names the maintenance
+    operation so the failure is attributable, not a mystery FileNotFound."""
+
+
+_HORIZON = "_horizon.json"
+
+
+def _read_horizon(table: str) -> dict:
+    """{'data_min_version': int|None, 'log_min_version': int|None} — the
+    oldest version whose data files (vacuum) / log commits (cleanup) are
+    still guaranteed present. Absent file = full history available."""
+    p = os.path.join(table, _LOG_DIR, _HORIZON)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _advance_horizon(table: str, key: str, version: int) -> None:
+    """Monotonically raise `key` in the horizon sidecar (crash-safe
+    write-temp + rename; a lost race leaves a LOWER horizon, which is
+    conservative — never claims availability that was destroyed)."""
+    h = _read_horizon(table)
+    if (h.get(key) or -1) >= version:
+        return
+    h[key] = version
+    h[key.replace("_min_version", "_at_ms")] = int(time.time() * 1000)
+    p = os.path.join(table, _LOG_DIR, _HORIZON)
+    tmp = p + f".tmp{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(h, f)
+    os.replace(tmp, p)
+
+
+def _check_travelable(table: str, version: int) -> None:
+    h = _read_horizon(table)
+    log_min = h.get("log_min_version")
+    if log_min is not None and version < log_min:
+        raise DeltaTimeTravelError(
+            f"version {version} is below the log-retention horizon "
+            f"{log_min}: its JSON commits were deleted by "
+            "cleanup_delta_log(); earliest time-travelable version is "
+            f"{log_min}"
+        )
+    data_min = h.get("data_min_version")
+    if data_min is not None and version < data_min:
+        raise DeltaTimeTravelError(
+            f"version {version} is below the vacuum horizon {data_min}: "
+            "its unreferenced data files were deleted by vacuum_delta(); "
+            f"earliest fully-readable version is {data_min}"
+        )
+
+
 def _log_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:020d}.json")
 
@@ -101,6 +163,18 @@ def _read_actions(table: str, version: int) -> list[dict]:
 
 def _checkpoint_path(table: str, version: int) -> str:
     return os.path.join(table, _LOG_DIR, f"{version:020d}.checkpoint.parquet")
+
+
+def _checkpoint_versions(table: str) -> list[int]:
+    """All checkpoint-parquet versions present on disk, sorted ascending."""
+    log = os.path.join(table, _LOG_DIR)
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for f in os.listdir(log):
+        if f.endswith(".checkpoint.parquet") and f[:20].isdigit():
+            out.append(int(f[:20]))
+    return sorted(out)
 
 
 def _last_checkpoint_version(table: str) -> int | None:
@@ -154,11 +228,19 @@ def _replay(
     upto = latest if version is None else version
     if upto > latest or upto < 0:
         raise ValueError(f"version {version} out of range [0, {latest}]")
+    if version is not None:
+        _check_travelable(table, version)
     meta = None
     live: dict[str, dict] = {}
     txns: dict[str, int] = {}
     start = 0
     cp = _last_checkpoint_version(table)
+    if cp is not None and cp > upto:
+        # time travel BELOW the last checkpoint: fall back to the newest
+        # on-disk checkpoint at or below the target (after log cleanup the
+        # pre-cutoff JSON commits are gone, so replay-from-0 is not an
+        # option; within the retention window a base checkpoint exists)
+        cp = max((c for c in _checkpoint_versions(table) if c <= upto), default=None)
     if cp is not None and cp <= upto:
         meta, live, txns = _read_checkpoint(table, cp)
         start = cp + 1
@@ -182,8 +264,14 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
     protocol / metaData / add / txn struct columns) and atomically point
     `_delta_log/_last_checkpoint` at it. Remove tombstones are reconciled
     away: this module's vacuum walks the filesystem, it does not consume
-    tombstones. Crash-safe — both files land via write-temp + rename, and
-    `_last_checkpoint` only ever moves forward."""
+    tombstones. Crash-safe — both files land via write-temp + rename.
+    `_last_checkpoint` advancement is check-then-rename, so two writers
+    checkpointing different versions can interleave such that the pointer
+    momentarily lands on the OLDER one; the post-rename re-read below
+    self-heals that (rewrites the pointer to the newest checkpoint file on
+    disk). A pointer behind the newest checkpoint is never incorrect —
+    only extra JSON replay — and readers fall back to listing when the
+    pointer is unreadable, per the protocol."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -240,13 +328,24 @@ def write_checkpoint(table: str, version: int | None = None) -> str:
     tmp = cp_path + f".tmp{uuid.uuid4().hex}"
     pq.write_table(pa.Table.from_pylist(rows, schema=schema), tmp)
     os.replace(tmp, cp_path)
+
+    def _point_at(version: int) -> None:
+        lc = os.path.join(table, _LOG_DIR, _LAST_CHECKPOINT)
+        t = lc + f".tmp{uuid.uuid4().hex}"
+        with open(t, "w") as f:
+            json.dump({"version": version, "size": len(rows)}, f)
+        os.replace(t, lc)
+
     prev = _last_checkpoint_version(table)
     if prev is None or v > prev:
-        lc = os.path.join(table, _LOG_DIR, _LAST_CHECKPOINT)
-        tmp = lc + f".tmp{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"version": v, "size": len(rows)}, f)
-        os.replace(tmp, lc)
+        _point_at(v)
+        # self-heal the check-then-rename window: if a concurrent writer
+        # published a NEWER checkpoint while we were advancing the pointer,
+        # our rename may have regressed it — re-read and repair
+        newest = max(_checkpoint_versions(table), default=v)
+        cur = _last_checkpoint_version(table)
+        if cur is None or cur < newest:
+            _point_at(newest)
     return cp_path
 
 
@@ -427,9 +526,12 @@ def read_delta(spark: SparkSession, table: str, version: int | None = None) -> D
 
 
 def delta_history(table: str) -> list[dict]:
-    """commitInfo per version, oldest first — the DESCRIBE HISTORY shape."""
+    """commitInfo per version, oldest first — the DESCRIBE HISTORY shape.
+    After cleanup_delta_log, history starts at the log horizon (the
+    pre-cutoff commits no longer exist)."""
+    start = _read_horizon(table).get("log_min_version") or 0
     out = []
-    for v in range(_latest_version(table) + 1):
+    for v in range(start, _latest_version(table) + 1):
         info = next(
             (a["commitInfo"] for a in _read_actions(table, v) if "commitInfo" in a), {}
         )
@@ -528,12 +630,16 @@ def vacuum_delta(
 ) -> int:
     """Garbage-collect data files unreferenced by the last `retain_last`
     snapshots (default: only the current one). Returns the number of files
-    deleted. The log itself stays intact (cheap JSON, and history/audit
-    value), but TIME TRAVEL to a vacuumed version no longer finds its data
-    files — the protocol's standard retention trade, made explicit by the
-    argument instead of a retention clock (a deployment maps retain_last
-    to its retention window). Crash-safe: deletion happens strictly after
-    the retained-set computation, and a re-run is a no-op.
+    deleted. The log itself stays intact (bounded separately by
+    cleanup_delta_log), but TIME TRAVEL below the retained window no
+    longer finds its data files — the protocol's standard retention trade,
+    made explicit by the argument instead of a retention clock (a
+    deployment maps retain_last to its retention window). When files are
+    actually deleted the horizon sidecar records it, so a later time
+    travel below the window raises DeltaTimeTravelError naming this
+    vacuum instead of a bare FileNotFoundError mid-scan. Crash-safe:
+    deletion happens strictly after the retained-set computation, and a
+    re-run is a no-op.
 
     Concurrent-append safety (real Delta VACUUM's modification-time
     retention window, scaled down): an in-flight append stages parquet
@@ -546,8 +652,14 @@ def vacuum_delta(
     latest = _latest_version(table)
     if latest < 0:
         raise FileNotFoundError(f"not a delta table (no {_LOG_DIR}): {table}")
+    # clamp to the log horizon: versions below it have no JSON commits to
+    # replay (cleanup_delta_log ran), so they cannot be in the retained set
+    oldest_retained = max(
+        0, latest - retain_last + 1,
+        _read_horizon(table).get("log_min_version") or 0,
+    )
     retained: set[str] = set()
-    for v in range(max(0, latest - retain_last + 1), latest + 1):
+    for v in range(oldest_retained, latest + 1):
         _, live, _ = _replay(table, v)
         retained |= set(live)
     deleted = 0
@@ -565,4 +677,67 @@ def vacuum_delta(
                 continue
             os.remove(full)
             deleted += 1
+    if deleted:
+        # record that versions below the retained window may now be missing
+        # data files, so time travel there raises DeltaTimeTravelError
+        # naming this vacuum instead of a bare FileNotFoundError mid-scan
+        _advance_horizon(table, "data_min_version", oldest_retained)
     return deleted
+
+
+def cleanup_delta_log(
+    table: str, retain_versions: int = 100
+) -> dict:
+    """Bound the `_delta_log` itself — the protocol's metadata-cleanup
+    analog (real Delta's delta.logRetentionDuration, expressed in versions
+    like vacuum's retain_last). Without this, an exactly-once stream
+    appending every minute accumulates JSON commits and checkpoint
+    parquets FOREVER even though checkpointed reads never touch the old
+    ones.
+
+    Keeps time travel for the newest `retain_versions` versions and
+    deletes everything older: let `cutoff = latest - retain_versions + 1`
+    (clamped to the last checkpoint — commits at/after the newest
+    checkpoint are always kept so the tail replay stays intact). A BASE
+    checkpoint is materialized at the cutoff version first (replayed from
+    the still-present log), so every retained version remains readable via
+    checkpoint + JSON tail; then JSON commits and checkpoint parquets
+    strictly below the cutoff are deleted and the log horizon is recorded
+    — time travel below it raises DeltaTimeTravelError naming this
+    cleanup. Idempotent; returns counts
+    {'json_deleted', 'checkpoints_deleted', 'log_min_version'}."""
+    latest = _latest_version(table)
+    if latest < 0:
+        raise FileNotFoundError(f"not a delta table (no {_LOG_DIR}): {table}")
+    if retain_versions < 1:
+        raise ValueError("retain_versions must be >= 1")
+    cutoff = latest - retain_versions + 1
+    cp = _last_checkpoint_version(table)
+    if cp is not None:
+        cutoff = min(cutoff, cp)
+    existing_min = _read_horizon(table).get("log_min_version") or 0
+    if cutoff <= existing_min or cutoff <= 0:
+        return {"json_deleted": 0, "checkpoints_deleted": 0,
+                "log_min_version": max(existing_min, 0)}
+    # base checkpoint at the cutoff so versions [cutoff, latest] stay
+    # readable after the pre-cutoff JSON commits disappear
+    if cutoff not in _checkpoint_versions(table):
+        write_checkpoint(table, cutoff)
+    # horizon FIRST (crash between horizon and deletion leaves a
+    # conservative state: reads of old versions error informatively even
+    # though their files still exist; the reverse order would leave bare
+    # FileNotFoundErrors)
+    _advance_horizon(table, "log_min_version", cutoff)
+    json_deleted = cp_deleted = 0
+    log = os.path.join(table, _LOG_DIR)
+    for fname in os.listdir(log):
+        if fname.endswith(".json") and fname[:-5].isdigit():
+            if int(fname[:-5]) < cutoff:
+                os.remove(os.path.join(log, fname))
+                json_deleted += 1
+        elif fname.endswith(".checkpoint.parquet") and fname[:20].isdigit():
+            if int(fname[:20]) < cutoff:
+                os.remove(os.path.join(log, fname))
+                cp_deleted += 1
+    return {"json_deleted": json_deleted, "checkpoints_deleted": cp_deleted,
+            "log_min_version": cutoff}

@@ -193,14 +193,17 @@ def test_vacuum_deletes_only_unreferenced_files(spark, tmp_path):
     dl.write_delta(b, t, mode="overwrite")
     # grace_seconds=0: exclusive-maintenance mode (files were written
     # milliseconds ago; the default 10-min window would protect them all)
+    _, live0, _ = dl._replay(t, 0)  # v0's live set, pre-vacuum
     n = dl.vacuum_delta(t, retain_last=1, grace_seconds=0)
     assert n > 0
     # current snapshot intact; vacuum re-run is a no-op
     assert _canon(dl.read_delta(spark, t)) == _canon(b)
     assert dl.vacuum_delta(t, retain_last=1, grace_seconds=0) == 0
-    # v0's files are gone from disk (log/history remain)
-    _, live0, _ = dl._replay(t, 0)
+    # v0's files are gone from disk (log/history remain), and time travel
+    # there now raises the attributable horizon error
     assert live0 and all(not os.path.exists(os.path.join(t, p)) for p in live0)
+    with pytest.raises(dl.DeltaTimeTravelError, match="vacuum_delta"):
+        dl._replay(t, 0)
     assert [h["version"] for h in dl.delta_history(t)] == [0, 1]
     # retain_last=2 would have kept both snapshots: rebuild and check
     t2 = str(tmp_path / "t2")
@@ -446,3 +449,225 @@ def test_deltalog_streaming_source_incremental_and_optimize_invisible(spark, tmp
         assert got3 == got2
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# round 10: startingVersion inclusivity, rate limiting, typed partitions,
+# checkpoint-pointer self-heal, log retention + horizon errors
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_starting_version_is_inclusive(spark, tmp_path):
+    """startingVersion=N delivers version N's adds (inclusive, like the
+    real Delta source) — N=0 returns the genesis commit's data, N=1 skips
+    exactly version 0."""
+    from duckdb_routing_spark.sources.delta_datasource import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    t = str(tmp_path / "t")
+    a, b = _orders(spark, 0, 300), _orders(spark, 300, 700)
+    dl.write_delta(a, t)       # version 0
+    dl.write_delta(b, t)       # version 1
+
+    for sv, want in ((0, a.unionByName(b)), (1, b)):
+        name = f"delta_sv_{sv}"
+        q = (
+            spark.readStream.format("deltalog")
+            .option("startingVersion", str(sv)).load(t)
+            .writeStream.format("memory").queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt{sv}"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = _canon(spark.sql(f"SELECT * FROM {name}").select(*a.columns))
+            assert got == _canon(want), f"startingVersion={sv}"
+        finally:
+            q.stop()
+
+
+def test_streaming_max_versions_per_trigger_batches(spark, tmp_path):
+    """maxVersionsPerTrigger=K advances the offset at most K log versions
+    per latestOffset call (driver-side reader contract), and an end-to-end
+    stream still drains the whole table across several micro-batches."""
+    from duckdb_routing_spark.sources.delta_datasource import (
+        DeltaLogDataSource,
+        _DeltaStreamReader,
+    )
+
+    spark.dataSource.register(DeltaLogDataSource)
+    t = str(tmp_path / "t")
+    chunks = [_orders(spark, i * 100, (i + 1) * 100) for i in range(5)]
+    for c in chunks:
+        dl.write_delta(c, t)  # versions 0..4
+
+    # reader-level offset pinning: batch ends advance 2 versions at a time
+    r = _DeltaStreamReader(t, None, {"maxversionspertrigger": "2"})
+    assert r.initialOffset() == {"version": -1}
+    ends = []
+    for _ in range(4):
+        end = r.latestOffset()
+        ends.append(end["version"])
+        list(r.partitions({"version": ends[-2] if len(ends) > 1 else -1}, end))
+    assert ends == [1, 3, 4, 4]
+
+    # end-to-end: all rows arrive despite the cap
+    q = (
+        spark.readStream.format("deltalog")
+        .option("maxVersionsPerTrigger", "2").load(t)
+        .writeStream.format("memory").queryName("delta_mvpt")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        want = chunks[0]
+        for c in chunks[1:]:
+            want = want.unionByName(c)
+        got = _canon(spark.sql("SELECT * FROM delta_mvpt").select(*want.columns))
+        assert got == _canon(want)
+        assert len(q.recentProgress) >= 3  # drained in capped batches
+    finally:
+        q.stop()
+
+
+def test_datasource_partition_casts_date_and_decimal(spark, tmp_path):
+    """date / decimal partition columns are reconstructed with their
+    DECLARED types from the protocol's partitionValues strings (not leaked
+    as Python str, which would fail Arrow conversion executor-side)."""
+    import datetime
+    from decimal import Decimal
+
+    from duckdb_routing_spark.sources.delta_datasource import DeltaLogDataSource
+
+    spark.dataSource.register(DeltaLogDataSource)
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 2), Decimal("12.34")),
+         (2, datetime.date(2024, 1, 3), Decimal("56.78"))],
+        "id int, d date, amt decimal(10,2)",
+    )
+    dl.write_delta(df, t, partition_by=["d", "amt"])
+    got = spark.read.format("deltalog").load(t)
+    assert got.schema == dl.read_delta(spark, t).schema
+    rows = {r["id"]: r for r in got.collect()}
+    assert rows[1]["d"] == datetime.date(2024, 1, 2)
+    assert rows[1]["amt"] == Decimal("12.34")
+    assert rows[2]["d"] == datetime.date(2024, 1, 3)
+    assert rows[2]["amt"] == Decimal("56.78")
+
+
+def test_checkpoint_pointer_self_heals_to_newest(spark, tmp_path):
+    """Writing an OLDER checkpoint while a newer checkpoint parquet exists
+    but the pointer is missing/behind ends with the pointer at the NEWEST
+    checkpoint on disk (the check-then-rename interleave repair)."""
+    t = str(tmp_path / "t")
+    for i in range(6):
+        dl.write_delta(_orders(spark, i * 50, (i + 1) * 50), t,
+                       checkpoint_interval=None)
+    dl.write_checkpoint(t, 5)
+    os.remove(os.path.join(t, dl._LOG_DIR, dl._LAST_CHECKPOINT))
+    # pointer gone; a (stale) writer checkpoints version 2
+    dl.write_checkpoint(t, 2)
+    assert dl._last_checkpoint_version(t) == 5
+    # and both checkpoints remain readable bases for time travel
+    assert len(dl.read_delta(spark, t, version=2).collect()) == 150
+
+
+def _tiny_commit_table(t: str, n_commits: int, checkpoint_interval: int = 25):
+    """A delta table with `n_commits` single-file commits written WITHOUT
+    Spark (pyarrow data files + direct log commits) so log-scale tests run
+    in milliseconds. Schema: (id long, v long); commit i adds one file
+    holding row (i, i*10)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema_json = StructType(
+        [StructField("id", LongType()), StructField("v", LongType())]
+    ).json()
+    os.makedirs(t, exist_ok=True)
+    now = 1700000000000
+    for i in range(n_commits):
+        fname = f"part-{i:05d}.parquet"
+        pq.write_table(
+            pa.table({"id": [i], "v": [i * 10]}),
+            os.path.join(t, fname),
+        )
+        actions = [
+            {"commitInfo": {"timestamp": now + i, "operation": "APPEND"}}
+        ]
+        if i == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+            actions.append(
+                {"metaData": {
+                    "id": "tiny-commit-table",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now,
+                }}
+            )
+        actions.append(
+            {"add": {
+                "path": fname,
+                "partitionValues": {},
+                "size": os.path.getsize(os.path.join(t, fname)),
+                "modificationTime": now + i,
+                "dataChange": True,
+            }}
+        )
+        assert dl._try_commit(t, i, actions)
+        if checkpoint_interval and i > 0 and i % checkpoint_interval == 0:
+            dl.write_checkpoint(t, i)
+
+
+def test_cleanup_delta_log_bounds_log_and_time_travel_errors(spark, tmp_path):
+    """After cleanup_delta_log on a long-history table: the _delta_log file
+    count is bounded by the retention window, the current snapshot and every
+    retained version stay readable (base checkpoint at the cutoff), and time
+    travel below the horizon raises DeltaTimeTravelError naming the cleanup."""
+    t = str(tmp_path / "t")
+    n = 200
+    _tiny_commit_table(t, n, checkpoint_interval=25)
+
+    res = dl.cleanup_delta_log(t, retain_versions=20)
+    # cutoff = min(latest - retain + 1, last checkpoint) = min(180, 175)
+    assert res["log_min_version"] == 175
+    assert res["json_deleted"] > 0
+    log_files = os.listdir(os.path.join(t, dl._LOG_DIR))
+    # bounded: retained JSON tail + >=1 checkpoint + pointer + horizon
+    assert len([f for f in log_files if f.endswith(".json")]) <= 26
+    assert len(log_files) < 35
+
+    # current snapshot: all n rows
+    assert dl.read_delta(spark, t).count() == n
+    # retained old version reads green via the base checkpoint
+    lm = res["log_min_version"]
+    assert dl.read_delta(spark, t, version=lm).count() == lm + 1
+    assert dl.read_delta(spark, t, version=n - 3).count() == n - 2
+    # below the horizon: informative error, not FileNotFoundError
+    with pytest.raises(dl.DeltaTimeTravelError, match="cleanup_delta_log"):
+        dl.read_delta(spark, t, version=lm - 1)
+    # idempotent
+    res2 = dl.cleanup_delta_log(t, retain_versions=20)
+    assert res2["json_deleted"] == 0
+    # history starts at the horizon
+    hist = dl.delta_history(t)
+    assert hist[0]["version"] == lm and hist[-1]["version"] == n - 1
+
+
+def test_vacuum_records_horizon_and_time_travel_errors(spark, tmp_path):
+    """After a vacuum that actually deletes files, time travel below the
+    retained window raises DeltaTimeTravelError naming vacuum_delta."""
+    t = str(tmp_path / "t")
+    dl.write_delta(_orders(spark, 0, 300), t)                  # v0
+    dl.write_delta(_orders(spark, 300, 700), t, mode="overwrite")  # v1
+    assert dl.vacuum_delta(t, retain_last=1, grace_seconds=0) > 0
+    with pytest.raises(dl.DeltaTimeTravelError, match="vacuum_delta"):
+        dl.read_delta(spark, t, version=0)
+    # current snapshot unaffected
+    assert dl.read_delta(spark, t).count() == len(_orders(spark, 300, 700).collect())
