@@ -112,6 +112,71 @@ def kmeans_centroids(
     return centroids
 
 
+def kmeans_centroids_fast(
+    emb: DataFrame,
+    k: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Batch-vectorized Lloyd training for LARGE k — the sqrt(n) IVF
+    quantizer's trainer. Same seeding convention (the k lowest-id
+    vectors), same argmin tie-break (lowest cluster id wins — np.argmin
+    returns the first minimum), same empty-cluster rule (keep the previous
+    centroid) as :func:`kmeans_centroids`, but each iteration is one
+    mapInPandas pass emitting per-partition partial sums (O(k*dim) rows
+    per partition) combined driver-side in numpy — no k-way crossJoin, no
+    (cluster, dim) shuffle. BLAS pairwise summation differs from the
+    sequential kernel in the last ulp, so this is the opt-in scale path
+    (like build_ann_index(fast_assign=True)); the exact path remains the
+    DuckDB-oracle twin."""
+    import numpy as np
+    import pandas as pd
+
+    seeds = (
+        emb.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    C = np.array([list(r.v) for r in seeds], dtype=np.float64)
+    kk, dim = C.shape
+    src = emb.select(F.col(vec_col).cast("array<double>").alias("v")).persist()
+    try:
+        for _ in range(iterations - 1):
+            C_b = C
+            c2 = (C_b * C_b).sum(axis=1)
+
+            def partials(iterator):
+                sums = np.zeros_like(C_b)
+                counts = np.zeros(kk, dtype=np.int64)
+                for pdf in iterator:
+                    if len(pdf) == 0:
+                        continue
+                    V = np.vstack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+                    a = np.argmin(c2[None, :] - 2.0 * (V @ C_b.T), axis=1)
+                    np.add.at(sums, a, V)
+                    counts += np.bincount(a, minlength=kk)
+                yield pd.DataFrame(
+                    {"cell": np.arange(kk), "cnt": counts, "vsum": list(sums)}
+                )
+
+            agg = src.mapInPandas(
+                partials, "cell int, cnt long, vsum array<double>"
+            ).toPandas()
+            counts = np.zeros(kk, dtype=np.int64)
+            sums = np.zeros_like(C)
+            for _, row in agg.iterrows():
+                counts[row["cell"]] += row["cnt"]
+                sums[row["cell"]] += np.asarray(row["vsum"])
+            nonempty = counts > 0
+            C = C.copy()
+            C[nonempty] = sums[nonempty] / counts[nonempty, None]
+    finally:
+        src.unpersist()
+    return [(i, [float(x) for x in C[i]]) for i in range(kk)]
+
+
 def centroids_df(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """Centroid list as a (cell, svec) DataFrame — the seed-table shape
     `similarity.semantic_dedup(seeds=...)` and IVF consumers broadcast."""

@@ -519,24 +519,36 @@ def _cell_assignments_fast(
 def build_ann_index(
     corpus: DataFrame,
     index_dir: str,
-    n_cells: int = 8,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seeds: DataFrame | None = None,
     index_fs=None,
     meta_cols: list[str] | None = None,
     fast_assign: bool = False,
+    max_cells: int = 65536,
 ) -> None:
     """Persist the IVF index the way a 100 TB vector store actually lays
     out: vectors written CELL-PARTITIONED (<index_dir>/cells/cell=K/) so a
     probe is a partition-PRUNED read of n_probe/n_cells of the data at the
     file-listing level, plus the tiny seed table (<index_dir>/seeds/).
-    `seeds` takes a trained quantizer (`clustering.kmeans_centroids` +
-    `centroids_df`); default is the deterministic first-n_cells codebook
-    `ivf_topk` uses."""
+    `seeds` takes a trained quantizer (`clustering.kmeans_centroids` /
+    `kmeans_centroids_fast` + `centroids_df`); default is the
+    deterministic first-n_cells codebook `ivf_topk` uses.
+
+    n_cells=None (the default) SCALES THE QUANTIZER WITH THE CORPUS:
+    max(8, min(max_cells, round(sqrt(n)))) — conventional IVF sizing,
+    where a probe of p cells scans ~p*sqrt(n) vectors. A fixed small
+    codebook silently degrades at scale (64 cells at 1M vectors put
+    recall@10=0.9 at 12.5% of the index scanned — the measured r9 curve);
+    sqrt sizing keeps the same recall at a few percent (ANN_CURVE_r10).
+    The count() this costs is one pass over the build input — negligible
+    against the build's own write."""
     import os as _os
 
     if seeds is None:
+        if n_cells is None:
+            n_cells = max(8, min(max_cells, int(round(corpus.count() ** 0.5))))
         seeds = (
             corpus.orderBy(id_col)
             .limit(n_cells)

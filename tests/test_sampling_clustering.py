@@ -380,3 +380,39 @@ def test_export_tokenized_shards_tokenizer_families(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         export_tokenized_shards(small, str(tmp_path / "bad"), merges=[("a", "b")], tokenizer="unigram")
+
+
+def test_kmeans_centroids_fast_matches_exact_assignments(spark):
+    """The scale trainer (batch-argmin Lloyd, kmeans_centroids_fast) must
+    produce centroids whose assignment equals the exact sequential
+    trainer's on real data — float summation order may differ in the last
+    ulp, but on the sf0.001 embeddings the induced partition is identical."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = clustering.kmeans_centroids(emb, k=4, iterations=3)
+    fast = clustering.kmeans_centroids_fast(emb, k=4, iterations=3)
+    import numpy as np
+
+    E = np.array([v for _, v in exact])
+    Fst = np.array([v for _, v in fast])
+    assert np.allclose(E, Fst, rtol=1e-9, atol=1e-9)
+    a = {(r.vec_id, r.cluster_id)
+         for r in clustering._assign(emb, exact, "vec_id", "embedding").collect()}
+    b = {(r.vec_id, r.cluster_id)
+         for r in clustering._assign(emb, fast, "vec_id", "embedding").collect()}
+    assert a == b
+
+
+def test_build_ann_index_auto_cells_sqrt_n(spark, tmp_path):
+    """n_cells=None sizes the quantizer at max(8, round(sqrt(n))) — the
+    seed table carries that many rows and probes stay correct."""
+    from duckdb_routing_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    want = max(8, int(round(n ** 0.5)))
+    idx = str(tmp_path / "auto")
+    similarity.build_ann_index(emb, idx)
+    assert spark.read.parquet(f"{idx}/seeds").count() == want
+    q = emb.filter("vec_id < 2")
+    got = similarity.ann_query_index(spark, idx, q, k=5, n_probe=2).collect()
+    assert len(got) == 10 and all(r.vec_id != r.query_id for r in got)

@@ -12,14 +12,19 @@ can regenerate the exact vectors for the brute-force ground truth without
 collecting the corpus. Queries are HELD-OUT ids (n..n+Q) from the same
 generator: clustered like the corpus, never in the index.
 
-The quantizer is kmeans trained on a 2% sample (clustering.kmeans_centroids,
-3 Lloyd iterations) — the standard sample-trained codebook, not the
-generator's own centers (that would measure an oracle quantizer). The index
-build uses build_ann_index(fast_assign=True): the batch-argmin assignment
-whose Arrow traffic is O(n), not the exact path's O(n*cells) pairs.
+The quantizer is kmeans trained on a 2% sample — the standard
+sample-trained codebook, not the generator's own centers (that would
+measure an oracle quantizer). --cells 0 (the default) auto-sizes it at
+sqrt(n) like build_ann_index's n_cells=None default (r9's committed curve
+normalized a 64-cell codebook at 1M vectors — recall 0.9 cost 12.5% of
+the index; sqrt sizing is the fix being measured). Training uses
+clustering.kmeans_centroids_fast above 64 cells (the batch-argmin Lloyd
+pass; the exact crossJoin trainer is quadratic in k) and the index build
+uses build_ann_index(fast_assign=True): O(n) Arrow traffic, not the
+exact path's O(n*cells) pairs.
 
 Usage:
-  python tools/ann_curve.py [--n 1000000] [--dim 64] [--cells 64]
+  python tools/ann_curve.py [--n 1000000] [--dim 64] [--cells 0]
                             [--queries 32] [--k 10] [--out FILE]
 """
 
@@ -71,7 +76,9 @@ def main() -> None:
 
     n = arg("--n", 1_000_000)
     dim = arg("--dim", 64)
-    n_cells = arg("--cells", 64)
+    n_cells = arg("--cells", 0)
+    if n_cells <= 0:
+        n_cells = max(8, int(round(n ** 0.5)))  # build_ann_index's auto rule
     n_queries = arg("--queries", 32)
     k = arg("--k", 10)
     out_file = arg("--out", "")
@@ -106,7 +113,12 @@ def main() -> None:
 
         t0 = time.perf_counter()
         sample = corpus.filter("vec_id % 50 = 0")  # 2% training sample
-        cents = clustering.kmeans_centroids(sample, k=n_cells, iterations=3)
+        train = (
+            clustering.kmeans_centroids_fast
+            if n_cells > 64
+            else clustering.kmeans_centroids
+        )
+        cents = train(sample, k=n_cells, iterations=3)
         seeds = clustering.centroids_df(spark, cents)
         train_s = time.perf_counter() - t0
 
@@ -143,7 +155,7 @@ def main() -> None:
         )
 
         points = []
-        probes = sorted({p for p in (1, 2, 4, 8, 16, n_cells) if p <= n_cells})
+        probes = sorted({p for p in (1, 2, 4, 8, 16, 32, 64, n_cells) if p <= n_cells})
         for n_probe in probes:
             df = similarity.ann_query_index(
                 spark, index_dir, queries, k=k, n_probe=n_probe
@@ -176,7 +188,8 @@ def main() -> None:
             "n_cells": n_cells,
             "n_queries": n_queries,
             "k": k,
-            "quantizer": "kmeans(sample=2%, iters=3)",
+            "quantizer": ("kmeans_fast" if n_cells > 64 else "kmeans")
+            + "(sample=2%, iters=3)",
             "train_sec": round(train_s, 1),
             "build_sec": round(build_s, 1),
             "curve": points,
