@@ -225,11 +225,12 @@ def pair_intersection_sizes(
     residual bound: collect_list makes one array row per doc, so a single
     document with hundreds of millions of shingles would need the
     jaccard_for_pairs row-stream shape instead."""
-    cand_docs = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id"))
-        )
-        .distinct()
+    # NO .distinct() on the candidate-doc ids: the only consumer is the
+    # left-semi join below, whose build side dedups inside the hash
+    # relation — the distinct was one whole exchange+stage that changed
+    # nothing (values identical; a pair list has ~2x rows of 8-byte ids)
+    cand_docs = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))
     )
     if broadcast is None:
         # the semi-join output is what gets collected into per-doc arrays
