@@ -69,6 +69,46 @@ def probe_array_dim(path: str, col: str) -> int:
     return len(first.column(0)[0])
 
 
+def literal_df(spark, rows: list, ddl: str) -> DataFrame:
+    """Small literal input as a one-partition Catalyst plan instead of
+    `createDataFrame(rows, ddl)`.
+
+    createDataFrame(list) parallelizes a pickled RDD: the plan gets a
+    `Scan ExistingRDD` leaf whose rows re-cross py4j + pickle on EVERY
+    action, and feeding a Python UDF stage from it measured ~0.25 s of
+    fixed per-action overhead at bench scale (route_travel_time interleaved
+    A/B: 0.376 -> 0.115 s min after this change). Building the same rows as
+    an explode() over literal structs keeps them inside the JVM as a
+    Catalyst expression — no RDD, no pickling, one partition with no
+    repartition exchange.
+
+    Output schema matches createDataFrame's (nullable columns included —
+    the `when(True, _)` wrapper restores nullability that lit() would
+    drop, so downstream schema hashes are byte-identical). Only for small
+    driver-side literal inputs (query fixtures); data-sized inputs keep
+    the Arrow createDataFrame path."""
+    from pyspark.sql import functions as F
+
+    st = spark.createDataFrame([], ddl).schema
+    if not rows:
+        return spark.createDataFrame([], ddl)
+    structs = [
+        F.struct(
+            *[F.lit(v).cast(f.dataType).alias(f.name) for v, f in zip(row, st.fields)]
+        )
+        for row in rows
+    ]
+    exploded = spark.range(1, numPartitions=1).select(
+        F.explode(F.array(*structs)).alias("_r")
+    )
+    return exploded.select(
+        *[
+            F.when(F.lit(True), F.col(f"_r.{f.name}")).alias(f.name)
+            for f in st.fields
+        ]
+    )
+
+
 def spread_small_scan(df: DataFrame, key: str) -> DataFrame:
     """Repartition a narrow input up to default parallelism before heavy
     row-local work (shingle explode + md5, Arrow-batched vector kernels).

@@ -20,6 +20,7 @@ top of SURVEY §2.
 
 from __future__ import annotations
 
+from duckdb_routing_spark.operators.common import literal_df
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -204,7 +205,7 @@ def hybrid_rrf_search(
     dcomp = _text.hashed_doc_embedding_components(
         docs, dim=dim, n_features=n_features, id_col=id_col, text_col=text_col
     )
-    qdf = spark.createDataFrame([(0, query)], f"{id_col} long, {text_col} string")
+    qdf = literal_df(spark, [(0, query)], f"{id_col} long, {text_col} string")
     qcomp = _text.hashed_doc_embedding_components(
         qdf, dim=dim, n_features=n_features, id_col=id_col, text_col=text_col
     ).select("j", F.col("s").alias("qs"))

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_routing_spark.operators import common, dedup, similarity, sketch, text
-from duckdb_routing_spark.queries.registry import bytes_scaled_shuffle, register, table
+from duckdb_routing_spark.queries.registry import bytes_scaled_shuffle, literal_df, register, table
 
 # shared oracle CTE: distinct word-3-gram shingles per doc
 SHINGLES_CTE = """
@@ -2013,7 +2013,7 @@ def doc_lexicon_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream (a 100k-term blocklist broadcasts; an IN-literal cannot),
     with semi-join semantics so duplicate lexicon rows never double-count.
     The 6-term lexicon here stands in for the real list."""
-    lex = spark.createDataFrame([(t,) for t in _LEXICON_TERMS], "term string")
+    lex = literal_df(spark, [(t,) for t in _LEXICON_TERMS], "term string")
     return text.lexicon_hits(table(spark, sf_dir, "documents"), lex).orderBy("doc_id")
 
 

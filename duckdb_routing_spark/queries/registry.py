@@ -457,6 +457,9 @@ import weakref
 _TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = weakref.WeakKeyDictionary()
 
 
+from duckdb_routing_spark.operators.common import literal_df  # noqa: F401  (re-export: query modules import it from here)
+
+
 def register_table_override(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> None:
     """Point `table(spark, sf_dir, name)` at an arbitrary DataFrame.
 

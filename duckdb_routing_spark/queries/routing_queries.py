@@ -21,7 +21,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_routing_spark.queries.registry import register
+from duckdb_routing_spark.queries.registry import literal_df, register
 from duckdb_routing_spark.routing import kernels
 from duckdb_routing_spark.routing.engine import RoutingEngine
 from duckdb_routing_spark.routing.graph import RoutingGraph
@@ -97,7 +97,7 @@ def route_travel_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         la1, lo1 = _node_latlon(s)
         la2, lo2 = _node_latlon(d)
         rows.append((pid, la1, lo1, la2, lo2))
-    df = spark.createDataFrame(rows, "pair_id int, lat1 double, lon1 double, lat2 double, lon2 double").repartition(1)
+    df = literal_df(spark, rows, "pair_id int, lat1 double, lon1 double, lat2 double, lon2 double")
     return df.selectExpr("pair_id", "travel_time(lat1, lon1, lat2, lon2, 'auto') AS duration_s").orderBy(
         "pair_id"
     )
@@ -125,7 +125,7 @@ def route_wkb_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
         la1, lo1 = _node_latlon(s)
         la2, lo2 = _node_latlon(d)
         rows.append((pid, f"POINT({lo1!r} {la1!r})", f"POINT({lo2!r} {la2!r})"))
-    df = spark.createDataFrame(rows, "pair_id int, f string, t string").repartition(1)
+    df = literal_df(spark, rows, "pair_id int, f string, t string")
     return df.selectExpr(
         "pair_id", "travel_time_route_wkb(f, t, 'auto').duration_minutes AS duration_minutes"
     ).orderBy("pair_id")
@@ -200,7 +200,7 @@ ORDER BY q_id
 @register("route_snap", oracle=SNAP_ORACLE, doc="nearest-main-road-node snap (R-tree semantics)")
 def route_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     _engine(spark)
-    df = spark.createDataFrame(_SNAP_QUERIES, "q_id int, qlat double, qlon double").repartition(1)
+    df = literal_df(spark, _SNAP_QUERIES, "q_id int, qlat double, qlon double")
     return df.selectExpr(
         "q_id",
         "travel_time_snap(qlat, qlon, 'auto').lat AS lat",
@@ -248,7 +248,7 @@ def route_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         la, lo = _node_latlon(node)
         rows.append((name, la, lo))
     la0, lo0 = _node_latlon(0)
-    cities = spark.createDataFrame(rows, "name string, lat double, lon double").repartition(1)
+    cities = literal_df(spark, rows, "name string, lat double, lon double")
     return (
         cities.selectExpr("name", f"travel_time({la0!r}, {lo0!r}, lat, lon, 'auto') AS seconds")
         .orderBy("seconds", "name")
@@ -502,7 +502,7 @@ def route_pbf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         la2, lo2 = _node_latlon(d)
         dur = kernels.batch_travel_time_s(g, [la1], [lo1], [la2], [lo2])[0]
         rows.append((pid, None if np.isnan(dur) else float(dur)))
-    return spark.createDataFrame(rows, "pair_id int, duration_s double").orderBy("pair_id")
+    return literal_df(spark, rows, "pair_id int, duration_s double").orderBy("pair_id")
 
 
 # ---------------------------------------------------------------------------
@@ -565,9 +565,7 @@ def route_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         la2, lo2 = _node_latlon(d)
         for mode in ("auto", "bicycle", "pedestrian"):
             rows.append((pid, mode, la1, lo1, la2, lo2))
-    df = spark.createDataFrame(
-        rows, "pair_id int, mode string, lat1 double, lon1 double, lat2 double, lon2 double"
-    ).repartition(1)
+    df = literal_df(spark, rows, "pair_id int, mode string, lat1 double, lon1 double, lat2 double, lon2 double")
     return df.selectExpr("pair_id", "mode", "travel_time(lat1, lon1, lat2, lon2, mode) AS duration_s").orderBy(
         "pair_id", "mode"
     )
@@ -589,8 +587,8 @@ def route_iso_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = _engine(spark)
     la0, lo0 = _node_latlon(11)
     la1, lo1 = _node_latlon(88)
-    origins = spark.createDataFrame(
-        [(0, la0, lo0), (1, la1, lo1)], "origin_id long, lat double, lon double"
+    origins = literal_df(
+        spark, [(0, la0, lo0), (1, la1, lo1)], "origin_id long, lat double, lon double"
     ).repartition(2)
     return (
         eng.isochrones(origins, 45.0, "auto")
@@ -653,12 +651,10 @@ def route_monaco(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("port->jardin", "POINT(7.4260 43.7350)", "POINT(7.4144 43.7311)"),
         ("larvotto->fontvieille", "POINT(7.4326 43.7452)", "POINT(7.4172 43.7266)"),
     ]
-    df = spark.createDataFrame(pairs, "name string, f string, t string").repartition(1)
+    df = literal_df(spark, pairs, "name string, f string, t string")
     routes = df.selectExpr(
         "concat('route:', name) AS metric",
         "travel_time_route_wkb(f, t, 'monaco').duration_minutes * 60.0 AS value",
     )
-    counts = spark.createDataFrame(
-        [("nodes", float(g.num_nodes)), ("edges", float(g.num_edges))], schema
-    )
+    counts = literal_df(spark, [("nodes", float(g.num_nodes)), ("edges", float(g.num_edges))], schema)
     return routes.unionByName(counts).orderBy("metric")

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from duckdb_routing_spark.operators.common import literal_df
 from duckdb_routing_spark.routing import kernels
 from duckdb_routing_spark.routing.geometry import (
     any_geometry_to_lonlat,
@@ -667,7 +668,8 @@ class RoutingEngine:
         # directly from a LocalTableScan spawns a fresh Python worker per
         # action (~5s); the exchange routes it through the reused worker
         # pool, and one task per origin is the right granularity anyway
-        origins = self.spark.createDataFrame(
+        origins = literal_df(
+            self.spark,
             [(i, float(la), float(lo)) for i, (la, lo) in enumerate(zip(src_lats, src_lons))],
             "from_idx int, lat double, lon double",
         ).repartition(min(len(src_lats), 32))
@@ -763,7 +765,7 @@ class RoutingEngine:
         """Single-source isochrone point cloud (#17): every reachable node
         with its cost in seconds, costs <= max_seconds."""
         df = self.isochrones(
-            self.spark.createDataFrame([(0, float(lat), float(lon))], "origin_id long, lat double, lon double"),
+            literal_df(self.spark, [(0, float(lat), float(lon))], "origin_id long, lat double, lon double"),
             max_seconds,
             costing,
         )
@@ -890,8 +892,8 @@ class RoutingEngine:
                 rows.append(
                     (minutes, int(mask.sum()), len(hull), build_wkb_polygon(hull) if len(hull) >= 3 else None)
                 )
-        return self.spark.createDataFrame(
-            rows, "minutes double, n_reach long, n_points int, geometry binary"
+        return literal_df(
+            self.spark, rows, "minutes double, n_reach long, n_points int, geometry binary"
         )
 
     def optimized_route(self, lats, lons, costing: str = "auto") -> dict:
