@@ -28,6 +28,8 @@ lexicographically so training is deterministic and engine-reproducible.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -255,7 +257,11 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
     ranks = {pair: i for i, pair in enumerate(merges)}
 
     @pandas_udf(ArrayType(StringType()))
-    def encode(texts: pd.Series) -> pd.Series:
+    def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # iterator form (guide: init heavy state once per TASK): the word
+        # cache survives across every Arrow batch of the partition instead
+        # of restarting per batch — natural text repeats words far beyond
+        # one 10k-row batch
         cache: dict[str, list[str]] = {}
 
         def enc(text) -> list[str]:
@@ -271,7 +277,8 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
                 out.extend(got)
             return out
 
-        return texts.map(enc)
+        for texts in batches:
+            yield texts.map(enc)
 
     return encode
 
@@ -325,8 +332,8 @@ def bpe_encode_ids_udf(merges: list[tuple[str, str]], vocab: list[str]):
     ids = {s: i for i, s in enumerate(vocab)}
 
     @pandas_udf(ArrayType(IntegerType()))
-    def encode_ids(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[int]] = {}
+    def encode_ids(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[int]] = {}  # per-task (iterator form), not per-batch
 
         def enc(text) -> list[int]:
             if text is None:
@@ -341,7 +348,8 @@ def bpe_encode_ids_udf(merges: list[tuple[str, str]], vocab: list[str]):
                 out.extend(got)
             return out
 
-        return texts.map(enc)
+        for texts in batches:
+            yield texts.map(enc)
 
     return encode_ids
 

@@ -35,6 +35,8 @@ oracle.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import math
 
 import pandas as pd
@@ -220,8 +222,8 @@ def unigram_encode_udf(vocab: list[tuple[str, float]], max_piece_len: int = 8):
     logp = dict(vocab)
 
     @pandas_udf(ArrayType(StringType()))
-    def encode(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
+    def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[str]] = {}  # per-task (iterator form), not per-batch
 
         def enc(text) -> list[str]:
             if text is None:
@@ -237,7 +239,8 @@ def unigram_encode_udf(vocab: list[tuple[str, float]], max_piece_len: int = 8):
                 out.extend(got)
             return out
 
-        return texts.map(enc)
+        for texts in batches:
+            yield texts.map(enc)
 
     return encode
 
@@ -277,8 +280,8 @@ def unigram_encode_ids_udf(
     ids = {s: i for i, s in enumerate(id_table)}
 
     @pandas_udf(ArrayType(IntegerType()))
-    def encode_ids(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[int]] = {}
+    def encode_ids(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[int]] = {}  # per-task (iterator form), not per-batch
 
         def enc(text) -> list[int]:
             if text is None:
@@ -296,7 +299,8 @@ def unigram_encode_ids_udf(
                 out.extend(got)
             return out
 
-        return texts.map(enc)
+        for texts in batches:
+            yield texts.map(enc)
 
     return encode_ids
 

@@ -27,6 +27,8 @@ training is bit-reproducible on any host.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import pandas_udf
@@ -205,8 +207,8 @@ def wordpiece_encode_udf(vocab: list[str], max_word_chars: int = 100):
         return out
 
     @pandas_udf(ArrayType(StringType()))
-    def encode(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
+    def encode(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[str]] = {}  # per-task (iterator form), not per-batch
 
         def enc(text) -> list[str]:
             if text is None:
@@ -221,7 +223,8 @@ def wordpiece_encode_udf(vocab: list[str], max_word_chars: int = 100):
                 out.extend(got)
             return out
 
-        return texts.map(enc)
+        for texts in batches:
+            yield texts.map(enc)
 
     return encode
 
@@ -276,8 +279,8 @@ def wordpiece_encode_ids_udf(vocab: list[str], max_word_chars: int = 100):
         return out
 
     @pandas_udf(ArrayType(IntegerType()))
-    def encode_ids(texts: pd.Series) -> pd.Series:
-        cache: dict[str, list[int]] = {}
+    def encode_ids(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        cache: dict[str, list[int]] = {}  # per-task (iterator form), not per-batch
 
         def enc(text) -> list[int]:
             if text is None:
@@ -292,7 +295,8 @@ def wordpiece_encode_ids_udf(vocab: list[str], max_word_chars: int = 100):
                 out.extend(got)
             return out
 
-        return texts.map(enc)
+        for texts in batches:
+            yield texts.map(enc)
 
     return encode_ids
 
