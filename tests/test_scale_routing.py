@@ -82,3 +82,29 @@ def test_alt_int32_packing_roundtrip():
     assert back[0, 0] == 0 and back[0, 1] == 123456
     assert back[0, 2] == kernels._INF  # sentinel restored
     assert back[0, 3] == 2_000_000_000
+
+
+def test_batch_grid_catalyst_coords_bit_exact(spark):
+    """route_batch_throughput generates its 40k-node coordinate table with
+    Catalyst arithmetic (range -> affine expressions) instead of shipping
+    the numpy arrays through a pandas LocalTableScan. The substitution is
+    only sound if the JVM doubles are BIT-identical to the numpy ones the
+    broadcast graph snaps against — same IEEE multiply/add, pinned here."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from duckdb_routing_spark.queries.routing_queries import _BATCH_DIM, _batch_grid
+
+    g = _batch_grid()
+    nodes = (
+        spark.range(g.num_nodes)
+        .select(
+            F.col("id").alias("node_id"),
+            (F.lit(52.0) + (F.col("id") / F.lit(_BATCH_DIM)).cast("long") * F.lit(0.001)).alias("lat"),
+            (F.lit(13.0) + (F.col("id") % F.lit(_BATCH_DIM)) * F.lit(0.001)).alias("lon"),
+        )
+        .toPandas()
+        .sort_values("node_id")
+    )
+    assert (nodes.lat.to_numpy() == g.node_lat).all()
+    assert (nodes.lon.to_numpy() == g.node_lon).all()
