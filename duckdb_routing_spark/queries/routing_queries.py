@@ -300,9 +300,13 @@ def route_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nodes.selectExpr("node_id AS d_node", "lat AS lat2", "lon AS lon2")), "d_node")
     )
     # co-locate each origin's rows: the kernel runs ONE SSSP per distinct
-    # source PER PARTITION, so hash-partitioning on s_node turns
-    # (32 partitions x 100 sources) = 3200 kernel runs into exactly 100
-    routed = pairs.repartition(32, "s_node").selectExpr(
+    # source PER PARTITION, so hash-partitioning on s_node bounds kernel
+    # runs at the origin count. Width = defaultParallelism (capped at the
+    # 100 origins), NOT a constant: one task wave at any core count, and
+    # fewer/fuller partitions feed the multi-source SSSP chunking better
+    # (local[8] A/B: 32 fixed -> width 8 = 0.282 -> 0.234 s min)
+    n_parts = min(100, spark.sparkContext.defaultParallelism)
+    routed = pairs.repartition(n_parts, "s_node").selectExpr(
         "s_node", "d_node", f"travel_time(lat1, lon1, lat2, lon2, '{_BATCH_MODE}') AS s"
     )
     return routed.agg(
