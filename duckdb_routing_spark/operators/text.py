@@ -692,12 +692,21 @@ def train_quality_classifier(
         spark = docs.sparkSession
         w = [0.0] * n_features
         for _ in range(iterations):
-            w_micro = [(b, int(round(w[b] * 1_000_000))) for b in range(n_features)]
-            wdf = spark.createDataFrame(w_micro, "bucket INT, w_micro LONG")
+            # Weight lookup as ONE literal-array expression (single py4j
+            # parse per iteration) instead of a per-iteration
+            # createDataFrame + broadcast join: hashed_bucket is always in
+            # [0, n_features), so the former inner join kept every row and
+            # element_at(arr, bucket+1) yields the identical LONG
+            # micro-weight — the margins are byte-equal by construction.
+            w_arr = F.expr(
+                "array("
+                + ",".join(f"{int(round(w[b] * 1_000_000))}L" for b in range(n_features))
+                + ")"
+            )
+            w_micro_col = F.element_at(w_arr, (F.col("bucket") + 1).cast("int"))
             margins = (
-                counts.join(F.broadcast(wdf), "bucket")
-                .groupBy("doc_id", "y")
-                .agg((F.sum(F.col("cnt") * F.col("w_micro")) / 1e6).alias("m"))
+                counts.groupBy("doc_id", "y")
+                .agg((F.sum(F.col("cnt") * w_micro_col) / 1e6).alias("m"))
                 .select(
                     "doc_id",
                     (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("m"))) - F.col("y")).alias("r"),
