@@ -301,11 +301,18 @@ def route_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # co-locate each origin's rows: the kernel runs ONE SSSP per distinct
     # source PER PARTITION, so hash-partitioning on s_node bounds kernel
-    # runs at the origin count. Width = defaultParallelism (capped at the
-    # 100 origins), NOT a constant: one task wave at any core count, and
-    # fewer/fuller partitions feed the multi-source SSSP chunking better
-    # (local[8] A/B: 32 fixed -> width 8 = 0.282 -> 0.234 s min)
-    n_parts = min(100, spark.sparkContext.defaultParallelism)
+    # runs at the origin count. Width = one optimal multi-SSSP chunk per
+    # task (ceil(origins / sssp_chunk_size)), capped at parallelism: a
+    # partition holding fewer origins than one chunk wastes the kernel's
+    # per-iteration amortization AND multiplies per-task fixed costs
+    # (python worker dispatch, broadcast CSR access). local[32] interleaved
+    # A/B: width 32 (parallelism) 0.554 min / 0.694 med vs width 13
+    # (chunk-derived) 0.301 / 0.420 — 1.7-1.8x. At cluster scale origins
+    # vastly outnumber cores * chunk, so the parallelism cap binds and the
+    # fan-out still fills every core; nothing here is a local constant.
+    n_origins = 100  # distinct s_node values by construction (id % 100)
+    chunk = kernels.sssp_chunk_size(n_grid)
+    n_parts = min(-(-n_origins // chunk), spark.sparkContext.defaultParallelism)
     routed = pairs.repartition(n_parts, "s_node").selectExpr(
         "s_node", "d_node", f"travel_time(lat1, lon1, lat2, lon2, '{_BATCH_MODE}') AS s"
     )

@@ -642,6 +642,18 @@ def sssp_multi_target(g: RoutingGraph, src: int, targets: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
+def sssp_chunk_size(num_nodes: int) -> int:
+    """Origins per multi-source SSSP call (sssp_frontier_multi_ms).
+    Measured on the 40k-node batch grid: k=4-8 wins ~1.3-2x over k=1 (the
+    per-iteration numpy dispatch amortizes across origins) but large k
+    loses it again — the k*n label array outgrows cache and the random
+    gather/scatter on it dominates (k=32 measured slower than k=1). The
+    64M-label (512 MB) cap only binds on huge graphs. Shared with the
+    query-side fan-out: a partition holding fewer origins than one chunk
+    wastes the amortization (routing_queries.route_batch)."""
+    return max(1, min(8, int(64e6 // max(num_nodes, 1))))
+
+
 def batch_travel_time_s(g: RoutingGraph, lat1, lon1, lat2, lon2) -> np.ndarray:
     """Vectorized travel_time: snap both endpoints, shortest-path seconds.
     NaN marks no-route / invalid input (the SQL layer maps NaN -> NULL,
@@ -667,13 +679,8 @@ def batch_travel_time_s(g: RoutingGraph, lat1, lon1, lat2, lon2) -> np.ndarray:
     ok = valid & (src >= 0) & (dst >= 0)
     uniq = np.unique(src[ok])
     # one multi-source frontier call per chunk instead of one single-source
-    # call per origin (sssp_frontier_multi_ms: amortizes the per-iteration
-    # numpy dispatch across the batch's origins). Chunk k stays SMALL:
-    # measured on the 40k-node batch grid, k=4-8 wins ~1.3-2x but large k
-    # loses it again — the k*n label array outgrows cache and the random
-    # gather/scatter on it dominates (k=32 measured slower than k=1).
-    # The memory bound (~64M labels = 512 MB) only binds on huge graphs.
-    chunk = max(1, min(8, int(64e6 // max(g.num_nodes, 1))))
+    # call per origin (sizing rationale: sssp_chunk_size)
+    chunk = sssp_chunk_size(g.num_nodes)
     for c0 in range(0, len(uniq), chunk):
         cs = uniq[c0 : c0 + chunk]
         dmat = sssp_frontier_multi_ms(g, cs)
