@@ -154,7 +154,18 @@ def kmeans_centroids_fast(
                     if len(pdf) == 0:
                         continue
                     V = np.vstack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
-                    a = np.argmin(c2[None, :] - 2.0 * (V @ C_b.T), axis=1)
+                    # row-chunked argmin: a whole-batch score matrix is
+                    # n_batch x k doubles — 524 MB transient per worker at
+                    # k=1000 and 65536-row batches, which thrashes the
+                    # allocator across 32 workers (same fix as
+                    # _cell_assignments_fast; tools/assign_ab.py measured
+                    # 63 -> 3.4 s there). Same argmin per row.
+                    a = np.empty(V.shape[0], dtype=np.int64)
+                    step = max(1, (1 << 23) // max(1, kk))
+                    for i in range(0, V.shape[0], step):
+                        a[i:i + step] = np.argmin(
+                            c2[None, :] - 2.0 * (V[i:i + step] @ C_b.T), axis=1
+                        )
                     np.add.at(sums, a, V)
                     counts += np.bincount(a, minlength=kk)
                 yield pd.DataFrame(

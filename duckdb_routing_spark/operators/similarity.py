@@ -405,6 +405,25 @@ def cosine_near_dup_pairs(
 # IVF ANN (seeded coarse quantizer; deterministic, oracle-expressible)
 # ---------------------------------------------------------------------------
 
+def _with_double_vec(df: DataFrame, name: str, out: str) -> DataFrame:
+    """Project a float64 twin of an array column for HOF dot products.
+
+    zip_with's x*y multiplies in the ARRAY'S element type: on array<float>
+    each product rounds to float32 BEFORE the double accumulation, which
+    broke oracle hash-parity at ~1e-8 (measured on sim_ann_index_probe).
+    Casting per element FIRST makes every product exact (24+24 < 53
+    mantissa bits) — the same prior-projection idiom as
+    cosine_topk_catalyst, which also keeps the analyzer from inlining the
+    transform into the dot (the _dot_hof interpreted-eval caveat). Already-
+    double columns alias for free."""
+    from pyspark.sql.types import ArrayType
+
+    t = df.schema[name].dataType
+    if isinstance(t, ArrayType) and isinstance(t.elementType, DoubleType):
+        return df.withColumn(out, F.col(name))
+    return df.selectExpr("*", f"transform({name}, x -> cast(x as double)) AS {out}")
+
+
 def _cell_assignments(
     vecs: DataFrame, seeds: DataFrame, id_alias: str, vec_alias: str, rank_limit: int
 ) -> DataFrame:
@@ -413,13 +432,24 @@ def _cell_assignments(
     vector to its cell; >1 gives a query its probe list. Preserves the
     input columns and adds `cell`."""
     keep = [c for c in vecs.columns]
-    scored = vecs.crossJoin(F.broadcast(seeds)).select(
-        *keep,
-        "cell",
-        (
-            _dot_seq(F.col("svec"), F.col("svec"))
-            - F.lit(2.0) * _dot_seq(F.col(vec_alias), F.col("svec"))
-        ).alias("score"),
+    # scoring via the pure-JVM HOF dot (_dot_hof), not the _dot_seq pandas
+    # UDF: bit-identical left-to-right float64 accumulation (pinned by
+    # test_cosine_topk_catalyst_matches_kernel) with no ArrowEvalPython
+    # stage — interleaved A/B at 1M vectors x 1000 cells measured the UDF
+    # form 4.2x slower on the probe's scored join (tools/probe_profile.py).
+    # The float64 twins are projected on each SIDE before the join, so the
+    # per-element cast runs once per input row, not once per pair
+    scored = (
+        _with_double_vec(vecs, vec_alias, "__vd")
+        .crossJoin(F.broadcast(_with_double_vec(seeds, "svec", "__sd")))
+        .select(
+            *keep,
+            "cell",
+            (
+                F.expr(_dot_hof("__sd", "__sd"))
+                - F.lit(2.0) * F.expr(_dot_hof("__vd", "__sd"))
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy(id_alias).orderBy(F.asc("score"), F.asc("cell"))
     return (
@@ -463,12 +493,16 @@ def ivf_topk(
     # a vector lives in exactly one cell, so a (query, vector) pair meets at
     # most once even with multi-probe — no dedup needed
     scored = (
-        c_cells.join(F.broadcast(q_cells), "cell")
+        _with_double_vec(c_cells, "cvec", "__cd")
+        .join(F.broadcast(_with_double_vec(q_cells, "qvec", "__qd")), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            (_dot_seq(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
+            # HOF dot, not the _dot_seq pandas UDF — bit-identical, no
+            # Python stage (4.2x on the probe join; tools/probe_profile.py);
+            # per-side float64 twins keep products exact on float32 input
+            (F.expr(_dot_hof("__qd", "__cd")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -508,9 +542,21 @@ def _cell_assignments_fast(
             if len(pdf) == 0:
                 continue
             V = np.vstack(pdf[vec_alias].to_numpy()).astype(np.float64, copy=False)
-            scores = s2[None, :] - 2.0 * (V @ S.T)
+            # argmin in ROW CHUNKS: a whole-batch score matrix is
+            # n_batch x n_cells doubles (65536 x 1000 = 524 MB transient
+            # PER WORKER at sqrt(n) cells — 32 workers allocate ~16 GB a
+            # wave, and the measured build was bimodal 7.6-80 s per action
+            # under the resulting allocator/THP thrash). Chunking bounds
+            # the transient to ~64 MB; same argmin per row. Interleaved
+            # A/B at 1M x 1000 cells: 63.4 s -> 3.4 s median and the
+            # variance collapses (tools/assign_ab.py).
+            out = np.empty(V.shape[0], dtype=np.int64)
+            step = max(1, (1 << 23) // max(1, S.shape[0]))
+            for i in range(0, V.shape[0], step):
+                scores = s2[None, :] - 2.0 * (V[i:i + step] @ S.T)
+                out[i:i + step] = np.argmin(scores, axis=1)
             pdf = pdf.copy()
-            pdf["cell"] = cells[np.argmin(scores, axis=1)].astype("int32")
+            pdf["cell"] = cells[out].astype("int32")
             yield pdf
 
     return vecs.mapInPandas(assign, out_schema)
@@ -577,9 +623,16 @@ def build_ann_index(
         if fast_assign
         else _cell_assignments(c, seeds, "vec_id", "cvec", 1)
     )
+    # colocate each cell in one task before the partitioned write: without
+    # this every upstream task opens a writer per cell it sees (tasks x
+    # n_cells files — 32k ~31-row files at 1M vectors / sqrt(n) cells,
+    # measured 703 s; one shuffle of the vectors brings it to n_cells
+    # right-sized files) — shuffle width stays conf-driven (AQE coalesces)
     assigned.withColumn(
         "ingest_batch", F.lit(-1)
-    ).write.option("partitionOverwriteMode", "static").mode("overwrite").partitionBy(
+    ).repartition("cell").write.option(
+        "partitionOverwriteMode", "static"
+    ).mode("overwrite").partitionBy(
         "ingest_batch", "cell"
     ).parquet(live_table_dir(_os.path.join(index_dir, "cells"), index_fs))
 
@@ -627,7 +680,9 @@ def extend_ann_index(
         )
     _cell_assignments(c, seeds, "vec_id", "cvec", 1).withColumn(
         "ingest_batch", F.lit(increment)
-    ).write.option("partitionOverwriteMode", "dynamic").mode("overwrite").partitionBy(
+    ).repartition("cell").write.option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").partitionBy(
         "ingest_batch", "cell"
     ).parquet(live_table_dir(_os.path.join(index_dir, "cells"), index_fs))
 
@@ -703,9 +758,9 @@ def delete_from_ann_index(
     # partitions only), same idiom as the dedup-index extension
     survivors = touched.join(F.broadcast(idsdf), "vec_id", "left_anti").localCheckpoint()
     n_after = survivors.count()
-    survivors.write.option("partitionOverwriteMode", "dynamic").mode(
-        "overwrite"
-    ).partitionBy("ingest_batch", "cell").parquet(live)
+    survivors.repartition("ingest_batch", "cell").write.option(
+        "partitionOverwriteMode", "dynamic"
+    ).mode("overwrite").partitionBy("ingest_batch", "cell").parquet(live)
     # dynamic overwrite only replaces partitions PRESENT in the written
     # data: a partition whose every row was deleted produces no output and
     # would keep serving its old files — drop those directories explicitly
@@ -772,6 +827,7 @@ def compact_ann_index(spark, index_dir: str, index_fs=None) -> None:
         others = [c for c in df.columns if c not in ("ingest_batch", "cell")]
         (
             df.select(*others, F.lit(-1).alias("ingest_batch"), "cell")
+            .repartition("cell")
             .write.mode("overwrite")
             .partitionBy("ingest_batch", "cell")
             .parquet(staged)
@@ -820,12 +876,16 @@ def ann_query_index(
         # rows matching the filter; top-k is exact over the filtered slice
         cells = cells.where(F.expr(filter_expr))
     scored = (
-        cells.join(F.broadcast(q_cells), "cell")
+        _with_double_vec(cells, "cvec", "__cd")
+        .join(F.broadcast(_with_double_vec(q_cells, "qvec", "__qd")), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            (_dot_seq(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
+            # HOF dot, not the _dot_seq pandas UDF — bit-identical, no
+            # Python stage (4.2x on the probe join; tools/probe_profile.py);
+            # per-side float64 twins keep products exact on float32 input
+            (F.expr(_dot_hof("__qd", "__cd")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

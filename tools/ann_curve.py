@@ -112,7 +112,15 @@ def main() -> None:
         corpus = spark.read.parquet(corpus_path)
 
         t0 = time.perf_counter()
-        sample = corpus.filter("vec_id % 50 = 0")  # 2% training sample
+        # ~2% training sample, stride COPRIME with the generator's 200
+        # latent modes: vec_id % 50 keeps only ids = 0 mod 50, and with
+        # mode = id % 200 that sample contains FOUR of the 200 modes — the
+        # quantizer then trains 1000 centroids onto 4 modes and the other
+        # 196 dump into mega-cells (measured: max cell 268k vectors = 27%
+        # of the corpus; no iteration count recovers — 25 Lloyd passes
+        # still 269k). Stride 53 cycles through every mode: max cell 3.7k
+        # at 3 iterations. Real pipelines hash-sample for the same reason.
+        sample = corpus.filter("vec_id % 53 = 0")
         train = (
             clustering.kmeans_centroids_fast
             if n_cells > 64
@@ -154,12 +162,34 @@ def main() -> None:
             "vec_id long, embedding array<double>",
         )
 
+        # quantizer balance: nominal frac_index_scanned (n_probe/n_cells)
+        # only holds if cells are even — report the real distribution and,
+        # per probe, the ACTUAL fraction of the index the probe read
+        sizes_pdf = (
+            spark.read.parquet(os.path.join(index_dir, "cells"))
+            .groupBy("cell").count().toPandas()
+        )
+        cell_sizes = sizes_pdf["count"].to_numpy()
+        balance = {
+            "cell_p50": int(np.percentile(cell_sizes, 50)),
+            "cell_p99": int(np.percentile(cell_sizes, 99)),
+            "cell_max": int(cell_sizes.max()),
+        }
+        size_by_cell = dict(zip(sizes_pdf["cell"].astype(int), sizes_pdf["count"].astype(int)))
+
         points = []
         probes = sorted({p for p in (1, 2, 4, 8, 16, 32, 64, n_cells) if p <= n_cells})
         for n_probe in probes:
             df = similarity.ann_query_index(
                 spark, index_dir, queries, k=k, n_probe=n_probe
             )
+            # actual rows scanned: sum of each query's probed cell sizes
+            q_assign = similarity._cell_assignments(
+                queries.selectExpr("vec_id AS query_id", "embedding AS qvec"),
+                spark.read.parquet(os.path.join(index_dir, "seeds")),
+                "query_id", "qvec", n_probe,
+            ).select("query_id", "cell").collect()
+            rows_scanned = sum(size_by_cell.get(r.cell, 0) for r in q_assign)
             df.count()  # warm (codegen + page cache); timed run below
             t0 = time.perf_counter()
             rows = df.collect()
@@ -177,6 +207,9 @@ def main() -> None:
                     "sec_total": round(dt, 3),
                     "ms_per_query": round(dt / n_queries * 1000, 1),
                     "frac_index_scanned": round(n_probe / n_cells, 4),
+                    "frac_rows_scanned_actual": round(
+                        rows_scanned / (n_queries * n), 4
+                    ),
                 }
             )
             print(f"# n_probe={n_probe}: recall@{k}={recall:.3f} "
@@ -189,9 +222,10 @@ def main() -> None:
             "n_queries": n_queries,
             "k": k,
             "quantizer": ("kmeans_fast" if n_cells > 64 else "kmeans")
-            + "(sample=2%, iters=3)",
+            + "(sample=1/53, iters=3)",
             "train_sec": round(train_s, 1),
             "build_sec": round(build_s, 1),
+            "balance": balance,
             "curve": points,
         }
         line = json.dumps(res)
