@@ -514,7 +514,7 @@ def ivf_topk(
 
 
 def _cell_assignments_fast(
-    vecs: DataFrame, seeds: DataFrame, vec_alias: str
+    vecs: DataFrame, seeds: DataFrame, vec_alias: str, chunk_rows: int | None = None
 ) -> DataFrame:
     """Vectorized build-time cell assignment: broadcast the seed MATRIX
     into a mapInPandas batch argmin (one BLAS matmul per Arrow batch), so
@@ -551,7 +551,9 @@ def _cell_assignments_fast(
             # A/B at 1M x 1000 cells: 63.4 s -> 3.4 s median and the
             # variance collapses (tools/assign_ab.py).
             out = np.empty(V.shape[0], dtype=np.int64)
-            step = max(1, (1 << 23) // max(1, S.shape[0]))
+            # ~8M score doubles per chunk; chunk_rows overrides for tests
+            # (prod batches never split below n_cells ~8k)
+            step = chunk_rows or max(1, (1 << 23) // max(1, S.shape[0]))
             for i in range(0, V.shape[0], step):
                 scores = s2[None, :] - 2.0 * (V[i:i + step] @ S.T)
                 out[i:i + step] = np.argmin(scores, axis=1)

@@ -1167,6 +1167,31 @@ def test_ann_fast_assign_build_matches_exact_build(spark, emb, tmp_path):
     assert [tuple(r) for r in ga.collect()] == [tuple(r) for r in gb.collect()]
 
 
+def test_fast_assign_chunked_argmin_crosses_boundaries(spark, emb):
+    """The fast-assign kernel computes its argmin in row chunks to bound
+    the per-worker score-matrix transient (the whole-batch matrix is
+    n_batch x n_cells doubles — 524 MB at 65536 x 1000). Production chunk
+    sizes never split a test-sized batch, so force a tiny chunk and pin
+    that assignments are identical across chunk boundaries (argmin is
+    per-row; chunking must not change any cell)."""
+    from duckdb_routing_spark.operators.similarity import (
+        _cell_assignments_fast,
+        norm_col,
+    )
+
+    seeds = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("svec"))
+    )
+    c = emb.select(
+        F.col("vec_id"), F.col("embedding").alias("cvec"),
+        norm_col(F.col("embedding")).alias("cnorm"),
+    )
+    whole = _cell_assignments_fast(c, seeds, "cvec").select("vec_id", "cell")
+    chunked = _cell_assignments_fast(c, seeds, "cvec", chunk_rows=7).select("vec_id", "cell")
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, chunked.collect()))
+
+
 def test_quality_classifier_with_partial_weight_table(spark, docs):
     """A trained/pruned model covers only its nonzero buckets: tokens that
     miss the table must still count in n_tokens (scoring 0), and a doc
