@@ -118,6 +118,7 @@ def kmeans_centroids_fast(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_rows: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Batch-vectorized Lloyd training for LARGE k — the sqrt(n) IVF
     quantizer's trainer. Same seeding convention (the k lowest-id
@@ -161,7 +162,9 @@ def kmeans_centroids_fast(
                     # _cell_assignments_fast; tools/assign_ab.py measured
                     # 63 -> 3.4 s there). Same argmin per row.
                     a = np.empty(V.shape[0], dtype=np.int64)
-                    step = max(1, (1 << 23) // max(1, kk))
+                    # ~8M score doubles per chunk; chunk_rows overrides
+                    # for tests (prod batches never split at test k)
+                    step = chunk_rows or max(1, (1 << 23) // max(1, kk))
                     for i in range(0, V.shape[0], step):
                         a[i:i + step] = np.argmin(
                             c2[None, :] - 2.0 * (V[i:i + step] @ C_b.T), axis=1

@@ -402,6 +402,18 @@ def test_kmeans_centroids_fast_matches_exact_assignments(spark):
     assert a == b
 
 
+def test_kmeans_fast_chunked_argmin_crosses_boundaries(spark):
+    """The trainer's Lloyd pass computes its argmin in row chunks to bound
+    the per-worker score-matrix transient; production chunk sizes never
+    split a test-sized batch, so force a tiny chunk and pin that the
+    trained centroids are bit-identical (each row's assignment, partial
+    sum and count are chunk-independent)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    whole = clustering.kmeans_centroids_fast(emb, k=4, iterations=3)
+    chunked = clustering.kmeans_centroids_fast(emb, k=4, iterations=3, chunk_rows=7)
+    assert whole == chunked
+
+
 def test_build_ann_index_auto_cells_sqrt_n(spark, tmp_path):
     """n_cells=None sizes the quantizer at max(8, round(sqrt(n))) — the
     seed table carries that many rows and probes stay correct."""
