@@ -10,9 +10,10 @@ Iterations are a driver loop over collect()s of k*dim values — the only
 driver state is the centroid matrix itself.
 
 Oracle parity: every distance is expressed through dot products
-(x.x - 2 x.c + c.c) computed by the order-preserving sequential kernel
-(similarity._dot_seq), which is bit-identical to DuckDB's
-list_dot_product; centroid means use exact DECIMAL sums (the repo's
+(x.x - 2 x.c + c.c) computed by the order-preserving pure-JVM HOF kernel
+(similarity._dot_hof — left-to-right float64 accumulation), which is
+bit-identical to DuckDB's list_dot_product (and to the _dot_seq pandas
+kernel it replaced); centroid means use exact DECIMAL sums (the repo's
 no-round() policy), so a chained-CTE DuckDB oracle reproduces the full
 iteration history bit-for-bit. Deterministic init: the k lowest-id vectors.
 """
@@ -22,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from duckdb_routing_spark.operators.similarity import _dot_seq
+from duckdb_routing_spark.operators.similarity import _dot_hof
 
 # exact-mean formula copied from emb_label_centroids (proven oracle parity):
 # cast(sum(decimal(18,9)) as double) / count
@@ -38,17 +39,26 @@ def _assign(emb: DataFrame, centroids: list[tuple[int, list[float]]], id_col: st
     cdf = spark.createDataFrame(
         [(cid, vec) for cid, vec in centroids], "cluster_id int, cvec array<double>"
     )
-    cdf = cdf.withColumn("cc", _dot_seq(F.col("cvec"), F.col("cvec")))
+    # pure-JVM HOF dots (similarity._dot_hof), not the _dot_seq pandas UDF:
+    # bit-identical left-to-right float64 accumulation on already-double
+    # arrays (pinned by test_cosine_topk_catalyst_matches_kernel), and the
+    # per-iteration assignment plan loses both ArrowEvalPython stages
+    # (tools/hof_ab.py A/B). Operands are real columns from prior
+    # projections (the _dot_hof interpreted-inlining caveat).
+    cdf = cdf.withColumn("cc", F.expr(_dot_hof("cvec", "cvec")))
     scored = (
         emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
         .crossJoin(F.broadcast(cdf))
         .select(
             "vec_id",
             "cluster_id",
-            (F.lit(-2.0) * _dot_seq(F.col("v"), F.col("cvec")) + F.col("cc")).alias("score"),
+            (F.lit(-2.0) * F.expr(_dot_hof("v", "cvec")) + F.col("cc")).alias("score"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy("score", "cluster_id")
+    # NULLS LAST: HOF scoring nulls out malformed vectors (zip_with
+    # null-padding) — keep them from silently winning rank 1; non-null
+    # ordering unchanged
+    w = Window.partitionBy("vec_id").orderBy(F.asc_nulls_last("score"), "cluster_id")
     return scored.withColumn("_rk", F.row_number().over(w)).filter("_rk = 1").select(
         "vec_id", "cluster_id"
     )
@@ -163,8 +173,13 @@ def kmeans_centroids_fast(
                     # 63 -> 3.4 s there). Same argmin per row.
                     a = np.empty(V.shape[0], dtype=np.int64)
                     # ~8M score doubles per chunk; chunk_rows overrides
-                    # for tests (prod batches never split at test k)
-                    step = chunk_rows or max(1, (1 << 23) // max(1, kk))
+                    # for tests (prod batches never split at test k).
+                    # Same last-ulp chunk-shape caveat as
+                    # _cell_assignments_fast (BLAS kernel choice can vary
+                    # with chunk shape); opt-in non-oracle path.
+                    step = chunk_rows if chunk_rows is not None else max(1, (1 << 23) // max(1, kk))
+                    if step <= 0:
+                        raise ValueError(f"chunk_rows must be positive, got {chunk_rows}")
                     for i in range(0, V.shape[0], step):
                         a[i:i + step] = np.argmin(
                             c2[None, :] - 2.0 * (V[i:i + step] @ C_b.T), axis=1

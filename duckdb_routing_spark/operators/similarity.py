@@ -91,6 +91,15 @@ def _dot_hof(a: str, b: str) -> str:
     )
 
 
+def _hof_norm(col: str) -> str:
+    """L2 norm as the HOF self-dot + sqrt — the pure-JVM twin of norm_col
+    (identical value: per-element float64 squares are exact, accumulation
+    is left-to-right, sqrt is correctly rounded). `col` must be a float64
+    twin materialized in a PRIOR projection (the _dot_hof caveat; use
+    _with_double_vec), or products round in the array's element type."""
+    return f"sqrt({_dot_hof(col, col)})"
+
+
 def cosine_topk_catalyst(
     corpus: DataFrame,
     queries: DataFrame,
@@ -377,17 +386,29 @@ def cosine_near_dup_pairs(
     equi-join on the hyperplane signature), so the pair space scales with
     bucket occupancy, not n^2; recall follows the hyperplane collision
     bound P(same bucket) = (1 - theta/pi)^n_planes."""
-    sig = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("vec"),
-        norm_col(F.col(vec_col)).alias("nrm"),
-        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+    # scoring via the pure-JVM HOF dot on per-side float64 twins, not the
+    # _dot_seq pandas UDF — bit-identical values (exact per-element casts +
+    # the same left-to-right accumulation; pinned by
+    # test_cosine_topk_catalyst_matches_kernel) with ZERO ArrowEvalPython
+    # stages: the UDF form paid SIX (norm per side, both duplicated by
+    # filter pushdown, plus the pair dot evaluated under the threshold
+    # filter AND again in the projection — the guide §4.4 double-eval).
+    # At corpus scale the pair stream no longer crosses the Python boundary
+    # at all (tools/hof_ab.py: interleaved A/B at this site's own volume).
+    sig = _with_double_vec(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+        ),
+        "vec",
+        "vd",
+    ).selectExpr("vec_id", "bucket", "vd", f"{_hof_norm('vd')} AS nrm")
     a = sig.select(
-        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na"), "bucket"
+        F.col("vec_id").alias("id_a"), F.col("vd").alias("va"), F.col("nrm").alias("na"), "bucket"
     )
     b = sig.select(
-        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb"), "bucket"
+        F.col("vec_id").alias("id_b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"), "bucket"
     )
     return (
         a.join(b, "bucket")
@@ -395,7 +416,7 @@ def cosine_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            (_dot_seq(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+            (F.expr(_dot_hof("va", "vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -451,7 +472,12 @@ def _cell_assignments(
             ).alias("score"),
         )
     )
-    w = Window.partitionBy(id_alias).orderBy(F.asc("score"), F.asc("cell"))
+    # NULLS LAST: HOF scoring null-pads dimension-mismatched arrays
+    # (zip_with) and propagates null elements, so a malformed vector scores
+    # NULL — under the default ASC (nulls first) it would silently win
+    # rank 1 where the old _dot_seq UDF raised loudly. Ordering of non-null
+    # scores is unchanged, so values/oracle hashes are identical.
+    w = Window.partitionBy(id_alias).orderBy(F.asc_nulls_last("score"), F.asc("cell"))
     return (
         scored.withColumn("crank", F.row_number().over(w))
         .filter(F.col("crank") <= rank_limit)
@@ -484,10 +510,17 @@ def ivf_topk(
             .limit(n_cells)
             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("svec"))
         )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
-                      norm_col(F.col(vec_col)).alias("cnorm"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-                       norm_col(F.col(vec_col)).alias("qnorm"))
+    # norms via the HOF self-dot on a float64 twin (bit-identical to
+    # norm_col's _dot_seq; see _hof_norm) — no ArrowEvalPython on either
+    # scan; the twin is projected away so downstream shapes are unchanged
+    c = _with_double_vec(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")),
+        "cvec", "__nt",
+    ).selectExpr("vec_id", "cvec", f"{_hof_norm('__nt')} AS cnorm")
+    q = _with_double_vec(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec", "__nt",
+    ).selectExpr("query_id", "qvec", f"{_hof_norm('__nt')} AS qnorm")
     c_cells = _cell_assignments(c, seeds, "vec_id", "cvec", 1)
     q_cells = _cell_assignments(q, seeds, "query_id", "qvec", n_probe)
     # a vector lives in exactly one cell, so a (query, vector) pair meets at
@@ -552,8 +585,15 @@ def _cell_assignments_fast(
             # variance collapses (tools/assign_ab.py).
             out = np.empty(V.shape[0], dtype=np.int64)
             # ~8M score doubles per chunk; chunk_rows overrides for tests
-            # (prod batches never split below n_cells ~8k)
-            step = chunk_rows or max(1, (1 << 23) // max(1, S.shape[0]))
+            # (prod batches never split below n_cells ~8k). Caveat: BLAS
+            # may pick different kernels for different chunk SHAPES (e.g. a
+            # short trailing chunk hitting GEMV), so chunked scores can
+            # differ from whole-batch in the last ulp and flip argmin on
+            # near-ties — the same class of sensitivity as the documented
+            # BLAS-vs-sequential caveat; this path is opt-in non-oracle.
+            step = chunk_rows if chunk_rows is not None else max(1, (1 << 23) // max(1, S.shape[0]))
+            if step <= 0:
+                raise ValueError(f"chunk_rows must be positive, got {chunk_rows}")
             for i in range(0, V.shape[0], step):
                 scores = s2[None, :] - 2.0 * (V[i:i + step] @ S.T)
                 out[i:i + step] = np.argmin(scores, axis=1)
@@ -607,9 +647,15 @@ def build_ann_index(
     seeds.write.mode("overwrite").parquet(
         live_table_dir(_os.path.join(index_dir, "seeds"), index_fs)
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
-                      norm_col(F.col(vec_col)).alias("cnorm"),
-                      *[F.col(m) for m in (meta_cols or [])])
+    # cnorm via the HOF self-dot on a float64 twin — bit-identical to the
+    # former norm_col (_hof_norm), and the BUILD no longer pays an
+    # ArrowEvalPython pass over the whole corpus just to compute norms
+    c = _with_double_vec(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
+                      *[F.col(m) for m in (meta_cols or [])]),
+        "cvec", "__nt",
+    ).selectExpr("vec_id", "cvec", f"{_hof_norm('__nt')} AS cnorm",
+                 *(meta_cols or []))
     # metadata columns ride INSIDE the cell partitions so a filtered probe
     # (ann_query_index(filter_expr=...)) pushes its predicate into the
     # pruned scan — partition pruning and rowgroup filtering compose
@@ -664,9 +710,13 @@ def extend_ann_index(
 
     spark = new_vectors.sparkSession
     seeds = spark.read.parquet(live_table_dir(_os.path.join(index_dir, "seeds"), index_fs))
-    c = new_vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
-                           norm_col(F.col(vec_col)).alias("cnorm"),
-                           *[F.col(m) for m in (meta_cols or [])])
+    # same HOF-norm conversion as build_ann_index (bit-identical values)
+    c = _with_double_vec(
+        new_vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"),
+                           *[F.col(m) for m in (meta_cols or [])]),
+        "cvec", "__nt",
+    ).selectExpr("vec_id", "cvec", f"{_hof_norm('__nt')} AS cnorm",
+                 *(meta_cols or []))
     # schema-drift guard: an extension must carry the SAME column set the
     # store already holds — appended files with missing/extra metadata would
     # silently shadow columns at read time (plain parquet picks one footer)
@@ -860,8 +910,12 @@ def ann_query_index(
     from duckdb_routing_spark.operators.fs import live_table_dir
 
     seeds = spark.read.parquet(live_table_dir(_os.path.join(index_dir, "seeds"), index_fs))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"),
-                       norm_col(F.col(vec_col)).alias("qnorm"))
+    # qnorm via the HOF self-dot on a float64 twin (bit-identical to the
+    # former norm_col) — the probe plan has no Python stage left at all
+    q = _with_double_vec(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")),
+        "qvec", "__nt",
+    ).selectExpr("query_id", "qvec", f"{_hof_norm('__nt')} AS qnorm")
     # materialize the (tiny) assignment once: the probe list collect and the
     # broadcast join side must see the SAME rows — a lazy plan would
     # evaluate twice, and a nondeterministic `queries` input could then
@@ -929,18 +983,21 @@ def semantic_dedup(
             .limit(n_cells)
             .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("svec"))
         )
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("v"),
-        norm_col(F.col(vec_col)).alias("nrm"),
-    )
-    cells = _cell_assignments(c, seeds, "vec_id", "v", 1)
-    a = cells.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"), "cell")
-    b = cells.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"), "cell")
+    # HOF dot + norm on a per-side float64 twin (the _with_double_vec
+    # idiom), not the _dot_seq pandas UDF: bit-identical values, no
+    # ArrowEvalPython stage on the corpus scan or the cell-local pair
+    # stream (tools/hof_ab.py A/B at volume). The twin `vd` doubles as the
+    # assignment input, so the cast runs once per corpus row.
+    c = _with_double_vec(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")), "v", "vd"
+    ).selectExpr("vec_id", "vd", f"{_hof_norm('vd')} AS nrm")
+    cells = _cell_assignments(c, seeds, "vec_id", "vd", 1)
+    a = cells.select(F.col("vec_id").alias("id_a"), F.col("vd").alias("va"), F.col("nrm").alias("na"), "cell")
+    b = cells.select(F.col("vec_id").alias("id_b"), F.col("vd").alias("vb"), F.col("nrm").alias("nb"), "cell")
     pruned = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(_dot_seq(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= F.lit(threshold))
+        .filter(F.expr(_dot_hof("va", "vb")) / (F.col("na") * F.col("nb")) >= F.lit(threshold))
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
@@ -1016,7 +1073,14 @@ def lsh_signature_batch_udf(dim: int, n_planes: int = 8):
             acc += mat[:, j : j + 1] * planes[:, j]
         return pd.Series(((acc > 0) @ weights).astype(np.int32))
 
-    return sig
+    # asNondeterministic (guide §4.4): the downstream equi-join on the
+    # signature pushes isnotnull(bucket) below this projection, and the
+    # optimizer then evaluates the UDF TWICE per input row (once under the
+    # pushed filter, once in the projection — plan-verified, two
+    # ArrowEvalPython nodes per side). The function is in fact
+    # deterministic, so values are unchanged; the flag only stops the
+    # optimizer duplicating the expensive expression.
+    return sig.asNondeterministic()
 
 
 def ann_lsh_topk(
@@ -1042,27 +1106,35 @@ def ann_lsh_topk(
             return lsh_signature(c, dim, n_planes)
     else:
         sig_col = lsh_signature_batch_udf(dim, n_planes)
-    sig_corpus = corpus.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("cvec"),
-        norm_col(F.col(vec_col)).alias("cnorm"),
-        sig_col(F.col(vec_col)).alias("bucket"),
-    )
-    sig_q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        norm_col(F.col(vec_col)).alias("qnorm"),
-        sig_col(F.col(vec_col)).alias("bucket"),
-    )
+    # HOF dot + norm on per-side float64 twins (bit-identical to the
+    # _dot_seq pandas UDF; tools/hof_ab.py A/B) — the signature kernel is
+    # then the ONLY Python stage left (none at all in the Catalyst-
+    # signature dims), and the bucket-local pair stream stays JVM-side.
+    sig_corpus = _with_double_vec(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("cvec"),
+            sig_col(F.col(vec_col)).alias("bucket"),
+        ),
+        "cvec",
+        "cd",
+    ).selectExpr("vec_id", "bucket", "cd", f"{_hof_norm('cd')} AS cnorm")
+    sig_q = _with_double_vec(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            sig_col(F.col(vec_col)).alias("bucket"),
+        ),
+        "qvec",
+        "qd",
+    ).selectExpr("query_id", "bucket", "qd", f"{_hof_norm('qd')} AS qnorm")
     scored = (
         sig_corpus.join(F.broadcast(sig_q), "bucket")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            (_dot_seq(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias(
-                "cosine"
-            ),
+            (F.expr(_dot_hof("qd", "cd")) / (F.col("qnorm") * F.col("cnorm"))).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -1120,16 +1192,26 @@ def pq_encode(corpus: DataFrame, codebook: DataFrame, dim: int = 64, m: int = 8,
     uint8s per vector, a 32x compression of dim-64 float32) is what ADC
     search then reads instead of the raw embeddings."""
     subs = F.array(*_subvectors(F.col(vec_col), dim, m))
-    exploded = corpus.select(
-        F.col(id_col).alias("vec_id"), F.posexplode(subs).alias("s", "sub")
+    exploded = _with_double_vec(
+        corpus.select(F.col(id_col).alias("vec_id"), F.posexplode(subs).alias("s", "sub")),
+        "sub",
+        "subd",
     )
-    scored = exploded.join(F.broadcast(codebook), "s").select(
+    # HOF dots on float64 twins, not the _dot_seq pandas UDF — bit-identical
+    # (tools/hof_ab.py A/B at encode volume); dot(c,c) is constant per
+    # codebook entry, so it is computed ONCE per m*k broadcast row instead
+    # of per (vector, subspace, code) pair (same value attached by the join)
+    cb = _with_double_vec(codebook, "cvec", "cvecd").selectExpr(
+        "s", "code", "cvecd", f"{_dot_hof('cvecd', 'cvecd')} AS cc"
+    )
+    scored = exploded.join(F.broadcast(cb), "s").select(
         "vec_id",
         "s",
         "code",
-        (_dot_seq(F.col("cvec"), F.col("cvec")) - 2.0 * _dot_seq(F.col("sub"), F.col("cvec"))).alias("score"),
+        (F.col("cc") - 2.0 * F.expr(_dot_hof("subd", "cvecd"))).alias("score"),
     )
-    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("score"), F.asc("code"))
+    # NULLS LAST for the same malformed-vector reason as _cell_assignments
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc_nulls_last("score"), F.asc("code"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
@@ -1156,14 +1238,24 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
     Returns (query_id, vec_id, rank) — rank 1 = nearest estimate."""
     codebook = pq_codebook(corpus, dim, m, k, id_col, vec_col)
     codes = pq_encode(corpus, codebook, dim, m, id_col, vec_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.posexplode(F.array(*_subvectors(F.col(vec_col), dim, m))).alias("s", "qsub")
+    q = _with_double_vec(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.posexplode(F.array(*_subvectors(F.col(vec_col), dim, m))).alias("s", "qsub"),
+        ),
+        "qsub",
+        "qsubd",
     )
-    lut = q.join(F.broadcast(codebook), "s").select(
+    # same HOF-on-twins conversion as pq_encode (bit-identical values; the
+    # LUT build no longer crosses the Python boundary)
+    cbq = _with_double_vec(codebook, "cvec", "cvecd").selectExpr(
+        "s", "code", "cvecd", f"{_dot_hof('cvecd', 'cvecd')} AS cc"
+    )
+    lut = q.join(F.broadcast(cbq), "s").select(
         "query_id",
         "s",
         "code",
-        (_dot_seq(F.col("cvec"), F.col("cvec")) - 2.0 * _dot_seq(F.col("qsub"), F.col("cvec"))).alias("partial"),
+        (F.col("cc") - 2.0 * F.expr(_dot_hof("qsubd", "cvecd"))).alias("partial"),
     )
     scored = (
         codes.join(F.broadcast(lut), ["s", "code"])
@@ -1171,7 +1263,8 @@ def pq_adc_topk(corpus: DataFrame, queries: DataFrame, topk: int = 10,
         .groupBy("query_id", "vec_id")
         .agg(F.sum("partial").alias("adc"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    # NULLS LAST for the same malformed-vector reason as _cell_assignments
+    w = Window.partitionBy("query_id").orderBy(F.asc_nulls_last("adc"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)

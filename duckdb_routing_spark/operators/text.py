@@ -685,6 +685,13 @@ def train_quality_classifier(
             docs.select(F.col(id_col).alias("doc_id"), F.col(label_col).cast("double").alias("y")),
             "doc_id",
         )
+        # persist HASH-PARTITIONED ON doc_id (guide §2.4 — two operations
+        # keyed the same way share one exchange): every iteration's margin
+        # aggregation groups by (doc_id, y) and the gradient join keys on
+        # doc_id, so caching the partitioning removes the per-iteration
+        # margins exchange from all `iterations` gradient actions (the
+        # one-off repartition here is paid once). Width stays conf-driven.
+        .repartition("doc_id")
         .persist()
     )
     try:

@@ -292,28 +292,37 @@ def route_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(52.0) + (F.col("id") / F.lit(_BATCH_DIM)).cast("long") * F.lit(0.001)).alias("lat"),
         (F.lit(13.0) + (F.col("id") % F.lit(_BATCH_DIM)) * F.lit(0.001)).alias("lon"),
     )
-    # 100 distinct origins x 200 targets each = 20k pairs spread grid-wide
+    # 100 distinct origins x 200 targets each = 20k pairs spread grid-wide.
+    # ORIGIN-MAJOR generation, partition-aligned: the kernel runs ONE SSSP
+    # per distinct source per partition, so the layout goal is exactly one
+    # optimal multi-SSSP chunk of origins per task. The former
+    # repartition(n_parts, "s_node") HASH-placed 100 origins into 13
+    # partitions — measured Murmur3 skew [13,13,11,10,8,...,3], so the
+    # critical-path task ran TWO kernel chunks while others ran one (the
+    # driver-measured 32-core inversion: 0.301 s at 32 cores vs 0.222 at
+    # 8). Generating origins as a contiguous range over n_parts partitions
+    # and exploding the 200 targets row-locally (guide §2.4/§2.5) gives
+    # every task <= ceil(origins/n_parts) origins deterministically AND
+    # removes the exchange outright — the kernel stage fuses with the
+    # generator. Row values are IDENTICAL: t = o + 100*j is a bijection on
+    # [0, 20k), so the same (s_node, d_node) multiset feeds the same
+    # exact-decimal aggregate. At cluster scale origins vastly outnumber
+    # cores * chunk, so the parallelism cap binds and every core stays
+    # filled; nothing here is a local constant.
+    n_origins = 100  # distinct s_node values by construction
+    chunk = kernels.sssp_chunk_size(n_grid)
+    n_parts = min(-(-n_origins // chunk), spark.sparkContext.defaultParallelism)
     pairs = (
-        spark.range(20_000)
-        .selectExpr(f"(id % 100) * 397 % {n_grid} AS s_node", f"(id * 37 + 13) % {n_grid} AS d_node")
+        spark.range(0, n_origins, 1, n_parts)
+        .selectExpr("id AS o", "explode(sequence(0, 199)) AS j")
+        .selectExpr(
+            f"(o * 397) % {n_grid} AS s_node",
+            f"((o + 100 * j) * 37 + 13) % {n_grid} AS d_node",
+        )
         .join(F.broadcast(nodes.selectExpr("node_id AS s_node", "lat AS lat1", "lon AS lon1")), "s_node")
         .join(F.broadcast(nodes.selectExpr("node_id AS d_node", "lat AS lat2", "lon AS lon2")), "d_node")
     )
-    # co-locate each origin's rows: the kernel runs ONE SSSP per distinct
-    # source PER PARTITION, so hash-partitioning on s_node bounds kernel
-    # runs at the origin count. Width = one optimal multi-SSSP chunk per
-    # task (ceil(origins / sssp_chunk_size)), capped at parallelism: a
-    # partition holding fewer origins than one chunk wastes the kernel's
-    # per-iteration amortization AND multiplies per-task fixed costs
-    # (python worker dispatch, broadcast CSR access). local[32] interleaved
-    # A/B: width 32 (parallelism) 0.554 min / 0.694 med vs width 13
-    # (chunk-derived) 0.301 / 0.420 — 1.7-1.8x. At cluster scale origins
-    # vastly outnumber cores * chunk, so the parallelism cap binds and the
-    # fan-out still fills every core; nothing here is a local constant.
-    n_origins = 100  # distinct s_node values by construction (id % 100)
-    chunk = kernels.sssp_chunk_size(n_grid)
-    n_parts = min(-(-n_origins // chunk), spark.sparkContext.defaultParallelism)
-    routed = pairs.repartition(n_parts, "s_node").selectExpr(
+    routed = pairs.selectExpr(
         "s_node", "d_node", f"travel_time(lat1, lon1, lat2, lon2, '{_BATCH_MODE}') AS s"
     )
     return routed.agg(

@@ -82,6 +82,13 @@ def main() -> None:
     n_queries = arg("--queries", 32)
     k = arg("--k", 10)
     out_file = arg("--out", "")
+    # quantizer training knobs (VERDICT r10 #4: 3 Lloyd iterations on a
+    # 1/53 sample underfit cell boundaries — n_probe=1 recall 0.41; a
+    # denser sample + more iterations raise single-probe recall at
+    # unchanged BUILD cost, train being the cheap stage). Strides stay
+    # coprime with the generator's 200 latent modes.
+    train_stride = arg("--train-stride", 17)
+    train_iters = arg("--train-iters", 10)
 
     from duckdb_routing_spark.operators import clustering, similarity
     from duckdb_routing_spark.session import get_spark
@@ -112,7 +119,7 @@ def main() -> None:
         corpus = spark.read.parquet(corpus_path)
 
         t0 = time.perf_counter()
-        # ~2% training sample, stride COPRIME with the generator's 200
+        # training sample (1/train_stride), stride COPRIME with the generator's 200
         # latent modes: vec_id % 50 keeps only ids = 0 mod 50, and with
         # mode = id % 200 that sample contains FOUR of the 200 modes — the
         # quantizer then trains 1000 centroids onto 4 modes and the other
@@ -120,13 +127,13 @@ def main() -> None:
         # of the corpus; no iteration count recovers — 25 Lloyd passes
         # still 269k). Stride 53 cycles through every mode: max cell 3.7k
         # at 3 iterations. Real pipelines hash-sample for the same reason.
-        sample = corpus.filter("vec_id % 53 = 0")
+        sample = corpus.filter(f"vec_id % {train_stride} = 0")
         train = (
             clustering.kmeans_centroids_fast
             if n_cells > 64
             else clustering.kmeans_centroids
         )
-        cents = train(sample, k=n_cells, iterations=3)
+        cents = train(sample, k=n_cells, iterations=train_iters)
         seeds = clustering.centroids_df(spark, cents)
         train_s = time.perf_counter() - t0
 
@@ -222,7 +229,7 @@ def main() -> None:
             "n_queries": n_queries,
             "k": k,
             "quantizer": ("kmeans_fast" if n_cells > 64 else "kmeans")
-            + "(sample=1/53, iters=3)",
+            + f"(sample=1/{train_stride}, iters={train_iters})",
             "train_sec": round(train_s, 1),
             "build_sec": round(build_s, 1),
             "balance": balance,
