@@ -228,9 +228,31 @@ def bpe_train(
 
 def merges_df(spark, merges: list[tuple[str, str]]) -> DataFrame:
     """Merge list as a DataFrame (rank, left, right) — the artifact a
-    production run writes once and every encode job reads back."""
-    return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank INT, left STRING, right STRING"
+    production run writes once and every encode job reads back.
+
+    Built as ONE literal expression string (single parse) rather than
+    createDataFrame: the pickled ExistingRDD scan re-serializes every row
+    per action, and the interleaved A/B (tools/literal_seeds_ab.py)
+    measured build+action 0.63 -> 0.25 s at 200 merges. The per-element
+    F.lit route (operators.common.literal_df) stays rejected — py4j
+    Column construction per cell is the known plan-build tax; and the
+    same A/B keeps clustering.centroids_df on createDataFrame (a k x dim
+    double array literal PARSES in ~8 s — the literal trade inverts on
+    numeric bulk). `when(true, _)` restores createDataFrame's nullable
+    schema so downstream schema hashes are unchanged."""
+    if not merges:
+        return spark.createDataFrame([], "rank INT, left STRING, right STRING")
+
+    def s(x: str) -> str:
+        return "'" + x.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    rows = ",".join(
+        f"struct({i}, {s(a)}, {s(b)})" for i, (a, b) in enumerate(merges)
+    )
+    return spark.range(1).selectExpr(f"inline(array({rows})) AS (rank, left, right)").selectExpr(
+        "if(true, cast(rank AS INT), null) AS rank",
+        "if(true, left, null) AS left",
+        "if(true, right, null) AS right",
     )
 
 

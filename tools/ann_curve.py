@@ -82,13 +82,19 @@ def main() -> None:
     n_queries = arg("--queries", 32)
     k = arg("--k", 10)
     out_file = arg("--out", "")
-    # quantizer training knobs (VERDICT r10 #4: 3 Lloyd iterations on a
-    # 1/53 sample underfit cell boundaries — n_probe=1 recall 0.41; a
-    # denser sample + more iterations raise single-probe recall at
-    # unchanged BUILD cost, train being the cheap stage). Strides stay
-    # coprime with the generator's 200 latent modes.
+    # quantizer training knobs. MEASURED NEGATIVE RESULT (ANN_CURVE_r11,
+    # closing VERDICT r10 #4): neither a denser sample (1/17 vs 1/53) nor
+    # more Lloyd iterations (10 vs 3) raises single-probe recall — at
+    # sqrt(n)=1000 cells r@1 is 0.34 either way, because 1000 BALANCED
+    # cells split each of the 200 latent modes ~5 ways and one probe
+    # structurally cannot see the whole neighborhood (r10's 0.41 was the
+    # lumpy 1/53 sample's mode-aligned cells, not better training).
+    # Single-probe recall is quantizer-GRANULARITY-bound: 200 cells gives
+    # r@1 = 1.00 at 0.5% scanned (third committed line). The sqrt(n)
+    # default's operating point is n_probe=4 (r 0.91-0.94 at 0.42%).
+    # Strides stay coprime with the generator's 200 latent modes.
     train_stride = arg("--train-stride", 17)
-    train_iters = arg("--train-iters", 10)
+    train_iters = arg("--train-iters", 3)
 
     from duckdb_routing_spark.operators import clustering, similarity
     from duckdb_routing_spark.session import get_spark

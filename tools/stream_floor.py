@@ -59,7 +59,11 @@ def main() -> None:
                     )
                     .coalesce(1)
                     .write.mode("overwrite")
-                    .parquet(os.path.join(cdir, f"events_part{i}.parquet"))
+                    # chunk 0 is named exactly events.parquet: the stream
+                    # reader probes that path for the ts physical type and
+                    # globs events*.parquet for the batches
+                    .parquet(os.path.join(
+                        cdir, "events.parquet" if i == 0 else f"events_{i}.parquet"))
                 )
             for name, build in (
                 ("sessionize_stateful", lambda s: sev.sessionize_stateful(s)),
@@ -79,7 +83,10 @@ def main() -> None:
                     .start()
                 )
                 q.processAllAvailable()
-                prog = [json.loads(p) for p in q.recentProgress]
+                prog = [
+                    json.loads(p if isinstance(p, str) else p.json)
+                    for p in q.recentProgress
+                ]
                 q.stop()
                 batches = [
                     {
